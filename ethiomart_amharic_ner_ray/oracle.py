@@ -1,0 +1,64 @@
+"""Reference-faithful single-process oracle (SURVEY.md §5.2, FIXTURES.md §5).
+
+A straight-line pandas/regex implementation of the reference semantics
+(normalize → extract → conversation-ordered triple emission → dedup) with NO
+Ray, no partitioning, no buckets. The engine's distributed output is scored
+against this at exact-match P/R ≥ 0.95; because the oracle is sequential and
+the engine is sharded/shuffled, the comparison validates the distributed
+orchestration (reassembly ordering, bucketing, dedup determinism) against
+plain sequential semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from .functions.extract import build_loc_pattern, extract_mentions
+from .functions.textnorm import clean_text_v1, normalize_text_v2
+
+
+def oracle_triples(table: pa.Table, normalizer: int = 1) -> pd.DataFrame:
+    """Sequential triple emission over a transcripts Arrow table."""
+    norm_fn = clean_text_v1 if normalizer == 1 else normalize_text_v2
+    loc_pattern = build_loc_pattern()
+
+    df = table.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    rows: list[tuple] = []
+    last_conv = None
+    last_product = None
+    for conv_id, turn_idx, text in zip(df["conv_id"], df["turn_idx"], df["text"]):
+        if conv_id != last_conv:
+            last_conv = conv_id
+            last_product = None
+        seller = conv_id.split("-")[0]
+        clean = norm_fn(text)
+        for m in extract_mentions(clean, loc_pattern):
+            et, norm = m["etype"], m["norm"]
+            if not norm:
+                continue
+            if et == "PRODUCT":
+                last_product = norm
+                rows.append((seller, "sells", norm, conv_id, turn_idx))
+            elif et == "PRICE":
+                rows.append((last_product or seller, "priced_at", norm, conv_id, turn_idx))
+            elif et == "LOC":
+                rows.append((last_product or seller, "located_in", norm, conv_id, turn_idx))
+            elif et == "PHONE":
+                rows.append((seller, "reachable_at", norm, conv_id, turn_idx))
+
+    out = pd.DataFrame(rows, columns=["subj", "pred", "obj", "conv_id", "turn_idx"])
+    out = out.sort_values(["subj", "pred", "obj", "conv_id", "turn_idx"], kind="mergesort")
+    return out.drop_duplicates(["subj", "pred", "obj"], keep="first").reset_index(drop=True)
+
+
+def precision_recall(
+    engine: pd.DataFrame, oracle: pd.DataFrame
+) -> tuple[float, float]:
+    """Exact-match P/R on the (subj, pred, obj) sets."""
+    e = set(zip(engine["subj"], engine["pred"], engine["obj"]))
+    o = set(zip(oracle["subj"], oracle["pred"], oracle["obj"]))
+    if not e or not o:
+        return (0.0, 0.0)
+    tp = len(e & o)
+    return tp / len(e), tp / len(o)

@@ -1,0 +1,382 @@
+"""Flagship pipeline: Parquet transcripts → deduplicated (subj,pred,obj) triples.
+
+Dataflow (SURVEY.md §3.4):
+
+    read_parquet(transcripts)                         [streaming tasks]
+     ├─ normalize: map_batches (adds clean_text)      [stateless]
+     ├─ seller:    map_batches (vectorized)           [stateless]
+     ├─ extract:   map_batches(RegexExtractor|NerScorer, actor pool)
+     ├─ link:      map_batches(EntityLinker, actor pool, broadcast index)
+     ├─ reassemble+emit: groupby(conv_bucket).map_groups
+     │      — per bucket: pandas sort by (conv_id, turn_idx) = stable turn
+     │        ordering; scan each conversation in order carrying the last
+     │        seen product, so prices/locations attach to the most recent
+     │        product in the SAME conversation (this is what makes
+     │        conversation reassembly load-bearing)     [SHUFFLE #1, conv key]
+     ├─ dedup: per-batch drop_duplicates (partial) →
+     │      groupby(spo_bucket).map_groups(first)       [SHUFFLE #2, spo key]
+     └─ write_parquet(bucket=NNNN/…) + per-bucket manifest (resume)
+
+Partitioning: both shuffles run over B hash buckets, not raw keys — one
+map_groups call per bucket (B ≈ thousands at cluster scale), never one call
+per conversation/triple. Conversation groups are bounded (≤64 turns) so
+conv-bucket skew is hash-uniform; hot-seller skew only affects the scorecard
+branch, which pre-aggregates per batch (see scorecard.py).
+
+Triple semantics (defines the oracle, mirrored in oracle.py):
+    (seller, sells, product_norm)            per PRODUCT mention
+    (subj,  priced_at, price_norm)           subj = last product seen in the
+    (subj,  located_in, loc_norm)              conversation so far, else seller
+    (seller, reachable_at, phone_norm)       per PHONE mention
+Dedup on (subj, pred, obj) keeps the provenance of the lexicographically
+first (conv_id, turn_idx) — deterministic under arbitrary sharding.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.extract import RegexExtractor, derive_seller
+from ..stages.linker import EntityLinker, build_product_index
+from ..stages.ner_scorer import NerScorer
+from ..stages.normalize import make_normalizer
+
+TRIPLE_FLAT_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "extractor", "confidence"]
+
+
+def _crc_bucket(values: list[str], n_buckets: int) -> list[int]:
+    return [zlib.crc32(v.encode("utf-8")) % n_buckets for v in values]
+
+
+def add_conv_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    b = _crc_bucket(batch.column("conv_id").to_pylist(), n_buckets)
+    return batch.append_column("cbucket", pa.array(b, pa.int32()))
+
+
+def build_mentions(
+    ds: "ray.data.Dataset",
+    normalizer: int = 1,
+    extractor: str = "regex",
+    concurrency=(1, 8),
+    batch_size: int = 2048,
+) -> "ray.data.Dataset":
+    """transcripts → mentions dataset (text untouched, clean_text added)."""
+    ds = ds.map_batches(make_normalizer(normalizer), batch_format="pyarrow")
+    ds = ds.map_batches(derive_seller, batch_format="pyarrow")
+    cls = {"regex": RegexExtractor, "ner": NerScorer}[extractor]
+    return ds.map_batches(
+        cls,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def link_mentions(
+    mentions_ds: "ray.data.Dataset",
+    concurrency=(1, 8),
+    batch_size: int = 2048,
+) -> "ray.data.Dataset":
+    """Broadcast-index entity linking. The index is built with one extra pass
+    over the (small, per-batch-deduped) distinct product names, then shipped
+    via ray.put — read once per actor, never per batch."""
+    index = build_product_index(mentions_ds)
+    index_ref = ray.put(index)
+    return mentions_ds.map_batches(
+        EntityLinker,
+        fn_constructor_args=(index_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _emit_triples_bucket(df: pd.DataFrame, extractor_name: str) -> pd.DataFrame:
+    """One conv-hash bucket: stable-sort by (conv_id, turn_idx), scan each
+    conversation in order, emit triples. Pure + deterministic."""
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    subj_l: list[str] = []
+    pred_l: list[str] = []
+    obj_l: list[str] = []
+    conv_l: list[str] = []
+    tidx_l: list[int] = []
+
+    last_conv = None
+    last_product = None
+    for conv_id, turn_idx, seller, mentions in zip(
+        df["conv_id"].to_numpy(),
+        df["turn_idx"].to_numpy(),
+        df["seller"].to_numpy(),
+        df["mentions"].to_numpy(),
+    ):
+        if conv_id != last_conv:
+            last_conv = conv_id
+            last_product = None
+        if mentions is None:
+            continue
+        for m in mentions:
+            et, norm = m["etype"], m["norm"]
+            if not norm:
+                continue
+            if et == "PRODUCT":
+                last_product = norm
+                subj, pred = seller, "sells"
+            elif et == "PRICE":
+                subj, pred = (last_product or seller), "priced_at"
+            elif et == "LOC":
+                subj, pred = (last_product or seller), "located_in"
+            elif et == "PHONE":
+                subj, pred = seller, "reachable_at"
+            else:
+                continue
+            subj_l.append(subj)
+            pred_l.append(pred)
+            obj_l.append(norm)
+            conv_l.append(conv_id)
+            tidx_l.append(int(turn_idx))
+
+    return pd.DataFrame(
+        {
+            "subj": subj_l,
+            "pred": pred_l,
+            "obj": obj_l,
+            "conv_id": conv_l,
+            "turn_idx": pd.array(tidx_l, dtype="int32"),
+            "extractor": extractor_name,
+            "confidence": pd.array([1.0] * len(subj_l), dtype="float32"),
+        }
+    )
+
+
+def _partial_dedup(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: shrink the spo shuffle before the bucket groupby."""
+    df = df.sort_values(["subj", "pred", "obj", "conv_id", "turn_idx"], kind="mergesort")
+    return df.drop_duplicates(["subj", "pred", "obj"], keep="first")
+
+
+def _bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
+    return _partial_dedup(df)
+
+
+def add_spo_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    keys = [
+        f"{s}\x00{p}\x00{o}"
+        for s, p, o in zip(
+            batch.column("subj").to_pylist(),
+            batch.column("pred").to_pylist(),
+            batch.column("obj").to_pylist(),
+        )
+    ]
+    b = _crc_bucket(keys, n_buckets)
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
+def add_provenance(batch: pa.Table) -> pa.Table:
+    """Fold flat (extractor, confidence) into the provenance struct column."""
+    prov = pa.StructArray.from_arrays(
+        [
+            batch.column("extractor").combine_chunks(),
+            batch.column("confidence").combine_chunks(),
+        ],
+        names=["extractor", "confidence"],
+    )
+    batch = batch.drop_columns(["extractor", "confidence"])
+    return batch.append_column("provenance", prov)
+
+
+def triples_from_mentions(
+    mentions_ds: "ray.data.Dataset",
+    n_buckets: int = 64,
+    extractor_name: str = "regex",
+) -> "ray.data.Dataset":
+    """mentions → deduplicated triples (flat provenance cols + spo bucket)."""
+    ds = mentions_ds.select_columns(["conv_id", "turn_idx", "seller", "mentions"])
+    ds = ds.map_batches(
+        add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+    )
+    ds = ds.groupby("cbucket").map_groups(
+        _emit_triples_bucket,
+        fn_kwargs={"extractor_name": extractor_name},
+        batch_format="pandas",
+    )
+    ds = ds.map_batches(_partial_dedup, batch_format="pandas")
+    ds = ds.map_batches(
+        add_spo_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+    )
+    ds = ds.groupby("bucket").map_groups(_bucket_dedup, batch_format="pandas")
+    return ds
+
+
+def run_kg_pipeline(
+    input_path: str,
+    out_dir: str,
+    n_buckets: int = 64,
+    normalizer: int = 1,
+    extractor: str = "regex",
+    link: bool = True,
+    resume: bool = True,
+    concurrency=(1, 8),
+) -> dict:
+    """Checkpointed flagship run: resumable per-bucket output.
+
+    Two checkpointed stages, each with its own per-bucket manifests
+    (state/manifest.py: skip-if-done + delete-if-partial = exactly-once per
+    bucket):
+
+      1. mentions  — bucketed by hash(conv_id) % B. The expensive stage
+         (normalize + extract + link); on resume, finished conv buckets are
+         filtered out AT THE READ so their turns never leave the scan.
+      2. triples   — bucketed by hash(subj,pred,obj) % B for globally
+         correct dedup; on resume, finished spo buckets are filtered before
+         the dedup shuffle.
+
+    At cluster scale this is the `ray job submit` entrypoint body; the
+    mentions parquet also replaces the in-memory materialize of
+    ``kg_triples`` — the full corpus is never pinned in the object store.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..state.manifest import (
+        clean_unfinished_buckets,
+        done_buckets,
+        write_bucket_manifests,
+    )
+
+    stats: dict = {"n_buckets": n_buckets}
+    fingerprint = f"{input_path}|b{n_buckets}|n{normalizer}|x{extractor}|l{link}"
+    mentions_dir = _os.path.join(out_dir, "mentions")
+    triples_dir = _os.path.join(out_dir, "triples")
+
+    # ---- stage 1: mentions, bucketed by conv hash -------------------------
+    done1 = done_buckets(mentions_dir, fingerprint) if resume else set()
+    if not resume:
+        clean_unfinished_buckets(mentions_dir, set())
+    removed = clean_unfinished_buckets(mentions_dir, done1)
+    stats["mentions_buckets_skipped"] = len(done1)
+    stats["mentions_buckets_cleaned"] = len(removed)
+
+    if len(done1) < n_buckets:
+        ds = ray.data.read_parquet(input_path)
+        ds = ds.map_batches(
+            add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+        )
+        if done1:
+            done_arr = sorted(done1)
+
+            def _drop_done(batch: pa.Table, done=frozenset(done_arr)) -> pa.Table:
+                import pyarrow.compute as pc
+
+                mask = pc.invert(pc.is_in(batch.column("cbucket"), pa.array(list(done), pa.int32())))
+                return batch.filter(mask)
+
+            ds = ds.map_batches(_drop_done, batch_format="pyarrow")
+        ds = ds.map_batches(make_normalizer(normalizer), batch_format="pyarrow")
+        ds = ds.map_batches(derive_seller, batch_format="pyarrow")
+        cls = {"regex": RegexExtractor, "ner": NerScorer}[extractor]
+        ds = ds.map_batches(cls, batch_format="pyarrow", batch_size=2048, concurrency=concurrency)
+        ds = ds.rename_columns({"cbucket": "bucket"})
+        ds.write_parquet(mentions_dir, partition_cols=["bucket"])
+        new_manifests = {}
+        for d in _glob.glob(_os.path.join(mentions_dir, "bucket=*")):
+            b = int(_os.path.basename(d).split("=")[1])
+            if b in done1:
+                continue
+            n = sum(_pq.ParquetFile(f).metadata.num_rows for f in _glob.glob(_os.path.join(d, "*.parquet")))
+            new_manifests[b] = {"rows": n, "stage": "mentions"}
+        # empty buckets still count as done
+        for b in range(n_buckets):
+            if b not in done1 and b not in new_manifests:
+                new_manifests[b] = {"rows": 0, "stage": "mentions"}
+        write_bucket_manifests(mentions_dir, new_manifests, fingerprint)
+
+    bucket_files = sorted(_glob.glob(_os.path.join(mentions_dir, "bucket=*", "*.parquet")))
+    mentions_ds = ray.data.read_parquet(bucket_files) if bucket_files else None
+    stats["mentions_rows"] = mentions_ds.count() if mentions_ds is not None else 0
+
+    # ---- stage 2: triples, bucketed by spo hash ---------------------------
+    done2 = done_buckets(triples_dir, fingerprint) if resume else set()
+    removed2 = clean_unfinished_buckets(triples_dir, done2)
+    stats["triples_buckets_skipped"] = len(done2)
+    stats["triples_buckets_cleaned"] = len(removed2)
+
+    if len(done2) < n_buckets and mentions_ds is not None:
+        ds = mentions_ds
+        if "bucket" in ds.schema().names:  # hive partition col, if inferred
+            ds = ds.drop_columns(["bucket"])
+        if link:
+            ds = link_mentions(ds, concurrency=concurrency)
+        ds = ds.select_columns(["conv_id", "turn_idx", "seller", "mentions"])
+        ds = ds.map_batches(
+            add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+        )
+        ds = ds.groupby("cbucket").map_groups(
+            _emit_triples_bucket, fn_kwargs={"extractor_name": extractor}, batch_format="pandas"
+        )
+        ds = ds.map_batches(_partial_dedup, batch_format="pandas")
+        ds = ds.map_batches(
+            add_spo_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+        )
+        if done2:
+
+            def _drop_done2(batch: pa.Table, done=frozenset(done2)) -> pa.Table:
+                import pyarrow.compute as pc
+
+                mask = pc.invert(pc.is_in(batch.column("bucket"), pa.array(list(done), pa.int32())))
+                return batch.filter(mask)
+
+            ds = ds.map_batches(_drop_done2, batch_format="pyarrow")
+        ds = ds.groupby("bucket").map_groups(_bucket_dedup, batch_format="pandas")
+        ds = ds.map_batches(add_provenance, batch_format="pyarrow")
+        ds.write_parquet(triples_dir, partition_cols=["bucket"])
+        new_manifests = {}
+        for d in _glob.glob(_os.path.join(triples_dir, "bucket=*")):
+            b = int(_os.path.basename(d).split("=")[1])
+            if b in done2:
+                continue
+            n = sum(_pq.ParquetFile(f).metadata.num_rows for f in _glob.glob(_os.path.join(d, "*.parquet")))
+            new_manifests[b] = {"rows": n, "stage": "triples"}
+        for b in range(n_buckets):
+            if b not in done2 and b not in new_manifests:
+                new_manifests[b] = {"rows": 0, "stage": "triples"}
+        write_bucket_manifests(triples_dir, new_manifests, fingerprint)
+
+    tdirs = sorted(_glob.glob(_os.path.join(triples_dir, "bucket=*")))
+    stats["triples_rows"] = (
+        sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for d in tdirs
+            for f in _glob.glob(_os.path.join(d, "*.parquet"))
+        )
+        if tdirs
+        else 0
+    )
+    stats["triples_dir"] = triples_dir
+    return stats
+
+
+def kg_triples(
+    ds: "ray.data.Dataset",
+    normalizer: int = 1,
+    extractor: str = "regex",
+    link: bool = True,
+    n_buckets: int = 64,
+    concurrency=(1, 8),
+    with_provenance_struct: bool = True,
+) -> "ray.data.Dataset":
+    """In-memory flagship path (no checkpointing): transcripts → triples."""
+    mentions = build_mentions(ds, normalizer=normalizer, extractor=extractor, concurrency=concurrency)
+    if link:
+        mentions = mentions.materialize()  # reused by index build + linking
+        mentions = link_mentions(mentions, concurrency=concurrency)
+    triples = triples_from_mentions(mentions, n_buckets=n_buckets, extractor_name=extractor)
+    if with_provenance_struct:
+        triples = triples.map_batches(add_provenance, batch_format="pyarrow")
+    return triples

@@ -1,0 +1,199 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Produces the Parquet table of multi-turn conversation transcripts the engine
+runs on: columns exactly (conv_id, turn_idx, role, text, tool, ts) per
+BASELINE.json's input_hint. Seeded, self-contained, no external data.
+
+Generation mirrors the distributions of the reference corpus
+(dataset_statistics.json: ~55 whitespace tokens avg) and its regex surface
+(data_cleaner.py:30-33 price/phone/product-trigger patterns): Amharic
+e-commerce phrases, price forms ("1,500 ብር", "300ብር", "2500 birr", bare
+numbers only v2 catches), phones (09XXXXXXXX / 9XXXXXXXX), gazetteer
+locations, trigger words, plus noise (URLs, emoji, English fragments,
+"[no text]" sentinel rows, NFKC-unnormalized fullwidth chars).
+
+Skew: sellers are drawn Zipf(a=1.3) so a few sellers are hot — the skew
+fixture for salted/two-phase aggregation. Rows are written in globally
+shuffled order so conversation reassembly (groupby(conv_id) + stable sort by
+turn_idx) is actually exercised; ts is monotone within a conversation unless
+``corrupt_ts`` is set (used by tests to prove turn_idx is authoritative).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.extract import DEFAULT_LOCATIONS
+from ..schemas import TRANSCRIPT_SCHEMA
+
+PRODUCTS = (
+    "ጫማ", "ቦርሳ", "ስልክ", "ላፕቶፕ", "ቲሸርት", "ሶፋ", "ወንበር", "ጠረጴዛ",
+    "ምንጣፍ", "ብርድ ልብስ", "የሴቶች ቀሚስ", "የወንዶች ሱሪ", "ሰዓት", "ሠዓት",
+    "መነፅር", "ሽቶ", "ክሬም", "ማቀዝቀዣ", "ምድጃ", "ቴሌቪዥን", "ስፒከር",
+    "ጆሮ ማዳመጫ", "ካሜራ", "ፍሪጅ", "ማጠቢያ ማሽን", "ኬክ መጋገሪያ", "ሀይላንድ",
+    "ኃይላንድ", "ጸጉር ማድረቂያ", "ፀጉር ማድረቂያ",
+)
+
+TRIGGERS = ("ሽያጭ", "ለመግዛት", "ይግዙ", "ይሸጥ", "ለሽያጭ", "ገዝተውልኝ")
+
+FILLERS = (
+    "እንኳን", "ደህና", "መጡ", "ውድ", "ደንበኞቻችን", "አዲስ", "እቃ", "ገብቷል",
+    "በጣም", "ጥራት", "ያለው", "ምርት", "ነው", "ዛሬ", "ብቻ", "ቅናሽ", "አለ",
+    "ይደውሉ", "አድራሻ", "ሱቅ", "ቁጥር", "ይጎብኙ", "ነፃ", "ማድረስ", "አገልግሎት",
+    "እናመሰግናለን", "ትእዛዝ", "ለማዘዝ", "ዋጋ", "የተለየ", "ስጦታ", "ለበዓል",
+    "አዲስ", "ገበያ", "እቃዎች", "ሙሉ", "ዋስትና", "ያላቸው", "ኦሪጅናል", "ጥሩ",
+)
+
+NOISE = (
+    "https://t.me/ethiomart",
+    "www.example.com/shop",
+    "😍🔥",
+    "👍👍👍",
+    "best quality",
+    "free delivery",
+    "ＶＩＰ",
+    "№①",
+)
+
+PRICE_FORMS = ("unit_spc", "unit_nospc", "birr_en", "dollar", "bare", "decimal")
+
+
+def generate_transcripts(
+    n_turns: int,
+    seed: int = 42,
+    n_sellers: int = 200,
+    corrupt_ts: bool = False,
+) -> pa.Table:
+    """Generate ~n_turns transcript rows (whole conversations; row count may
+    exceed n_turns by at most one conversation). Deterministic in all args."""
+    rng = np.random.RandomState(seed)
+
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    tss: list[int] = []
+
+    base_us = 1_700_000_000 * 1_000_000  # fixed epoch, timestamp[us]
+    roles_cycle = ("seller", "buyer", "agent")
+
+    conv_no = 0
+    total = 0
+    while total < n_turns:
+        seller = int((rng.zipf(1.3) - 1) % n_sellers)
+        length = int(min(64, rng.geometric(1.0 / 8.0)))
+        conv_id = f"c{seller:04d}-{conv_no:06d}"
+        conv_start = base_us + conv_no * 37_000_000
+        # per-conversation random draws, batched
+        kinds = rng.randint(0, 100, size=length)
+        for t in range(length):
+            kind = kinds[t]
+            if kind < 3:
+                text = "[no text]"
+            else:
+                parts: list[str] = []
+                n_fill = int(rng.randint(20, 75))
+                fill_idx = rng.randint(0, len(FILLERS), size=n_fill)
+                parts.extend(FILLERS[i] for i in fill_idx[: n_fill // 2])
+                if kind < 60:  # sale segment: trigger + product (+ price)
+                    trig = TRIGGERS[rng.randint(len(TRIGGERS))]
+                    prod = PRODUCTS[rng.randint(len(PRODUCTS))]
+                    seg = f"{trig} {prod}"
+                    if kind < 45:
+                        seg += " " + _price_expr(rng)
+                    parts.append(seg)
+                elif kind < 70:  # bare price talk
+                    parts.append("ዋጋ፦ " + _price_expr(rng))
+                if kind % 7 == 0:
+                    phone = f"{rng.randint(10_000_000, 100_000_000):08d}"
+                    parts.append(("09" if kind % 2 else "9") + phone)
+                if kind % 5 == 0:
+                    parts.append(DEFAULT_LOCATIONS[rng.randint(len(DEFAULT_LOCATIONS))])
+                if kind % 11 == 0:
+                    parts.append(NOISE[rng.randint(len(NOISE))])
+                parts.extend(FILLERS[i] for i in fill_idx[n_fill // 2 :])
+                text = " ".join(parts)
+            conv_ids.append(conv_id)
+            turn_idxs.append(t)
+            roles.append(roles_cycle[t % 3])
+            texts.append(text)
+            tools.append("" if kinds[t] % 10 else ("search" if kinds[t] % 20 else "catalog"))
+            if corrupt_ts:
+                tss.append(conv_start + int(rng.randint(0, 1_000_000_000)))
+            else:
+                tss.append(conv_start + t * 61_000_000)
+        conv_no += 1
+        total += length
+
+    # global shuffle so turn reassembly is exercised
+    perm = rng.permutation(total)
+    table = pa.table(
+        {
+            "conv_id": pa.array(np.asarray(conv_ids, dtype=object)[perm], pa.string()),
+            "turn_idx": pa.array(np.asarray(turn_idxs, dtype=np.int32)[perm]),
+            "role": pa.array(np.asarray(roles, dtype=object)[perm], pa.string()),
+            "text": pa.array(np.asarray(texts, dtype=object)[perm], pa.string()),
+            "tool": pa.array(np.asarray(tools, dtype=object)[perm], pa.string()),
+            "ts": pa.array(np.asarray(tss, dtype=np.int64)[perm], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    return table
+
+
+def _price_expr(rng: np.random.RandomState) -> str:
+    form = PRICE_FORMS[rng.randint(len(PRICE_FORMS))]
+    amount = int(rng.randint(50, 99_999))
+    grouped = f"{amount:,}" if amount >= 1000 and rng.randint(2) else str(amount)
+    if form == "unit_spc":
+        return f"{grouped} ብር"
+    if form == "unit_nospc":
+        return f"{grouped}ብር"
+    if form == "birr_en":
+        return f"{grouped} birr"
+    if form == "dollar":
+        return f"{grouped} ዶላር"
+    if form == "decimal":
+        return f"{grouped}.{rng.randint(10, 99)} ብር"
+    return grouped  # bare number: only the v2 normalizer prices it
+
+
+def ensure_transcripts(
+    out_dir: str | Path,
+    n_turns: int,
+    seed: int = 42,
+    n_sellers: int = 200,
+    n_files: int | None = None,
+    corrupt_ts: bool = False,
+) -> str:
+    """Generate-and-cache transcripts as a multi-file Parquet directory so
+    ray.data.read_parquet parallelizes the read. Idempotent: if the directory
+    already holds a complete generation for the same parameters (marker
+    file), it is reused."""
+    out_dir = Path(out_dir)
+    marker = out_dir / "_GENERATED.json"
+    params = f"n_turns={n_turns} seed={seed} n_sellers={n_sellers} corrupt_ts={corrupt_ts}"
+    if marker.exists() and marker.read_text() == params:
+        return str(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for old in out_dir.glob("*.parquet"):
+        old.unlink()
+    table = generate_transcripts(n_turns, seed=seed, n_sellers=n_sellers, corrupt_ts=corrupt_ts)
+    if n_files is None:
+        n_files = max(1, min(64, table.num_rows // 50_000))
+    rows_per = -(-table.num_rows // n_files)
+    for i in range(n_files):
+        chunk = table.slice(i * rows_per, rows_per)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(chunk, out_dir / f"part-{i:05d}.parquet")
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(params)
+    os.replace(tmp, marker)
+    return str(out_dir)

@@ -1,0 +1,76 @@
+"""Per-partition manifest sidecars for resumable output.
+
+Layout (FIXTURES.md §3):
+
+    <out_dir>/bucket=NNNN/part-*.parquet      data, written by Ray Data
+    <out_dir>/manifest/bucket=NNNN.json       commit marker per bucket
+
+A bucket counts as DONE only when its manifest exists and carries the same
+run fingerprint (input path + params). Writing is atomic (tmp + os.replace),
+mirroring the reference's transactional file discipline
+(data_pipeline.py:190-211, interpret.py:804-815). On resume, bucket dirs
+WITHOUT a valid manifest are deleted before reprocessing, so partial output
+from a crashed run can never leak into results — skip-if-done plus
+delete-if-partial gives exactly-once per bucket.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+
+def _manifest_dir(out_dir: str | Path) -> Path:
+    return Path(out_dir) / "manifest"
+
+
+def _manifest_path(out_dir: str | Path, bucket: int) -> Path:
+    return _manifest_dir(out_dir) / f"bucket={bucket:04d}.json"
+
+
+def done_buckets(out_dir: str | Path, fingerprint: str) -> set[int]:
+    """Buckets with a valid manifest matching this run's fingerprint."""
+    mdir = _manifest_dir(out_dir)
+    if not mdir.is_dir():
+        return set()
+    done: set[int] = set()
+    for p in mdir.glob("bucket=*.json"):
+        try:
+            meta = json.loads(p.read_text())
+        except (ValueError, OSError):
+            continue
+        if meta.get("fingerprint") == fingerprint:
+            done.add(int(p.stem.split("=")[1]))
+    return done
+
+
+def clean_unfinished_buckets(out_dir: str | Path, done: set[int]) -> list[int]:
+    """Delete bucket data dirs that lack a valid manifest (partial output)."""
+    out_dir = Path(out_dir)
+    removed = []
+    for d in out_dir.glob("bucket=*"):
+        if not d.is_dir():
+            continue
+        b = int(d.name.split("=")[1])
+        if b not in done:
+            shutil.rmtree(d)
+            removed.append(b)
+    return removed
+
+
+def write_bucket_manifests(
+    out_dir: str | Path,
+    buckets: dict[int, dict],
+    fingerprint: str,
+) -> None:
+    """Commit manifests for completed buckets (atomic per bucket)."""
+    mdir = _manifest_dir(out_dir)
+    mdir.mkdir(parents=True, exist_ok=True)
+    for bucket, meta in buckets.items():
+        payload = dict(meta, fingerprint=fingerprint, bucket=bucket)
+        path = _manifest_path(out_dir, bucket)
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(payload, sort_keys=True))
+        os.replace(tmp, path)
