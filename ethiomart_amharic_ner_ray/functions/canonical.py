@@ -35,6 +35,16 @@ _FOLD_MAP.update(_row_fold(0x12D0, 0x12A0))  # ዐ → አ
 _FOLD_MAP.update(_row_fold(0x1340, 0x1338))  # ፀ → ጸ
 # labialized ኈ-row (U+1288-128F) folds to the ሀ-row a-form
 _FOLD_MAP.update(_row_fold(0x1288, 0x1200))
+# within-row order folds: 4th order (-a) ≡ 1st order (-ä) for the laryngeal
+# series (ሃ→ሀ, ኣ→አ) — standard Amharic normalization practice
+_FOLD_MAP[0x1203] = 0x1200  # ሃ → ሀ
+_FOLD_MAP[0x12A3] = 0x12A0  # ኣ → አ
+# resolve chains (e.g. ኃ → ሃ → ሀ) so one translate() pass suffices
+for _k in list(_FOLD_MAP):
+    _v = _FOLD_MAP[_k]
+    while _v in _FOLD_MAP:
+        _v = _FOLD_MAP[_v]
+    _FOLD_MAP[_k] = _v
 
 _WS_RE = re.compile(r"\s+")
 _COMMA = re.compile(r",")

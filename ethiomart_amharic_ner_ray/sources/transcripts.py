@@ -72,6 +72,9 @@ def generate_transcripts(
     """Generate ~n_turns transcript rows (whole conversations; row count may
     exceed n_turns by at most one conversation). Deterministic in all args."""
     rng = np.random.RandomState(seed)
+    # separate stream for ts corruption so corrupt_ts=True yields IDENTICAL
+    # text/conv structure with only the ts order broken (tests rely on this)
+    ts_rng = np.random.RandomState(seed + 1000003)
 
     conv_ids: list[str] = []
     turn_idxs: list[int] = []
@@ -125,7 +128,7 @@ def generate_transcripts(
             texts.append(text)
             tools.append("" if kinds[t] % 10 else ("search" if kinds[t] % 20 else "catalog"))
             if corrupt_ts:
-                tss.append(conv_start + int(rng.randint(0, 1_000_000_000)))
+                tss.append(conv_start + int(ts_rng.randint(0, 1_000_000_000)))
             else:
                 tss.append(conv_start + t * 61_000_000)
         conv_no += 1

@@ -1,0 +1,101 @@
+"""Checkpoint/resume: per-bucket manifests, partial-output cleanup,
+resume-equals-clean-run (SURVEY.md §5.3)."""
+
+import glob
+import json
+import shutil
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ethiomart_amharic_ner_ray.pipelines.kg import run_kg_pipeline
+from ethiomart_amharic_ner_ray.state.manifest import (
+    clean_unfinished_buckets,
+    done_buckets,
+    write_bucket_manifests,
+)
+
+
+def _read_triples(out_dir: str) -> pd.DataFrame:
+    files = sorted(glob.glob(f"{out_dir}/triples/bucket=*/*.parquet"))
+    return pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+
+
+def _tset(df):
+    return set(zip(df["subj"], df["pred"], df["obj"]))
+
+
+class TestManifestUnit:
+    def test_roundtrip(self, tmp_path):
+        write_bucket_manifests(tmp_path, {0: {"rows": 5}, 3: {"rows": 0}}, "fp1")
+        assert done_buckets(tmp_path, "fp1") == {0, 3}
+        # wrong fingerprint → not done
+        assert done_buckets(tmp_path, "fp2") == set()
+
+    def test_clean_unfinished(self, tmp_path):
+        (tmp_path / "bucket=1").mkdir()
+        (tmp_path / "bucket=2").mkdir()
+        removed = clean_unfinished_buckets(tmp_path, {2})
+        assert removed == [1]
+        assert not (tmp_path / "bucket=1").exists()
+        assert (tmp_path / "bucket=2").exists()
+
+    def test_corrupt_manifest_ignored(self, tmp_path):
+        mdir = tmp_path / "manifest"
+        mdir.mkdir()
+        (mdir / "bucket=0007.json").write_text("{not json")
+        assert done_buckets(tmp_path, "fp") == set()
+
+
+@pytest.fixture(scope="module")
+def kg_run(ray_session, tiny_transcripts_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg") / "out")
+    stats = run_kg_pipeline(tiny_transcripts_dir, out, n_buckets=6, concurrency=2)
+    return out, stats, _read_triples(out)
+
+
+class TestResume:
+    def test_full_resume_skips_everything(self, kg_run, tiny_transcripts_dir):
+        out, stats, triples = kg_run
+        stats2 = run_kg_pipeline(tiny_transcripts_dir, out, n_buckets=6, concurrency=2)
+        assert stats2["mentions_buckets_skipped"] == 6
+        assert stats2["triples_buckets_skipped"] == 6
+        assert _tset(_read_triples(out)) == _tset(triples)
+
+    def test_partial_resume_equals_clean_run(
+        self, kg_run, tiny_transcripts_dir, tmp_path_factory
+    ):
+        """Simulate a crash: drop one bucket's manifest + data in each stage;
+        resume must rebuild exactly those buckets and match the clean run."""
+        out, _, clean = kg_run
+        crashed = str(tmp_path_factory.mktemp("kg") / "crashed")
+        shutil.copytree(out, crashed)
+        # kill mentions bucket 2 (manifest + data) and triples bucket 4
+        Path(crashed, "mentions/manifest/bucket=0002.json").unlink()
+        shutil.rmtree(Path(crashed, "mentions/bucket=2"), ignore_errors=True)
+        Path(crashed, "triples/manifest/bucket=0004.json").unlink()
+        stats = run_kg_pipeline(tiny_transcripts_dir, crashed, n_buckets=6, concurrency=2)
+        assert stats["mentions_buckets_skipped"] == 5
+        assert stats["triples_buckets_skipped"] == 5
+        # partial triples data without manifest was cleaned before rebuild
+        assert stats["triples_buckets_cleaned"] == 1
+        resumed = _read_triples(crashed)
+        assert _tset(resumed) == _tset(clean)
+        assert len(resumed) == len(clean)
+
+    def test_fingerprint_mismatch_rebuilds(self, kg_run, tiny_transcripts_dir):
+        """Different params → old manifests are invalid, nothing skipped."""
+        out, _, _ = kg_run
+        done = done_buckets(Path(out) / "mentions", "some|other|fingerprint")
+        assert done == set()
+
+    def test_bucket_layout(self, kg_run):
+        out, _, _ = kg_run
+        data = sorted(glob.glob(f"{out}/triples/bucket=*"))
+        manifests = sorted(glob.glob(f"{out}/triples/manifest/bucket=*.json"))
+        assert len(manifests) == 6
+        meta = json.loads(Path(manifests[0]).read_text())
+        assert {"rows", "fingerprint", "bucket"} <= set(meta)
+        assert len(data) >= 1

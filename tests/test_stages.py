@@ -1,0 +1,111 @@
+"""Stage-level tests: normalizer stage, seller derivation, NerScorer rule
+backend (actor class smoked directly, per the actor-init pitfall), linker."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from ethiomart_amharic_ner_ray.schemas import TRANSCRIPT_SCHEMA
+from ethiomart_amharic_ner_ray.stages.extract import RegexExtractor, derive_seller
+from ethiomart_amharic_ner_ray.stages.linker import (
+    EntityLinker,
+    _trigram_vector,
+    build_product_index,
+)
+from ethiomart_amharic_ner_ray.stages.ner_scorer import NerScorer
+from ethiomart_amharic_ner_ray.stages.normalize import make_normalizer
+
+
+def _batch(texts):
+    n = len(texts)
+    return pa.table(
+        {
+            "conv_id": [f"c0001-{i:06d}" for i in range(n)],
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": ["seller"] * n,
+            "text": texts,
+            "tool": [""] * n,
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+class TestNormalizeStage:
+    def test_adds_clean_text_keeps_text(self):
+        b = _batch(["ዋጋ 500 birr!", "[no text]"])
+        out = make_normalizer(1)(b)
+        assert out.column("text").to_pylist() == ["ዋጋ 500 birr!", "[no text]"]
+        assert out.column("clean_text").to_pylist() == ["ዋጋ 500 ብር!", ""]
+
+    def test_v2_variant(self):
+        out = make_normalizer(2)(_batch(["ዋጋ 500"]))
+        assert out.column("clean_text").to_pylist() == ["ዋጋ 500 ብር"]
+
+
+class TestDeriveSeller:
+    def test_prefix(self):
+        out = derive_seller(_batch(["x"]))
+        assert out.column("seller").to_pylist() == ["c0001"]
+
+
+class TestRegexExtractorStage:
+    def test_mentions_column(self):
+        b = make_normalizer(1)(_batch(["ለሽያጭ ጫማ 500 ብር ቦሌ 0911234567"]))
+        out = RegexExtractor()(b)
+        ms = out.column("mentions").to_pylist()[0]
+        etypes = {m["etype"] for m in ms}
+        assert etypes == {"PRODUCT", "PRICE", "LOC", "PHONE"}
+        assert all(m["entity_id"] == -1 for m in ms)
+
+
+class TestNerScorerRules:
+    def test_transformers_backend_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            NerScorer(backend="transformers")
+
+    def test_rule_backend_matches_regex_entities(self):
+        b = make_normalizer(1)(_batch(["ለሽያጭ ጫማ ዋጋ 500 ብር ቦሌ ይገኛል"]))
+        out = NerScorer()(b)
+        ms = out.column("mentions").to_pylist()[0]
+        by_type = {m["etype"]: m for m in ms}
+        assert by_type["PRICE"]["norm"] == "500 ብር"
+        assert by_type["LOC"]["norm"] == "ቦሌ"
+        assert "ጫማ" in by_type["PRODUCT"]["norm"]
+
+    def test_bio_path_emits_valid_tags(self):
+        scorer = NerScorer()
+        tokens, tags = scorer._tag_sentence("ለሽያጭ ጫማ 500 ብር")
+        assert len(tokens) == len(tags)
+        assert "B-PRICE" in tags and "I-PRICE" in tags
+
+
+class TestLinker:
+    def test_trigram_vector_deterministic(self):
+        v1, v2 = _trigram_vector("ጫማ"), _trigram_vector("ጫማ")
+        assert np.allclose(v1, v2)
+        assert abs(np.linalg.norm(v1) - 1.0) < 1e-9
+
+    def test_link_exact_and_fuzzy(self, ray_session):
+        names = ["ሶፋ", "ጫማ", "የሴቶች ቀሚስ"]
+        matrix = np.stack([_trigram_vector(n) for n in names])
+        ref = ray.put((names, matrix))
+        linker = EntityLinker(ref)
+        assert linker._link_one("ጫማ") == 1  # exact
+        assert linker._link_one("የሴቶች ቀሚስ ነው") == 2  # fuzzy → nearest
+        assert linker._link_one("zzzz") == -1  # below threshold
+
+    def test_build_index_from_dataset(self, ray_session, tiny_transcripts_dir):
+        import glob
+
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+
+        ds = rd.read_parquet(sorted(glob.glob(tiny_transcripts_dir + "/*.parquet")))
+        mentions = build_mentions(ds.limit(300), concurrency=2)
+        names, matrix = build_product_index(mentions)
+        assert len(names) == matrix.shape[0]
+        assert names == sorted(names)
+        assert len(names) > 0
