@@ -1,44 +1,300 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data additions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Column names, rounding
+(4 decimals on float aggregates) and tie-breaks match on both sides by
+construction. KG-pipeline queries run over deterministic synthetic
+transcripts (BASELINE.json input_hint schema) cached under /tmp, since the
+transcript table is not one of the driver's pre-registered views — those are
+rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import ray.data
+
+
+# --------------------------------------------------------------------------
+# transcript fixture sizing: match lineitem's rows-per-sf (6M × sf)
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def transcripts_dir_for(sf_dir: str) -> str:
+    from ethiomart_amharic_ner_ray.sources.transcripts import ensure_transcripts
+
+    sf = _sf_of(sf_dir)
+    n_turns = max(1000, int(6_000_000 * sf))
+    out = f"/tmp/graft_transcripts/sf{sf:g}"
+    return ensure_transcripts(out, n_turns, seed=42)
+
+
+def _transcripts_ds(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(transcripts_dir_for(sf_dir))
+
+
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale: synthetic transcripts (input_hint
+    schema) → normalize → extract → link → reassembled conversations →
+    deduplicated (subj, pred, obj) triples."""
+    from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+    ds = _transcripts_ds("/root/testdata/sf0.001")
+    return kg_triples(ds, n_buckets=16, concurrency=(1, 4))
+
+
+def _kg_triples(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+    return kg_triples(_transcripts_ds(sf_dir), n_buckets=32, concurrency=(1, 8), with_provenance_struct=False)
+
+
+def _kg_mentions(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+
+    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
+    return ds.select_columns(["conv_id", "turn_idx", "seller", "text", "clean_text"])
+
+
+def _kg_triples_ner(sf_dir: str):
+    """Same flagship via the NerScorer actor path (rule backend)."""
+    from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+    ds = _transcripts_ds(sf_dir)
+    # cap size: the BIO path is the model-stage stand-in, exercised smaller
+    return kg_triples(ds.limit(20000), extractor="ner", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False)
+
+
+def _kg_scorecards(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+    from ethiomart_amharic_ner_ray.pipelines.scorecard import seller_scorecards
+
+    return seller_scorecards(build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ethiomart_amharic_ner_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        scorecard,
+        similarity,
+        textstats,
+        windows,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregation (SQL-checked)
+        "q01_pricing_summary": relational.q01_pricing_summary,
+        "q02_filter_orders": relational.q02_filter_orders,
+        "q03_segment_revenue": relational.q03_segment_revenue,
+        "q04_region_rollup": relational.q04_region_rollup,
+        "q05_topk_parts": relational.q05_topk_parts,
+        "q06_events_daily": relational.q06_events_daily,
+        "q19_event_type_counts": relational.q19_event_type_counts,
+        "q20_supplier_nation": relational.q20_supplier_nation,
+        # scorecard metrics (reference A1-A5 semantics, SQL-checked)
+        "q07_user_engagement": scorecard.q07_user_engagement,
+        "q08_user_activity": scorecard.q08_user_activity,
+        "q09_user_value_stats": scorecard.q09_user_value_stats,
+        "q10_lending_score": scorecard.q10_lending_score,
+        # text analysis (SQL-checked)
+        "q12_token_count": textstats.q12_token_count,
+        "q13_quality_score": textstats.q13_quality_score,
+        "q14_lang_id": textstats.q14_lang_id,
+        "q15_doc_fingerprint": textstats.q15_doc_fingerprint,
+        # dedup / similarity (SQL-checked baselines)
+        "q11_dedup_exact": dedup.q11_dedup_exact,
+        "q16_knn_cosine": similarity.q16_knn_cosine,
+        # stream-shaped (SQL-checked)
+        "q17_asof_last_signup": windows.q17_asof_last_signup,
+        "q18_hourly_windows": windows.q18_hourly_windows,
+        # KG flagship over synthetic transcripts (rows-only)
+        "kg_triples": _kg_triples,
+        "kg_triples_ner": _kg_triples_ner,
+        "kg_mentions": _kg_mentions,
+        "kg_seller_scorecards": _kg_scorecards,
+        # near-dup / sketch family (rows-only)
+        "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
+        "dedup_minhash_clusters": dedup.minhash_dedup,
+        "dedup_simhash": dedup.simhash_signatures,
+        "doc_rolling_fingerprints": textstats.rolling_fingerprints,
+        # ANN / batched retrieval (rows-only)
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "knn_self_join": similarity.knn_self_join,
+        # multimodal plumbing (rows-only; decode stubbed per environment)
+        "media_features": lambda sf_dir: multimodal.media_features(200, seed=42),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_filter_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+        """,
+        "q03_segment_revenue": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q04_region_rollup": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 4) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q05_topk_parts": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey
+            LIMIT 10
+        """,
+        "q06_events_daily": """
+            SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "q19_event_type_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "q20_supplier_nation": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 4) AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q07_user_engagement": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(avg(nz), 4) AS avg_views,
+                   max(nz) AS max_views,
+                   min(nz) AS min_views,
+                   round(coalesce(stddev_samp(nz), 0), 4) AS view_consistency
+            FROM (SELECT user_id,
+                         CASE WHEN value = 0 THEN NULL ELSE value END AS nz
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "q08_user_activity": """
+            WITH weekly AS (
+                SELECT user_id, isoyear(ts) AS y, week(ts) AS w, count(*) AS c
+                FROM events GROUP BY 1, 2, 3)
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS total_posts,
+                   count(*) AS active_weeks,
+                   round(avg(c), 4) AS posting_frequency,
+                   round(coalesce(stddev_samp(c), 0), 4) AS posting_consistency
+            FROM weekly GROUP BY user_id
+        """,
+        "q09_user_value_stats": """
+            WITH m AS (
+                SELECT user_id, max(value) AS mx,
+                       round(median(value), 4) AS median_value
+                FROM events GROUP BY user_id)
+            SELECT m.user_id, m.median_value,
+                   min(e.event_id) AS top_event_id
+            FROM m JOIN events e ON e.user_id = m.user_id AND e.value = m.mx
+            GROUP BY m.user_id, m.median_value
+        """,
+        "q10_lending_score": """
+            WITH weekly AS (
+                SELECT user_id, isoyear(ts) AS y, week(ts) AS w, count(*) AS c
+                FROM events GROUP BY 1, 2, 3),
+            freq AS (SELECT user_id, avg(c) AS f FROM weekly GROUP BY user_id),
+            stats AS (
+                SELECT user_id,
+                       avg(CASE WHEN value = 0 THEN NULL ELSE value END) AS avg_views,
+                       avg(CASE WHEN event_type = 'purchase' THEN value END) AS avg_price,
+                       count(DISTINCT event_type) AS variety
+                FROM events GROUP BY user_id)
+            SELECT s.user_id,
+                   round(least(100.0, 100.0 * (
+                       0.4 * least(1.0, greatest(0.0, coalesce(s.avg_views, 0) / 5000.0)) +
+                       0.3 * least(1.0, greatest(0.0, f.f / 5.0)) +
+                       0.2 * least(1.0, greatest(0.0, coalesce(s.avg_price, 0) / 10000.0)) +
+                       0.1 * least(1.0, greatest(0.0, s.variety / 50.0)))), 4) AS lending_score
+            FROM stats s JOIN freq f USING (user_id)
+        """,
+        "q11_dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "q12_token_count": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q13_quality_score": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars2,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^ ]', '', 'g')) / greatest(length(text), 1), 4) AS space_ratio
+            FROM documents
+        """,
+        "q14_lang_id": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[ሀ-፿]') THEN 'am'
+                        WHEN regexp_matches(text, '\\b(the|and|of|a)\\b') THEN 'en'
+                        ELSE 'other' END AS pred_lang
+            FROM documents
+        """,
+        "q15_doc_fingerprint": """
+            SELECT doc_id, sha256(lower(trim(text))) AS fp FROM documents
+        """,
+        "q16_knn_cosine": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings e, q
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q17_asof_last_signup": """
+            SELECT event_id, user_id,
+                   max(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+            FROM events
+        """,
+        "q18_hourly_windows": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,150 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "kg_triples_end_to_end", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "num_cpus": N,
+   "triples": T, "triples_per_sec": R, "turns": K}
+
+Headline = flagship KG pipeline (synthetic transcripts sized 6M×sf turns →
+normalize → extract → link → reassemble → triples → dedup → count), the
+BASELINE.md target. ``--scaling`` runs the headline at num_cpus=8 and 32 in
+fresh processes on the SAME pre-generated input and reports both throughputs
+plus efficiency = (T_lo / T_hi) / (hi / lo).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+    # prepare + warm: generation is cached; one untimed pass warms page cache
+    tx_dir = entrymod.transcripts_dir_for(sf_dir)
+    ds = ray.data.read_parquet(tx_dir)
+    n_turns = ds.count()
+
+    pool = (1, max(4, num_cpus))
+    t0 = time.perf_counter()
+    triples = kg_triples(
+        ray.data.read_parquet(tx_dir),
+        n_buckets=max(32, num_cpus * 4),
+        concurrency=pool,
+        with_provenance_struct=False,
+    )
+    n_triples = triples.count()
+    headline = time.perf_counter() - t0
+
+    # representative per-operator timings (consume with count())
+    qs = entrymod.queries()
+    picks = [
+        "q01_pricing_summary",
+        "q03_segment_revenue",
+        "q06_events_daily",
+        "q07_user_engagement",
+        "q08_user_activity",
+        "q11_dedup_exact",
+        "q16_knn_cosine",
+        "q17_asof_last_signup",
+        "q18_hourly_windows",
+        "dedup_minhash_pairs",
+    ]
+    query_secs: dict[str, float] = {}
+    for name in picks:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        query_secs[name] = round(time.perf_counter() - t0, 3)
+    query_secs["kg_triples"] = round(headline, 3)
+
+    result = {
+        "metric": "kg_triples_end_to_end",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / headline, 1),
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline at two parallelism levels in fresh processes (the
+    sandbox stand-in for N vs 4N cluster nodes)."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": r_lo["sf"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        "num_cpus": [lo, hi],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

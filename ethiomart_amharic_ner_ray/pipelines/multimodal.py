@@ -1,0 +1,90 @@
+"""Multimodal (binary-payload) plumbing — real Ray-side mechanics, stubbed
+decoders.
+
+The reference downloads Telegram photos to loose .jpg files and OCRs them
+(SURVEY.md §2.1 S2/S12). At engine scale, media is an opaque ``binary``
+column with typed metadata, processed by CPU-bound actor-pool map_batches
+with SMALL batch sizes (large payload × concurrency must fit worker heap).
+
+This container ships no image/audio libs, so ``decode="real"`` raises
+NotImplementedError (clearly marked stub); ``decode="fake"`` derives
+deterministic pseudo-features from the bytes so the schema, batch sizing,
+actor signature and output layout are real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("conv_id", pa.string()),
+        pa.field("media_type", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("blob", pa.binary()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def synth_media_table(n: int, seed: int = 42, blob_bytes: int = 4096) -> pa.Table:
+    """Deterministic synthetic media rows (opaque binary payloads)."""
+    rng = np.random.RandomState(seed)
+    blobs = [rng.bytes(blob_bytes) for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "conv_id": pa.array([f"c{rng.randint(0, 50):04d}-{i:06d}" for i in range(n)], pa.string()),
+            "media_type": pa.array([("image/jpeg", "audio/ogg", "video/mp4")[i % 3] for i in range(n)], pa.string()),
+            "width": pa.array(rng.randint(64, 2048, size=n).astype(np.int32)),
+            "height": pa.array(rng.randint(64, 2048, size=n).astype(np.int32)),
+            "blob": pa.array(blobs, pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class MediaFeaturizer:
+    """Actor-pool decode/feature-extract stage.
+
+    __init__ is where a real decoder would load its model/codec ONCE per
+    actor. batch_size for this stage must be small (payloads are big):
+    ``map_batches(MediaFeaturizer, batch_size=32, concurrency=(1,N))``.
+    """
+
+    def __init__(self, decode: str = "fake"):
+        if decode == "real":
+            raise NotImplementedError(
+                "real decode requires PIL/ffmpeg — not in this container. "
+                "Wire the decoder here; everything downstream is payload-agnostic."
+            )
+        self._decode = decode
+
+    def _features(self, blob: bytes) -> list[float]:
+        # deterministic pseudo-embedding: digest → 8 floats in [0, 1)
+        d = hashlib.blake2b(blob, digest_size=FEATURE_DIM * 4).digest()
+        ints = np.frombuffer(d, dtype=np.uint32)
+        return list(np.round(ints / 2**32, 6))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [self._features(b) for b in t.column("blob").to_pylist()]
+        sizes = [len(b) for b in t.column("blob").to_pylist()]
+        out = t.drop_columns(["blob"])  # features replace payload downstream
+        out = out.append_column("blob_bytes", pa.array(sizes, pa.int64()))
+        out = out.append_column("features", pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)))
+        return out
+
+
+def media_features(n: int = 200, seed: int = 42) -> "ray.data.Dataset":
+    """Synthetic media → featurized dataset (rows-only check)."""
+    ds = ray.data.from_arrow(synth_media_table(n, seed))
+    return ds.map_batches(
+        MediaFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )

@@ -1,0 +1,226 @@
+"""Generic relational operators over the TPC-H-ish test tables.
+
+Each query demonstrates one scale pattern the engine relies on:
+
+  q01  two-phase grouped aggregation (partial combine inside map_batches,
+       tiny final groupby — the pre-aggregation rule for wide groupbys)
+  q02  vectorized filter + projection pruned at the read
+  q03  broadcast hash join (dimension table via ray.put, no shuffle)
+  q04  two-level broadcast join (snowflake rollup)
+  q05  top-k without a global sort shuffle (per-batch top-k, tiny final)
+  q06  temporal bucketing + two-phase aggregate (M13/A4 analogue)
+  q19  distinct values with counts
+  q20  broadcast join rollup on another dimension
+
+These correspond to SURVEY.md §2.4-§2.6 mappings; the reference itself has
+no relational engine (single pandas process), so these are the Ray-native
+equivalents of its groupby/lookup idioms at cluster scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .common import make_rounder, read_small, read_table
+
+
+def q01_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-style pricing summary: two-phase grouped aggregation."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"),
+            p_base=("l_extendedprice", "sum"),
+            p_disc=("disc_price", "sum"),
+            p_cnt=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_base", alias_name="sum_base_price"),
+        Sum("p_disc", alias_name="sum_disc_price"),
+        Sum("p_cnt", alias_name="count_order"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.append_column("avg_qty", pc.divide(t.column("sum_qty"), pc.cast(t.column("count_order"), pa.float64())))
+        t = t.append_column("avg_price", pc.divide(t.column("sum_base_price"), pc.cast(t.column("count_order"), pa.float64())))
+        return make_rounder(["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"])(t)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q02_filter_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Vectorized filter + projection; columns pruned at the read."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(t.column("o_totalprice"), 100000.0),
+            pc.equal(t.column("o_orderstatus"), "O"),
+        )
+        return t.filter(mask).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class _SegmentJoiner:
+    """Broadcast join: custkey → mktsegment, built once per actor from a
+    ray.put object ref (sorted-key searchsorted lookup, no shuffle)."""
+
+    def __init__(self, ref):
+        keys, segs = ray.get(ref)
+        self._keys = keys
+        self._segs = segs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy()
+        idx = np.searchsorted(self._keys, ck)
+        seg = self._segs[idx]
+        return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+
+def q03_segment_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer (broadcast small side) → per-segment rollup."""
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    order_ck = np.argsort(cust.column("c_custkey").to_numpy())
+    keys = cust.column("c_custkey").to_numpy()[order_ck]
+    segs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order_ck]
+    ref = ray.put((keys, segs))
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(
+        _SegmentJoiner, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            p_n=("o_totalprice", "size"), p_sum=("o_totalprice", "sum")
+        )
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby("c_mktsegment").aggregate(
+        Sum("p_n", alias_name="n_orders"), Sum("p_sum", alias_name="total_price")
+    )
+    return agg.map_batches(make_rounder(["total_price"]), batch_format="pyarrow")
+
+
+class _NationRegionJoiner:
+    def __init__(self, ref):
+        self._nation_to_region = ray.get(ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_pylist()
+        rname = [self._nation_to_region[k] for k in nk]
+        return t.append_column("r_name", pa.array(rname, pa.string()))
+
+
+def q04_region_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """customer ⋈ nation ⋈ region via one composed broadcast map."""
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = read_small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    r_map = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    n_map = {
+        nk: r_map[rk]
+        for nk, rk in zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist())
+    }
+    ref = ray.put(n_map)
+
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    joined = ds.map_batches(
+        _NationRegionJoiner, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
+    )
+    agg = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal")
+    )
+    return agg.map_batches(make_rounder(["total_acctbal"]), batch_format="pyarrow")
+
+
+def q05_topk_parts(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k without a global sort: per-batch top-k, tiny driver-side final.
+    (A full ``ds.sort().limit(k)`` shuffles every block; this moves ≤k rows
+    per batch.) Tie-break on p_partkey for determinism."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True]).head(k)
+
+    cand = ds.map_batches(topk, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def q06_events_daily(sf_dir: str) -> "ray.data.Dataset":
+    """Temporal bucketing (reference M13: year/month/week derivation) +
+    two-phase aggregate per day."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "y": pc.year(t.column("ts")).to_numpy(),
+                "m": pc.month(t.column("ts")).to_numpy(),
+                "d": pc.day(t.column("ts")).to_numpy(),
+                "value": t.column("value").to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["y", "m", "d"], as_index=False).agg(
+                p_n=("value", "size"), p_sum=("value", "sum")
+            ),
+            preserve_index=False,
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(["y", "m", "d"]).aggregate(
+        Sum("p_n", alias_name="n_events"), Sum("p_sum", alias_name="sum_value")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t.column("sum_value"), pc.cast(t.column("n_events"), pa.float64()))
+        t = t.append_column("avg_value", avg)
+        return make_rounder(["sum_value", "avg_value"])(t)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q19_event_type_counts(sf_dir: str) -> "ray.data.Dataset":
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def q20_supplier_nation(sf_dir: str) -> "ray.data.Dataset":
+    """supplier ⋈ nation broadcast rollup."""
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    n_map = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    ref = ray.put(n_map)
+
+    class Joiner:
+        def __init__(self):
+            self._map = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self._map[k] for k in t.column("s_nationkey").to_pylist()]
+            return t.append_column("n_name", pa.array(names, pa.string()))
+
+    ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    joined = ds.map_batches(Joiner, batch_format="pyarrow", concurrency=1)
+    agg = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal")
+    )
+    return agg.map_batches(make_rounder(["total_acctbal"]), batch_format="pyarrow")
