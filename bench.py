@@ -56,11 +56,11 @@ def run_bench() -> dict:
     from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
 
     # prepare + warm: generation is cached; one untimed pass warms page cache
-    tx_dir = entrymod.transcripts_dir_for(sf_dir)
+    tx_dir = os.environ.get("GRAFT_TX_DIR") or entrymod.transcripts_dir_for(sf_dir)
     ds = ray.data.read_parquet(tx_dir)
     n_turns = ds.count()
 
-    pool = (1, max(4, num_cpus))
+    pool = (1, num_cpus)
     t0 = time.perf_counter()
     triples = kg_triples(
         ray.data.read_parquet(tx_dir),
@@ -85,6 +85,8 @@ def run_bench() -> dict:
         "q18_hourly_windows",
         "dedup_minhash_pairs",
     ]
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        picks = []
     query_secs: dict[str, float] = {}
     for name in picks:
         fn = qs[name]
@@ -117,8 +119,31 @@ def run_scaling() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lo, hi = 8, 32
 
+    # The scaling run uses a larger input (default 4× the headline turns,
+    # GRAFT_SCALING_MULT to change): fixed per-job overheads (pipeline
+    # startup, shuffle waves, broadcast) amortize with input size, and the
+    # design point is 100 TB — at 600k rows a 32-core run is overhead-bound.
+    # Both parallelism levels read the SAME pre-generated input.
+    mult = int(os.environ.get("GRAFT_SCALING_MULT", "4"))
+    n_turns = max(1000, int(6_000_000 * _sf_of(sf_dir))) * mult
+    tx_dir = f"/tmp/graft_transcripts/scaling_{n_turns}"
+    import ray
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    from ethiomart_amharic_ner_ray.sources.transcripts import ensure_transcripts_parallel
+
+    ensure_transcripts_parallel(tx_dir, n_turns)
+    ray.shutdown()
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_TX_DIR=tx_dir,
+            GRAFT_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -59,3 +59,51 @@ def make_rounder(cols: list[str], digits: int = ROUND_DIGITS):
         return round_columns(batch, cols, digits)
 
     return _round
+
+
+def bucketed_group_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    final_fn,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Grouped aggregation over B hash buckets instead of raw keys.
+
+    Ray's ``GroupedData.aggregate`` reduces per ROW in Python — measured
+    ~40x slower than a vectorized pandas groupby even at 150 keys over 95k
+    rows, and unusable at high cardinality. This helper is the engine's
+    standard wide-aggregation shape: hash the group key to B buckets
+    (map_batches), shuffle on the bucket id only, then run ``final_fn``
+    (which does a vectorized ``df.groupby(keys)`` itself) once per bucket.
+    B scales with the cluster, never with key cardinality; callers
+    pre-aggregate per batch first so the shuffle moves partial rows.
+    """
+    import zlib
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        cols = [t.column(k) for k in keys]
+        n = t.num_rows
+        if len(cols) == 1:
+            key_strs = (str(v) for v in cols[0].to_pylist())
+        else:
+            key_strs = (
+                "\x00".join(str(v) for v in row)
+                for row in zip(*(c.to_pylist() for c in cols))
+            )
+        b = [zlib.crc32(s.encode("utf-8")) % n_buckets for s in key_strs]
+        assert len(b) == n
+        return t.append_column("_bkt", pa.array(b, pa.int32()))
+
+    def per_bucket(df):
+        out = final_fn(df.drop(columns=["_bkt"]))
+        return out
+
+    # coalesce before the sort shuffle: Ray's sort builds an
+    # N_in × N_out task/object matrix, so hundreds of tiny partial blocks
+    # cost far more than the row volume warrants
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(min(n_buckets, 32))
+        .groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -24,9 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
 
-from .common import read_table, round_away
+from .common import bucketed_group_agg, read_table, round_away
 
 N_PERM = 64
 N_BANDS = 16  # 16 bands × 4 rows
@@ -63,8 +62,9 @@ def _minhash(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def q11_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
-    """Exact dedup: per-batch min-per-hash partial, then groupby(hash) min —
-    keeps the lowest doc_id per distinct text. Output: surviving doc_ids."""
+    """Exact dedup: per-batch min-per-hash partial, then a bucketed final min
+    per content hash — keeps the lowest doc_id per distinct text. Output:
+    surviving doc_ids."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -77,10 +77,11 @@ def q11_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
         g = df.groupby("h", as_index=False)["doc_id"].min()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("h").aggregate(
-        Min("doc_id", alias_name="doc_id")
-    )
-    return agg.select_columns(["doc_id"])
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False)["doc_id"].min()[["doc_id"]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(partials, ["h"], final, n_buckets=32)
 
 
 def minhash_signatures(sf_dir: str, seed: int = 42) -> "ray.data.Dataset":
@@ -122,15 +123,18 @@ def minhash_lsh_pairs(sf_dir: str, seed: int = 42, jaccard_threshold: float = 0.
     sigs = minhash_signatures(sf_dir, seed)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
+        a_l: list[int] = []
+        b_l: list[int] = []
+        for _, g in df.groupby(["band", "band_key"], sort=False):
+            ids = sorted(g["doc_id"].unique())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_l.append(ids[i])
+                    b_l.append(ids[j])
+        return pd.DataFrame({"a": pd.array(a_l, dtype="int64"), "b": pd.array(b_l, dtype="int64")})
 
     cand = (
-        sigs.groupby(["band", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        bucketed_group_agg(sigs, ["band", "band_key"], bucket_pairs, n_buckets=64)
         .to_pandas()
         .drop_duplicates()
     )

@@ -41,7 +41,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.extract import RegexExtractor, derive_seller
+from ..stages.extract import FlatRegexExtractor, RegexExtractor, derive_seller
 from ..stages.linker import EntityLinker, build_product_index
 from ..stages.ner_scorer import NerScorer
 from ..stages.normalize import make_normalizer
@@ -96,10 +96,55 @@ def link_mentions(
     )
 
 
+def flatten_mentions(batch: pa.Table) -> pa.Table:
+    """One slim row per mention: (conv_id, turn_idx, seller, ord, etype, norm).
+
+    Flattening BEFORE the conversation shuffle is the key payload
+    optimization: turns with no mentions never enter the shuffle at all, and
+    the rows that do carry six short columns instead of the full
+    list<struct> mention payload + text columns. ``ord`` preserves the
+    within-turn mention order (by char start) so the per-conversation scan
+    is deterministic."""
+    convs: list[str] = []
+    tidxs: list[int] = []
+    sellers: list[str] = []
+    ords: list[int] = []
+    etypes: list[str] = []
+    norms: list[str] = []
+    for conv_id, turn_idx, seller, mentions in zip(
+        batch.column("conv_id").to_pylist(),
+        batch.column("turn_idx").to_pylist(),
+        batch.column("seller").to_pylist(),
+        batch.column("mentions").to_pylist(),
+    ):
+        if not mentions:
+            continue
+        for i, m in enumerate(mentions):
+            if not m["norm"]:
+                continue
+            convs.append(conv_id)
+            tidxs.append(turn_idx)
+            sellers.append(seller)
+            ords.append(i)
+            etypes.append(m["etype"])
+            norms.append(m["norm"])
+    return pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(tidxs, pa.int32()),
+            "seller": pa.array(sellers, pa.string()),
+            "ord": pa.array(ords, pa.int32()),
+            "etype": pa.array(etypes, pa.string()),
+            "norm": pa.array(norms, pa.string()),
+        }
+    )
+
+
 def _emit_triples_bucket(df: pd.DataFrame, extractor_name: str) -> pd.DataFrame:
-    """One conv-hash bucket: stable-sort by (conv_id, turn_idx), scan each
-    conversation in order, emit triples. Pure + deterministic."""
-    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    """One conv-hash bucket of FLAT mention rows: stable-sort by
+    (conv_id, turn_idx, ord), scan each conversation in order carrying the
+    last seen product. Pure + deterministic."""
+    df = df.sort_values(["conv_id", "turn_idx", "ord"], kind="mergesort")
     subj_l: list[str] = []
     pred_l: list[str] = []
     obj_l: list[str] = []
@@ -108,37 +153,32 @@ def _emit_triples_bucket(df: pd.DataFrame, extractor_name: str) -> pd.DataFrame:
 
     last_conv = None
     last_product = None
-    for conv_id, turn_idx, seller, mentions in zip(
+    for conv_id, turn_idx, seller, et, norm in zip(
         df["conv_id"].to_numpy(),
         df["turn_idx"].to_numpy(),
         df["seller"].to_numpy(),
-        df["mentions"].to_numpy(),
+        df["etype"].to_numpy(),
+        df["norm"].to_numpy(),
     ):
         if conv_id != last_conv:
             last_conv = conv_id
             last_product = None
-        if mentions is None:
+        if et == "PRODUCT":
+            last_product = norm
+            subj, pred = seller, "sells"
+        elif et == "PRICE":
+            subj, pred = (last_product or seller), "priced_at"
+        elif et == "LOC":
+            subj, pred = (last_product or seller), "located_in"
+        elif et == "PHONE":
+            subj, pred = seller, "reachable_at"
+        else:
             continue
-        for m in mentions:
-            et, norm = m["etype"], m["norm"]
-            if not norm:
-                continue
-            if et == "PRODUCT":
-                last_product = norm
-                subj, pred = seller, "sells"
-            elif et == "PRICE":
-                subj, pred = (last_product or seller), "priced_at"
-            elif et == "LOC":
-                subj, pred = (last_product or seller), "located_in"
-            elif et == "PHONE":
-                subj, pred = seller, "reachable_at"
-            else:
-                continue
-            subj_l.append(subj)
-            pred_l.append(pred)
-            obj_l.append(norm)
-            conv_l.append(conv_id)
-            tidx_l.append(int(turn_idx))
+        subj_l.append(subj)
+        pred_l.append(pred)
+        obj_l.append(norm)
+        conv_l.append(conv_id)
+        tidx_l.append(int(turn_idx))
 
     return pd.DataFrame(
         {
@@ -193,12 +233,86 @@ def triples_from_mentions(
     mentions_ds: "ray.data.Dataset",
     n_buckets: int = 64,
     extractor_name: str = "regex",
+    shuffle_blocks: int = 64,
+    exclude_spo_buckets: frozenset | None = None,
 ) -> "ray.data.Dataset":
-    """mentions → deduplicated triples (flat provenance cols + spo bucket)."""
+    """mentions (list<struct> form) → deduplicated triples. Flattens then
+    delegates to ``triples_from_flat``."""
     ds = mentions_ds.select_columns(["conv_id", "turn_idx", "seller", "mentions"])
+    ds = ds.map_batches(flatten_mentions, batch_format="pyarrow")
+    return triples_from_flat(
+        ds,
+        n_buckets=n_buckets,
+        extractor_name=extractor_name,
+        shuffle_blocks=shuffle_blocks,
+        exclude_spo_buckets=exclude_spo_buckets,
+    )
+
+
+def build_flat(
+    ds: "ray.data.Dataset",
+    normalizer: int = 1,
+    concurrency=(1, 8),
+    batch_size: int = 2048,
+) -> "ray.data.Dataset":
+    """transcripts → flat mention rows in one fused stage chain
+    (normalize → seller → flat extraction), never building the struct
+    mentions column. All stateless tasks (state is process-cached), so the
+    whole chain fuses into one elastic task per block — the fast path for
+    triple production."""
+    from ..stages.extract import flat_extract_batch
+
+    ds = ds.map_batches(make_normalizer(normalizer), batch_format="pyarrow")
+    ds = ds.map_batches(derive_seller, batch_format="pyarrow")
+    return ds.map_batches(flat_extract_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def link_flat(
+    flat_ds: "ray.data.Dataset",
+    concurrency=(1, 8),
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Entity linking over flat mention rows: one vectorized index-build
+    pass (driver-side union of per-batch distinct product norms), broadcast
+    via ray.put, then a dict-lookup linking pass as stateless tasks with a
+    worker-level index cache (one ray.get per worker process — no actor
+    pool to spin up). Call on a materialized or Parquet-backed flat dataset
+    so extraction isn't recomputed."""
+    from ..stages.linker import build_product_index_flat, flat_link_batch
+
+    names = build_product_index_flat(flat_ds)
+    index_ref = ray.put(pa.array(names, pa.string()))  # zero-copy broadcast
+    return flat_ds.map_batches(
+        flat_link_batch,
+        fn_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def triples_from_flat(
+    flat_ds: "ray.data.Dataset",
+    n_buckets: int = 64,
+    extractor_name: str = "regex",
+    shuffle_blocks: int | None = None,
+    exclude_spo_buckets: frozenset | None = None,
+) -> "ray.data.Dataset":
+    """flat mention rows → deduplicated triples (flat provenance cols).
+
+    ``shuffle_blocks``: optional coalescing repartition before each shuffle
+    — Ray's sort creates an N_in × N_out task/object matrix, so use this
+    only when the upstream emits hundreds of tiny blocks (each repartition
+    is itself an AllToAll with fixed driver overhead).
+    ``exclude_spo_buckets`` drops already-checkpointed output buckets
+    before the dedup shuffle (resume path)."""
+    ds = flat_ds
+    if "entity_id" in ds.schema().names:
+        ds = ds.drop_columns(["entity_id"])
     ds = ds.map_batches(
         add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
     )
+    if shuffle_blocks:
+        ds = ds.repartition(shuffle_blocks)
     ds = ds.groupby("cbucket").map_groups(
         _emit_triples_bucket,
         fn_kwargs={"extractor_name": extractor_name},
@@ -208,6 +322,19 @@ def triples_from_mentions(
     ds = ds.map_batches(
         add_spo_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
     )
+    if exclude_spo_buckets:
+
+        def _drop_done(batch: pa.Table, done=frozenset(exclude_spo_buckets)) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(
+                pc.is_in(batch.column("bucket"), pa.array(sorted(done), pa.int32()))
+            )
+            return batch.filter(mask)
+
+        ds = ds.map_batches(_drop_done, batch_format="pyarrow")
+    if shuffle_blocks:
+        ds = ds.repartition(shuffle_blocks)
     ds = ds.groupby("bucket").map_groups(_bucket_dedup, batch_format="pandas")
     return ds
 
@@ -311,29 +438,19 @@ def run_kg_pipeline(
         ds = mentions_ds
         if "bucket" in ds.schema().names:  # hive partition col, if inferred
             ds = ds.drop_columns(["bucket"])
+        flat = ds.select_columns(["conv_id", "turn_idx", "seller", "mentions"]).map_batches(
+            flatten_mentions, batch_format="pyarrow"
+        )
         if link:
-            ds = link_mentions(ds, concurrency=concurrency)
-        ds = ds.select_columns(["conv_id", "turn_idx", "seller", "mentions"])
-        ds = ds.map_batches(
-            add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+            # flat rows come from checkpointed Parquet, so the two linking
+            # passes re-read Parquet instead of pinning anything in memory
+            flat = link_flat(flat, concurrency=concurrency)
+        ds = triples_from_flat(
+            flat,
+            n_buckets=n_buckets,
+            extractor_name=extractor,
+            exclude_spo_buckets=frozenset(done2) if done2 else None,
         )
-        ds = ds.groupby("cbucket").map_groups(
-            _emit_triples_bucket, fn_kwargs={"extractor_name": extractor}, batch_format="pandas"
-        )
-        ds = ds.map_batches(_partial_dedup, batch_format="pandas")
-        ds = ds.map_batches(
-            add_spo_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
-        )
-        if done2:
-
-            def _drop_done2(batch: pa.Table, done=frozenset(done2)) -> pa.Table:
-                import pyarrow.compute as pc
-
-                mask = pc.invert(pc.is_in(batch.column("bucket"), pa.array(list(done), pa.int32())))
-                return batch.filter(mask)
-
-            ds = ds.map_batches(_drop_done2, batch_format="pyarrow")
-        ds = ds.groupby("bucket").map_groups(_bucket_dedup, batch_format="pandas")
         ds = ds.map_batches(add_provenance, batch_format="pyarrow")
         ds.write_parquet(triples_dir, partition_cols=["bucket"])
         new_manifests = {}
@@ -371,12 +488,26 @@ def kg_triples(
     concurrency=(1, 8),
     with_provenance_struct: bool = True,
 ) -> "ray.data.Dataset":
-    """In-memory flagship path (no checkpointing): transcripts → triples."""
-    mentions = build_mentions(ds, normalizer=normalizer, extractor=extractor, concurrency=concurrency)
+    """In-memory flagship path (no checkpointing): transcripts → triples.
+
+    Linking needs two passes (index build, then lookup), so the FLAT mention
+    rows — not the full struct mentions — are what gets materialized: a few
+    short columns for mention-bearing turns only. The checkpointed runner
+    (run_kg_pipeline) replaces even that with Parquet-backed mentions.
+
+    With extractor="regex", extraction is fused with flattening
+    (FlatRegexExtractor) — the list<struct> mentions column is never built."""
+    if extractor == "regex":
+        flat = build_flat(ds, normalizer=normalizer, concurrency=concurrency)
+    else:
+        mentions = build_mentions(ds, normalizer=normalizer, extractor=extractor, concurrency=concurrency)
+        flat = mentions.select_columns(["conv_id", "turn_idx", "seller", "mentions"]).map_batches(
+            flatten_mentions, batch_format="pyarrow"
+        )
     if link:
-        mentions = mentions.materialize()  # reused by index build + linking
-        mentions = link_mentions(mentions, concurrency=concurrency)
-    triples = triples_from_mentions(mentions, n_buckets=n_buckets, extractor_name=extractor)
+        flat = flat.materialize()  # reused by index build + linking
+        flat = link_flat(flat, concurrency=concurrency)
+    triples = triples_from_flat(flat, n_buckets=n_buckets, extractor_name=extractor)
     if with_provenance_struct:
         triples = triples.map_batches(add_provenance, batch_format="pyarrow")
     return triples

@@ -2,8 +2,9 @@
 
 Each query demonstrates one scale pattern the engine relies on:
 
-  q01  two-phase grouped aggregation (partial combine inside map_batches,
-       tiny final groupby — the pre-aggregation rule for wide groupbys)
+  q01  two-phase grouped aggregation: per-batch pandas partials →
+       bucketed_group_agg (the engine-wide wide-aggregation shape; see
+       common.py for why GroupedData.aggregate is avoided)
   q02  vectorized filter + projection pruned at the read
   q03  broadcast hash join (dimension table via ray.put, no shuffle)
   q04  two-level broadcast join (snowflake rollup)
@@ -25,9 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
 
-from .common import make_rounder, read_small, read_table
+from .common import bucketed_group_agg, read_small, read_table, round_away
 
 
 def q01_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
@@ -37,31 +37,32 @@ def q01_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
         "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
+    keys = ["l_returnflag", "l_linestatus"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        return df.groupby(keys, as_index=False).agg(
             p_qty=("l_quantity", "sum"),
             p_base=("l_extendedprice", "sum"),
             p_disc=("disc_price", "sum"),
             p_cnt=("l_quantity", "size"),
         )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False).agg(
+            sum_qty=("p_qty", "sum"),
+            sum_base_price=("p_base", "sum"),
+            sum_disc_price=("p_disc", "sum"),
+            count_order=("p_cnt", "sum"),
+        )
+        g["avg_qty"] = round_away(g["sum_qty"] / g["count_order"], 4)
+        g["avg_price"] = round_away(g["sum_base_price"] / g["count_order"], 4)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            g[c] = round_away(g[c], 4)
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("p_qty", alias_name="sum_qty"),
-        Sum("p_base", alias_name="sum_base_price"),
-        Sum("p_disc", alias_name="sum_disc_price"),
-        Sum("p_cnt", alias_name="count_order"),
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        t = t.append_column("avg_qty", pc.divide(t.column("sum_qty"), pc.cast(t.column("count_order"), pa.float64())))
-        t = t.append_column("avg_price", pc.divide(t.column("sum_base_price"), pc.cast(t.column("count_order"), pa.float64())))
-        return make_rounder(["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"])(t)
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return bucketed_group_agg(partials, keys, final, n_buckets=8)
 
 
 def q02_filter_orders(sf_dir: str) -> "ray.data.Dataset":
@@ -112,10 +113,15 @@ def q03_segment_revenue(sf_dir: str) -> "ray.data.Dataset":
             p_n=("o_totalprice", "size"), p_sum=("o_totalprice", "sum")
         )
 
-    agg = joined.map_batches(partial, batch_format="pandas").groupby("c_mktsegment").aggregate(
-        Sum("p_n", alias_name="n_orders"), Sum("p_sum", alias_name="total_price")
-    )
-    return agg.map_batches(make_rounder(["total_price"]), batch_format="pyarrow")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("p_n", "sum"), total_price=("p_sum", "sum")
+        )
+        g["total_price"] = round_away(g["total_price"], 4)
+        return g
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return bucketed_group_agg(partials, ["c_mktsegment"], final, n_buckets=4)
 
 
 class _NationRegionJoiner:
@@ -143,10 +149,21 @@ def q04_region_rollup(sf_dir: str) -> "ray.data.Dataset":
     joined = ds.map_batches(
         _NationRegionJoiner, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
     )
-    agg = joined.groupby("r_name").aggregate(
-        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal")
-    )
-    return agg.map_batches(make_rounder(["total_acctbal"]), batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("r_name", as_index=False).agg(
+            p_n=("c_acctbal", "size"), p_sum=("c_acctbal", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("r_name", as_index=False).agg(
+            n_customers=("p_n", "sum"), total_acctbal=("p_sum", "sum")
+        )
+        g["total_acctbal"] = round_away(g["total_acctbal"], 4)
+        return g
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return bucketed_group_agg(partials, ["r_name"], final, n_buckets=4)
 
 
 def q05_topk_parts(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -187,21 +204,29 @@ def q06_events_daily(sf_dir: str) -> "ray.data.Dataset":
             preserve_index=False,
         )
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(["y", "m", "d"]).aggregate(
-        Sum("p_n", alias_name="n_events"), Sum("p_sum", alias_name="sum_value")
-    )
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["y", "m", "d"], as_index=False).agg(
+            n_events=("p_n", "sum"), sum_value=("p_sum", "sum")
+        )
+        g["avg_value"] = round_away(g["sum_value"] / g["n_events"], 4)
+        g["sum_value"] = round_away(g["sum_value"], 4)
+        return g
 
-    def finalize(t: pa.Table) -> pa.Table:
-        avg = pc.divide(t.column("sum_value"), pc.cast(t.column("n_events"), pa.float64()))
-        t = t.append_column("avg_value", avg)
-        return make_rounder(["sum_value", "avg_value"])(t)
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(partials, ["y", "m", "d"], final, n_buckets=8)
 
 
 def q19_event_type_counts(sf_dir: str) -> "ray.data.Dataset":
     ds = read_table(sf_dir, "events", columns=["event_type"])
-    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(p_n=("event_type", "size"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(n=("p_n", "sum"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_agg(partials, ["event_type"], final, n_buckets=4)
 
 
 def q20_supplier_nation(sf_dir: str) -> "ray.data.Dataset":
@@ -220,7 +245,18 @@ def q20_supplier_nation(sf_dir: str) -> "ray.data.Dataset":
 
     ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
     joined = ds.map_batches(Joiner, batch_format="pyarrow", concurrency=1)
-    agg = joined.groupby("n_name").aggregate(
-        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal")
-    )
-    return agg.map_batches(make_rounder(["total_acctbal"]), batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_name", as_index=False).agg(
+            p_n=("s_acctbal", "size"), p_sum=("s_acctbal", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False).agg(
+            n_suppliers=("p_n", "sum"), total_acctbal=("p_sum", "sum")
+        )
+        g["total_acctbal"] = round_away(g["total_acctbal"], 4)
+        return g
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return bucketed_group_agg(partials, ["n_name"], final, n_buckets=4)

@@ -13,72 +13,65 @@ All reference formulas preserved: 0-views→NULL before engagement stats
 {views 5000, freq 5, price 10000, variety 50} and weights
 {.4, .3, .2, .1} capped at 100 (metrics_calculator.py:100-116,
 config/config.py:14-19).
+
+Every aggregation here is two-phase + bucketed (common.bucketed_group_agg):
+per-batch pandas partials bound a hot vendor's shuffle volume by the number
+of batches — the Zipf-hot-seller mitigation — and the final combine is one
+vectorized pandas groupby per hash bucket.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
-from .common import make_rounder, read_table, round_away
+from .common import bucketed_group_agg, read_table, round_away
 
 LENDING_WEIGHTS = {"avg_views": 0.4, "posting_frequency": 0.3, "avg_price": 0.2, "product_variety": 0.1}
 LENDING_CAPS = {"avg_views": 5000.0, "posting_frequency": 5.0, "avg_price": 10000.0, "product_variety": 50.0}
 
 
-def _finalize_engagement(t: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
-
-    n = pc.cast(t.column("nz_n"), pa.float64())
-    avg = pc.divide(t.column("nz_sum"), n)
-    # sample std from (sum, sumsq, n); n==1 → 0 (oracle COALESCEs the NULL)
-    var = pc.divide(
-        pc.subtract(t.column("nz_sumsq"), pc.multiply(avg, t.column("nz_sum"))),
-        pc.subtract(n, pa.scalar(1.0)),
-    )
-    std = pc.if_else(pc.greater(n, 1.0), pc.sqrt(pc.max_element_wise(var, pa.scalar(0.0))), pa.scalar(0.0))
-    t = t.append_column("avg_views", avg)
-    t = t.append_column("view_consistency", std)
-    t = t.select(["user_id", "n_events", "avg_views", "max_views", "min_views", "view_consistency"])
-    return make_rounder(["avg_views", "view_consistency"])(t)
-
-
 def q07_user_engagement(sf_dir: str) -> "ray.data.Dataset":
-    """A2 engagement metrics per user: 0→NULL, then avg/max/min/sample-std.
-    Two-phase: per-batch (sum, sumsq, count, min, max) partials, tiny final
-    groupby — no raw-row shuffle, robust to hot users (the salt-free
-    alternative to salting: partials bound each key's shuffle rows by
-    #batches, not #events)."""
+    """A2 engagement metrics per user: 0→NULL, then avg/max/min/sample-std
+    (std merged from (sum, sumsq, n) partials)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["nz"] = df["value"].replace(0, np.nan)
+        df["nz2"] = df["nz"] * df["nz"]
         g = df.groupby("user_id")
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "p_n": g["value"].size(),
                 "p_nzn": g["nz"].count(),
                 "p_sum": g["nz"].sum(),
-                "p_sumsq": g["nz"].apply(lambda s: float(np.nansum(np.square(s)))),
+                "p_sumsq": g["nz2"].sum(),
                 "p_min": g["nz"].min(),
                 "p_max": g["nz"].max(),
             }
         ).reset_index()
-        return out
 
-    agg = ds.map_batches(partial, batch_format="pandas", batch_size=65536).groupby("user_id").aggregate(
-        Sum("p_n", alias_name="n_events"),
-        Sum("p_nzn", alias_name="nz_n"),
-        Sum("p_sum", alias_name="nz_sum"),
-        Sum("p_sumsq", alias_name="nz_sumsq"),
-        Min("p_min", alias_name="min_views"),
-        Max("p_max", alias_name="max_views"),
-    )
-    return agg.map_batches(_finalize_engagement, batch_format="pyarrow")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("p_n", "sum"),
+            nz_n=("p_nzn", "sum"),
+            nz_sum=("p_sum", "sum"),
+            nz_sumsq=("p_sumsq", "sum"),
+            min_views=("p_min", "min"),
+            max_views=("p_max", "max"),
+        )
+        n = g["nz_n"].to_numpy(dtype="float64")
+        avg = g["nz_sum"].to_numpy() / n
+        var = (g["nz_sumsq"].to_numpy() - avg * g["nz_sum"].to_numpy()) / (n - 1)
+        std = np.where(n > 1, np.sqrt(np.maximum(var, 0.0)), 0.0)
+        g["avg_views"] = round_away(avg, 4)
+        g["view_consistency"] = round_away(std, 4)
+        return g[["user_id", "n_events", "avg_views", "max_views", "min_views", "view_consistency"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
 
 
 def q08_user_activity(sf_dir: str) -> "ray.data.Dataset":
@@ -87,100 +80,96 @@ def q08_user_activity(sf_dir: str) -> "ray.data.Dataset":
 
     def weekly_partial(df: pd.DataFrame) -> pd.DataFrame:
         iso = df["ts"].dt.isocalendar()
-        df = pd.DataFrame({"user_id": df["user_id"], "y": iso["year"].astype("int64"), "w": iso["week"].astype("int64")})
+        df = pd.DataFrame(
+            {"user_id": df["user_id"], "y": iso["year"].astype("int64"), "w": iso["week"].astype("int64")}
+        )
         return df.groupby(["user_id", "y", "w"], as_index=False).agg(p_c=("w", "size"))
 
-    weekly = (
-        ds.map_batches(weekly_partial, batch_format="pandas", batch_size=65536)
-        .groupby(["user_id", "y", "w"])
-        .aggregate(Sum("p_c", alias_name="c"))
+    def weekly_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "y", "w"], as_index=False).agg(c=("p_c", "sum"))
+
+    weekly = bucketed_group_agg(
+        ds.map_batches(weekly_partial, batch_format="pandas", batch_size=65536),
+        ["user_id", "y", "w"],
+        weekly_final,
+        n_buckets=32,
     )
 
-    def user_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("user_id")
-        return pd.DataFrame(
+    def user_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["c"]
+        out = pd.DataFrame(
             {
-                "p_total": g["c"].sum(),
-                "p_weeks": g["c"].size(),
-                "p_sum": g["c"].sum(),
-                "p_sumsq": g["c"].apply(lambda s: float(np.sum(np.square(s, dtype="float64")))),
+                "total_posts": g.sum().astype("int64"),
+                "active_weeks": g.size().astype("int64"),
+                "posting_frequency": round_away(g.mean().to_numpy(), 4),
+                "posting_consistency": round_away(g.std(ddof=1).fillna(0.0).to_numpy(), 4),
             }
         ).reset_index()
+        return out
 
-    agg = weekly.map_batches(user_partial, batch_format="pandas").groupby("user_id").aggregate(
-        Sum("p_total", alias_name="total_posts"),
-        Sum("p_weeks", alias_name="active_weeks"),
-        Sum("p_sum", alias_name="w_sum"),
-        Sum("p_sumsq", alias_name="w_sumsq"),
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = pc.cast(t.column("active_weeks"), pa.float64())
-        mean = pc.divide(pc.cast(t.column("w_sum"), pa.float64()), n)
-        var = pc.divide(
-            pc.subtract(pc.cast(t.column("w_sumsq"), pa.float64()), pc.multiply(mean, pc.cast(t.column("w_sum"), pa.float64()))),
-            pc.subtract(n, pa.scalar(1.0)),
-        )
-        std = pc.if_else(pc.greater(n, 1.0), pc.sqrt(pc.max_element_wise(var, pa.scalar(0.0))), pa.scalar(0.0))
-        t = t.append_column("posting_frequency", mean)
-        t = t.append_column("posting_consistency", std)
-        t = t.select(["user_id", "total_posts", "active_weeks", "posting_frequency", "posting_consistency"])
-        return make_rounder(["posting_frequency", "posting_consistency"])(t)
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return bucketed_group_agg(weekly, ["user_id"], user_final, n_buckets=32)
 
 
 def q09_user_value_stats(sf_dir: str) -> "ray.data.Dataset":
-    """A2's exact-median + argmax-post: per-group sort inside map_groups
-    (exact median is inherently per-group; users are bucketed by Ray's
-    hash shuffle). Deterministic argmax: min event_id among max-value rows."""
+    """A2's exact-median + argmax-post. Exact median is inherently per-key,
+    so raw rows shuffle — but per hash bucket, with a vectorized pandas
+    combine per bucket. Deterministic argmax: min event_id among max rows."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        mx = df["value"].max()
-        return pd.DataFrame(
-            {
-                "user_id": [df["user_id"].iloc[0]],
-                "median_value": [round_away(float(df["value"].median()), 4)],
-                "top_event_id": [int(df.loc[df["value"] == mx, "event_id"].min())],
-            }
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        gm = df.groupby("user_id")["value"].agg(["median", "max"]).reset_index()
+        m = df.merge(gm[["user_id", "max"]], on="user_id")
+        top = (
+            m[m["value"] == m["max"]]
+            .groupby("user_id", as_index=False)["event_id"]
+            .min()
+            .rename(columns={"event_id": "top_event_id"})
         )
+        out = gm.merge(top, on="user_id")
+        out["median_value"] = round_away(out["median"].to_numpy(), 4)
+        return out[["user_id", "median_value", "top_event_id"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=32)
 
 
 def q10_lending_score(sf_dir: str) -> "ray.data.Dataset":
     """A5 weighted lending score over events (value≈views, purchase value≈
     price, distinct event types≈product variety). Formula and caps exactly
-    as metrics_calculator.py:100-116."""
+    as metrics_calculator.py:100-116; fully vectorized per bucket."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value", "ts"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        views = df["value"].replace(0, np.nan)
-        avg_views = float(views.mean()) if views.count() else 0.0
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["nz"] = df["value"].replace(0, np.nan)
         iso = df["ts"].dt.isocalendar()
-        weekly = df.groupby([iso["year"], iso["week"]]).size()
-        freq = float(weekly.mean())
-        purchases = df.loc[df["event_type"] == "purchase", "value"]
-        avg_price = float(purchases.mean()) if len(purchases) else 0.0
-        variety = float(df["event_type"].nunique())
+        df["_y"], df["_w"] = iso["year"].to_numpy(), iso["week"].to_numpy()
+
+        avg_views = df.groupby("user_id")["nz"].mean()
+        weekly = df.groupby(["user_id", "_y", "_w"]).size().rename("c").reset_index()
+        freq = weekly.groupby("user_id")["c"].mean()
+        avg_price = df[df["event_type"] == "purchase"].groupby("user_id")["value"].mean()
+        variety = df.groupby("user_id")["event_type"].nunique()
+
+        users = avg_views.index
+        av = avg_views.fillna(0.0).to_numpy()
+        fr = freq.reindex(users).fillna(0.0).to_numpy()
+        ap = avg_price.reindex(users).fillna(0.0).to_numpy()
+        va = variety.reindex(users).fillna(0).to_numpy(dtype="float64")
 
         def norm(v, cap):
-            return min(1.0, max(0.0, v / cap))
+            return np.minimum(1.0, np.maximum(0.0, v / cap))
 
         score = (
-            LENDING_WEIGHTS["avg_views"] * norm(avg_views, LENDING_CAPS["avg_views"])
-            + LENDING_WEIGHTS["posting_frequency"] * norm(freq, LENDING_CAPS["posting_frequency"])
-            + LENDING_WEIGHTS["avg_price"] * norm(avg_price, LENDING_CAPS["avg_price"])
-            + LENDING_WEIGHTS["product_variety"] * norm(variety, LENDING_CAPS["product_variety"])
+            LENDING_WEIGHTS["avg_views"] * norm(av, LENDING_CAPS["avg_views"])
+            + LENDING_WEIGHTS["posting_frequency"] * norm(fr, LENDING_CAPS["posting_frequency"])
+            + LENDING_WEIGHTS["avg_price"] * norm(ap, LENDING_CAPS["avg_price"])
+            + LENDING_WEIGHTS["product_variety"] * norm(va, LENDING_CAPS["product_variety"])
         )
         return pd.DataFrame(
-            {"user_id": [df["user_id"].iloc[0]], "lending_score": [round_away(min(100.0, score * 100.0), 4)]}
+            {"user_id": users, "lending_score": round_away(np.minimum(100.0, score * 100.0), 4)}
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=32)
 
 
 # --- transcripts branch (the reference's actual vendor analytics) ----------
@@ -189,17 +178,17 @@ def q10_lending_score(sf_dir: str) -> "ray.data.Dataset":
 def seller_scorecards(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-seller scorecard over the KG mentions dataset (rows-only check).
 
-    Hot-seller skew (Zipf channels) is handled the two-phase way: per-batch
-    partial aggregates bound each seller's shuffle volume by the number of
-    batches, so a seller with 40% of all turns still ships only one partial
-    row per batch."""
+    Hot-seller skew (Zipf channels): per-batch partials bound each seller's
+    shuffle volume by the number of batches; distinct-product sets merge as
+    sorted lists in the final bucket combine."""
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for seller, g in df.groupby("seller"):
             n_products = 0
             n_prices = 0
             price_sum = 0.0
-            products = set()
+            products: set = set()
             for ml in g["mentions"]:
                 if ml is None:
                     continue
@@ -227,20 +216,23 @@ def seller_scorecards(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     partials = mentions_ds.map_batches(partial, batch_format="pandas")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        products: set = set()
-        for s in df["p_product_set"]:
-            products.update(s)
-        n_prices = int(df["p_prices"].sum())
-        return pd.DataFrame(
-            {
-                "seller": [df["seller"].iloc[0]],
-                "total_turns": [int(df["p_turns"].sum())],
-                "total_products": [int(df["p_products"].sum())],
-                "product_variety": [len(products)],
-                "avg_price": [round_away(float(df["p_price_sum"].sum()) / n_prices, 4) if n_prices else 0.0],
-                "first_ts": [df["p_first_ts"].min()],
-                "last_ts": [df["p_last_ts"].max()],
-            }
-        )
+        rows = []
+        for seller, g in df.groupby("seller"):
+            products: set = set()
+            for s in g["p_product_set"]:
+                products.update(s)
+            n_prices = int(g["p_prices"].sum())
+            rows.append(
+                {
+                    "seller": seller,
+                    "total_turns": int(g["p_turns"].sum()),
+                    "total_products": int(g["p_products"].sum()),
+                    "product_variety": len(products),
+                    "avg_price": round_away(float(g["p_price_sum"].sum()) / n_prices, 4) if n_prices else 0.0,
+                    "first_ts": g["p_first_ts"].min(),
+                    "last_ts": g["p_last_ts"].max(),
+                }
+            )
+        return pd.DataFrame(rows)
 
-    return partials.groupby("seller").map_groups(final, batch_format="pandas")
+    return bucketed_group_agg(partials, ["seller"], final, n_buckets=32)

@@ -68,6 +68,7 @@ def generate_transcripts(
     seed: int = 42,
     n_sellers: int = 200,
     corrupt_ts: bool = False,
+    conv_base: int = 0,
 ) -> pa.Table:
     """Generate ~n_turns transcript rows (whole conversations; row count may
     exceed n_turns by at most one conversation). Deterministic in all args."""
@@ -86,7 +87,7 @@ def generate_transcripts(
     base_us = 1_700_000_000 * 1_000_000  # fixed epoch, timestamp[us]
     roles_cycle = ("seller", "buyer", "agent")
 
-    conv_no = 0
+    conv_no = conv_base  # chunked parallel generation offsets conv ids
     total = 0
     while total < n_turns:
         seller = int((rng.zipf(1.3) - 1) % n_sellers)
@@ -196,6 +197,52 @@ def ensure_transcripts(
         if chunk.num_rows == 0:
             break
         pq.write_table(chunk, out_dir / f"part-{i:05d}.parquet")
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(params)
+    os.replace(tmp, marker)
+    return str(out_dir)
+
+
+def ensure_transcripts_parallel(
+    out_dir: str | Path,
+    n_turns: int,
+    seed: int = 42,
+    n_sellers: int = 200,
+    n_chunks: int = 32,
+) -> str:
+    """Large-corpus generation as Ray tasks: each chunk is an independent
+    deterministic generator run (seed derived per chunk, conv ids offset per
+    chunk so they never collide). Output differs from the sequential
+    generator for the same n_turns — it is its own deterministic fixture,
+    keyed by (n_turns, seed, n_chunks). Requires an initialized Ray session."""
+    import ray
+
+    out_dir = Path(out_dir)
+    marker = out_dir / "_GENERATED.json"
+    params = f"parallel n_turns={n_turns} seed={seed} n_sellers={n_sellers} chunks={n_chunks}"
+    if marker.exists() and marker.read_text() == params:
+        return str(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for old in out_dir.glob("*.parquet"):
+        old.unlink()
+
+    per_chunk = -(-n_turns // n_chunks)
+    # conversations average ~8 turns; 4x headroom on the id range per chunk
+    conv_span = max(1000, per_chunk // 2)
+
+    @ray.remote
+    def gen_chunk(c: int) -> str:
+        table = generate_transcripts(
+            per_chunk,
+            seed=seed * 1_000_003 + c,
+            n_sellers=n_sellers,
+            conv_base=c * conv_span,
+        )
+        path = out_dir / f"part-{c:05d}.parquet"
+        pq.write_table(table, path)
+        return str(path)
+
+    ray.get([gen_chunk.remote(c) for c in range(n_chunks)])
     tmp = marker.with_suffix(".tmp")
     tmp.write_text(params)
     os.replace(tmp, marker)

@@ -1,0 +1,101 @@
+"""Driver-mirror conformance: every SQL-checked queries() entry must match
+its oracle_sql() DuckDB result at sf0.001 (column names, row count, values —
+order-insensitive). This is the same comparison the grading driver runs at
+sf0.01."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("int32", "uint32", "uint64", "UInt32", "Int64"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+SQL_CHECKED = [
+    "q01_pricing_summary",
+    "q02_filter_orders",
+    "q03_segment_revenue",
+    "q04_region_rollup",
+    "q05_topk_parts",
+    "q06_events_daily",
+    "q07_user_engagement",
+    "q08_user_activity",
+    "q09_user_value_stats",
+    "q10_lending_score",
+    "q11_dedup_exact",
+    "q12_token_count",
+    "q13_quality_score",
+    "q14_lang_id",
+    "q15_doc_fingerprint",
+    "q16_knn_cosine",
+    "q17_asof_last_signup",
+    "q18_hourly_windows",
+    "q19_event_type_counts",
+    "q20_supplier_nation",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, entrymod, con):
+    got = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-9)
+
+
+def test_every_query_has_oracle_or_is_flagged(entrymod):
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert set(SQL_CHECKED) == set(sqls)
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    n = ds.count()
+    assert n > 0
+    names = set(ds.schema().names)
+    assert {"subj", "pred", "obj", "conv_id", "turn_idx", "provenance"} <= names
