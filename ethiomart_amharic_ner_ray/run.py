@@ -1,0 +1,63 @@
+"""CLI entrypoint — the ``ray job submit`` body for cluster runs.
+
+    python -m ethiomart_amharic_ner_ray.run \
+        --input /data/transcripts --out /data/kg_out \
+        --buckets 4096 --normalizer 1 --extractor regex
+
+On a real cluster this is submitted via ``ray job submit --working-dir .``
+with ``address`` pointing at the cluster; in this sandbox it starts a local
+session. Resume is the default: finished buckets (per-bucket manifests)
+are skipped, partial buckets are cleaned and rebuilt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Run the KG construction pipeline")
+    p.add_argument("--input", required=True, help="transcripts Parquet path/dir")
+    p.add_argument("--out", required=True, help="output dir (mentions/, triples/)")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--normalizer", type=int, default=1, choices=(1, 2))
+    p.add_argument("--extractor", default="regex", choices=("regex", "ner"))
+    p.add_argument("--no-link", action="store_true")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.kg import run_kg_pipeline
+
+    stats = run_kg_pipeline(
+        args.input,
+        args.out,
+        n_buckets=args.buckets,
+        normalizer=args.normalizer,
+        extractor=args.extractor,
+        link=not args.no_link,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
