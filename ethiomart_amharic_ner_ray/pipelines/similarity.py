@@ -69,6 +69,59 @@ def q16_knn_cosine(sf_dir: str, query_id: int = 0, k: int = 10) -> pd.DataFrame:
     )
 
 
+def q25_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (the embedding analogue of
+    MinHash dedup): all vector pairs with cosine ≥ threshold. The full
+    normalized matrix is broadcast once; each batch computes its block-row
+    of the similarity matrix and keeps only (a < b) pairs over threshold —
+    a blocked self-join, never materializing the full pairwise matrix.
+    SQL-checkable at test scale via DuckDB list_cosine_similarity."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    m = _embedding_matrix(t)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    all_ids = t.column("vec_id").to_numpy()
+    ref = ray.put((all_ids, m / norms))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class BlockPairs:
+        def __init__(self):
+            self._ids, self._mn = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bm = _embedding_matrix(batch)
+            bn = np.linalg.norm(bm, axis=1, keepdims=True)
+            bn[bn == 0] = 1.0
+            cos = (bm / bn) @ self._mn.T  # (batch, all)
+            bids = batch.column("vec_id").to_numpy()
+            rows_a, rows_b, rows_c = [], [], []
+            ii, jj = np.where(cos >= threshold)
+            for i, j in zip(ii, jj):
+                a, b = int(bids[i]), int(self._ids[j])
+                if a < b:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    rows_c.append(float(cos[i, j]))
+            return pa.table(
+                {
+                    "a": pa.array(rows_a, pa.int64()),
+                    "b": pa.array(rows_b, pa.int64()),
+                    "cos_sim": pa.array(np.round(np.array(rows_c), 10), pa.float64()),
+                }
+            )
+
+    out = ds.map_batches(BlockPairs, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)).to_pandas()
+    from .common import round_away
+
+    out["cos_sim"] = round_away(out["cos_sim"].to_numpy(), 4)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def ann_lsh_topk(sf_dir: str, query_id: int = 0, k: int = 10, n_planes: int = 8, seed: int = 42) -> pd.DataFrame:
     """LSH-bucketed approximate top-k: sign-of-projection bucketing on
     ``n_planes`` seeded random hyperplanes; only the query's bucket (and, if

@@ -45,6 +45,33 @@ def q18_hourly_windows(sf_dir: str) -> "ray.data.Dataset":
     return bucketed_group_agg(partials, ["user_id", "window_start"], final, n_buckets=64)
 
 
+def q21_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Session windows (gap-based): a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Vectorized gaps-and-islands
+    scan per user bucket (sort → diff → cumsum); the SQL oracle is the
+    classic lag+running-sum formulation."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = pd.Timedelta(minutes=gap_minutes)
+        prev_ts = df.groupby("user_id")["ts"].shift()
+        new_session = (prev_ts.isna() | ((df["ts"] - prev_ts) > gap)).astype("int64")
+        sid = new_session.groupby(df["user_id"]).cumsum()
+        out = (
+            pd.DataFrame(
+                {"user_id": df["user_id"], "session_id": sid, "ts": df["ts"], "value": df["value"]}
+            )
+            .groupby(["user_id", "session_id"], as_index=False)
+            .agg(session_start=("ts", "min"), n_events=("ts", "size"), sum_value=("value", "sum"))
+        )
+        out["sum_value"] = round_away(out["sum_value"].to_numpy(), 4)
+        out["session_start"] = out["session_start"].astype("datetime64[us]")
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
 def q17_asof_last_signup(sf_dir: str) -> "ray.data.Dataset":
     """As-of join: each event gets the ts of the latest 'signup' event by the
     same user at-or-before it (ties broken by event_id order). Vectorized

@@ -73,6 +73,44 @@ class FlatRegexExtractor:
         )
 
 
+def explode_entities(batch: pa.Table) -> pa.Table:
+    """M4/J1 parity (reference data_cleaner.py:92-98): project the mentions
+    struct into top-level ``prices/phones/products/locations`` list columns
+    plus ``has_*`` flags — the reference's pd.json_normalize explode, done
+    as a same-batch column projection (no shuffle)."""
+    prices, phones, products, locations = [], [], [], []
+    for ml in batch.column("mentions").to_pylist():
+        p, ph, pr, lo = [], [], [], []
+        for m in ml or []:
+            if m["etype"] == "PRICE":
+                p.append(m["norm"])
+            elif m["etype"] == "PHONE":
+                ph.append(m["norm"])
+            elif m["etype"] == "PRODUCT":
+                pr.append(m["norm"])
+            elif m["etype"] == "LOC":
+                lo.append(m["norm"])
+        prices.append(p)
+        phones.append(ph)
+        products.append(pr)
+        locations.append(lo)
+    out = batch
+    for name, vals in (
+        ("prices", prices),
+        ("phones", phones),
+        ("products", products),
+        ("locations", locations),
+    ):
+        out = out.append_column(name, pa.array(vals, pa.list_(pa.string())))
+    for flag, vals in (
+        ("has_price", prices),
+        ("has_phone", phones),
+        ("has_product", products),
+    ):
+        out = out.append_column(flag, pa.array([len(v) > 0 for v in vals], pa.bool_()))
+    return out
+
+
 from functools import lru_cache
 
 

@@ -75,6 +75,11 @@ SQL_CHECKED = [
     "q18_hourly_windows",
     "q19_event_type_counts",
     "q20_supplier_nation",
+    "q21_sessionize",
+    "q22_customers_without_orders",
+    "q23_top_event_per_user_type",
+    "q24_best_worst_day",
+    "q25_embedding_neardup",
 ]
 
 
