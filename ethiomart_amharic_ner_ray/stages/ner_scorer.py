@@ -111,6 +111,9 @@ class NerScorer:
                     continue
             elif etype == "PHONE":
                 norm = canon_phone(surface)
+            elif etype == "PRODUCT":
+                # head-phrase product key, matching functions/extract.py
+                norm = canon_text(" ".join(surface.split()[:4]))
             else:
                 norm = canon_text(surface)
             mentions.append(
