@@ -87,7 +87,7 @@ def main() -> int:
             msgs.append(f"rows {len(got)} != {len(want)}")
         else:
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-9)
+                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
             except AssertionError as e:
                 status = "FAIL"
                 msgs.append(str(e).split("\n")[0])
