@@ -1,0 +1,87 @@
+"""Edge-case robustness: empty datasets, single rows, mention-free corpora."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+from ethiomart_amharic_ner_ray.schemas import TRANSCRIPT_SCHEMA
+
+
+def _ds_from_rows(rows):
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["seller"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    return rd.from_arrow(t)
+
+
+class TestEdgeInputs:
+    def test_single_turn(self, ray_session):
+        ds = _ds_from_rows([("c0001-000000", 0, "ለሽያጭ ጫማ 500 ብር")])
+        out = kg_triples(ds, n_buckets=4, concurrency=1).to_pandas()
+        assert set(out["pred"]) == {"sells", "priced_at"}
+        assert (out["subj"] == "c0001").sum() >= 1
+
+    def test_no_mentions_corpus(self, ray_session):
+        ds = _ds_from_rows(
+            [("c0001-000000", 0, "hello world"), ("c0001-000000", 1, "[no text]")]
+        )
+        out = kg_triples(ds, n_buckets=4, concurrency=1, link=False).to_pandas()
+        assert len(out) == 0
+
+    def test_no_mentions_with_link(self, ray_session):
+        # empty product index: linking must not crash
+        ds = _ds_from_rows([("c0001-000000", 0, "0911234567")])
+        out = kg_triples(ds, n_buckets=4, concurrency=1, link=True).to_pandas()
+        assert list(out["pred"]) == ["reachable_at"]
+
+    def test_price_attaches_to_earlier_turn_product(self, ray_session):
+        """Conversation reassembly is load-bearing: a price with no product
+        in its own turn attaches to the most recent product earlier in the
+        SAME conversation."""
+        ds = _ds_from_rows(
+            [
+                ("c0002-000001", 0, "ለሽያጭ ሶፋ ቀርቧል"),
+                ("c0002-000001", 1, "ዋጋው 700 ብር ነው"),
+                ("c0003-000002", 0, "ዋጋው 900 ብር ነው"),  # no product in conv → seller subj
+            ]
+        )
+        out = kg_triples(ds, n_buckets=4, concurrency=1).to_pandas()
+        priced = out[out["pred"] == "priced_at"].set_index("obj")["subj"].to_dict()
+        assert "ሶፋ" in priced["700 ብር"]
+        assert priced["900 ብር"] == "c0003"
+
+
+class TestEmptyAggregates:
+    def test_bucketed_group_agg_empty(self, ray_session):
+        from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+
+        ds = rd.from_arrow(pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())}))
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("k", as_index=False).agg(n=("v", "size"))
+
+        out = bucketed_group_agg(ds, ["k"], final, n_buckets=4).to_pandas()
+        assert len(out) == 0
+
+    def test_prepare_labeled_empty(self, ray_session):
+        from ethiomart_amharic_ner_ray.pipelines.labeling import prepare_labeled
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "tokens": pa.array([], pa.list_(pa.string())),
+                    "tags": pa.array([], pa.list_(pa.string())),
+                }
+            )
+        )
+        assert prepare_labeled(ds).count() == 0
