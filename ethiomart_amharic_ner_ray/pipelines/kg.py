@@ -388,8 +388,12 @@ def run_kg_pipeline(
         write_bucket_manifests,
     )
 
+    from .. import __version__
+
     stats: dict = {"n_buckets": n_buckets}
-    fingerprint = f"{input_path}|b{n_buckets}|n{normalizer}|x{extractor}|l{link}"
+    # engine version is part of the fingerprint: a code upgrade invalidates
+    # old checkpoints instead of silently mixing semantics across resumes
+    fingerprint = f"v{__version__}|{input_path}|b{n_buckets}|n{normalizer}|x{extractor}|l{link}"
     mentions_dir = _os.path.join(out_dir, "mentions")
     triples_dir = _os.path.join(out_dir, "triples")
 

@@ -63,10 +63,15 @@ def q07_user_engagement(sf_dir: str) -> "ray.data.Dataset":
             max_views=("p_max", "max"),
         )
         n = g["nz_n"].to_numpy(dtype="float64")
-        avg = g["nz_sum"].to_numpy() / n
-        var = (g["nz_sumsq"].to_numpy() - avg * g["nz_sum"].to_numpy()) / (n - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = g["nz_sum"].to_numpy() / n
+            var = (g["nz_sumsq"].to_numpy() - avg * g["nz_sum"].to_numpy()) / (n - 1)
         std = np.where(n > 1, np.sqrt(np.maximum(var, 0.0)), 0.0)
-        g["avg_views"] = round_away(avg, 4)
+        # all-zero-view user: avg over zero non-null rows is NULL (matches
+        # SQL avg of all-NULL), consistency coalesces to 0
+        g["avg_views"] = np.where(n > 0, round_away(np.nan_to_num(avg), 4), np.nan)
+        g["avg_views"] = pd.array(g["avg_views"], dtype="Float64")
+        g.loc[n == 0, "avg_views"] = pd.NA
         g["view_consistency"] = round_away(std, 4)
         return g[["user_id", "n_events", "avg_views", "max_views", "min_views", "view_consistency"]]
 
