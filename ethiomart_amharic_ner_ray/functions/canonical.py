@@ -79,7 +79,9 @@ def canon_price(amount: str) -> str | None:
         return None
     if v == int(v):
         return f"{int(v)} ብር"
-    return f"{v:g} ብር"
+    # .10g, not .g: %g keeps only 6 significant digits and would mangle
+    # prices like 12345.67 → "12345.7"
+    return f"{v:.10g} ብር"
 
 
 def canon_phone(phone: str) -> str:

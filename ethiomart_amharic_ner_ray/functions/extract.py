@@ -41,9 +41,16 @@ DEFAULT_LOCATIONS = (
 
 
 def build_loc_pattern(locations: tuple[str, ...] = DEFAULT_LOCATIONS) -> re.Pattern:
-    """Alternation over fold-canonicalized gazetteer entries, longest first so
-    'ቦሌ አዲስ አበባ' wins over 'ቦሌ'. Compiled once per actor."""
-    alts = sorted({canon_text(l) for l in locations}, key=len, reverse=True)
+    """Alternation over fold-transformed gazetteer entries, longest first so
+    'ቦሌ አዲስ አበባ' wins over 'ቦሌ'. Compiled once per actor.
+
+    Matching runs over ``fold_ethiopic(clean_text)`` — a strictly 1:1
+    codepoint transform — so match offsets are valid char spans in
+    clean_text itself (length-changing transforms like NFKC/casefold would
+    shift every span after them)."""
+    from .canonical import fold_ethiopic
+
+    alts = sorted({fold_ethiopic(l) for l in locations}, key=len, reverse=True)
     return re.compile("|".join(re.escape(a) for a in alts))
 
 
@@ -104,19 +111,22 @@ def extract_mentions(
         )
 
     for m in PRODUCT_RE_V1.finditer(clean_text):
-        surface = m.group(2).strip()
+        raw = m.group(2)
         # products capture runs to end of line; cut at the first price/phone
         # mention so the product surface is just the noun phrase
-        cut = len(surface)
-        pm = PRICE_RE_V1.search(surface)
+        cut = len(raw)
+        pm = PRICE_RE_V1.search(raw)
         if pm:
             cut = min(cut, pm.start())
-        hm = PHONE_RE_V2.search(surface)
+        hm = PHONE_RE_V2.search(raw)
         if hm:
             cut = min(cut, hm.start())
-        surface = surface[:cut].strip(" ,.!?")
+        seg = raw[:cut]
+        lead = len(seg) - len(seg.lstrip(" ,.!?"))  # keep spans aligned
+        surface = seg.strip(" ,.!?")
         if not surface:
             continue
+        start = m.start(2) + lead
         # canonical product key = head phrase (first 4 tokens): the product
         # regex captures to end-of-line, so unbounded norms would make the
         # entity "catalog" grow linearly with the corpus — a head-phrase key
@@ -126,20 +136,23 @@ def extract_mentions(
                 "etype": "PRODUCT",
                 "surface": surface,
                 "norm": canon_text(" ".join(surface.split()[:4])),
-                "start": m.start(2),
-                "end": m.start(2) + len(surface),
+                "start": start,
+                "end": start + len(surface),
                 "entity_id": -1,
             }
         )
 
     if loc_pattern is not None:
-        folded = canon_text(clean_text)
+        from .canonical import fold_ethiopic
+
+        folded = fold_ethiopic(clean_text)  # 1:1 chars → spans index clean_text
         for m in loc_pattern.finditer(folded):
+            surface = clean_text[m.start() : m.end()]
             mentions.append(
                 {
                     "etype": "LOC",
-                    "surface": m.group(0),
-                    "norm": m.group(0),
+                    "surface": surface,
+                    "norm": canon_text(surface),
                     "start": m.start(),
                     "end": m.end(),
                     "entity_id": -1,

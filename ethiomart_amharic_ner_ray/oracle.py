@@ -58,6 +58,8 @@ def precision_recall(
     """Exact-match P/R on the (subj, pred, obj) sets."""
     e = set(zip(engine["subj"], engine["pred"], engine["obj"]))
     o = set(zip(oracle["subj"], oracle["pred"], oracle["obj"]))
+    if not e and not o:
+        return (1.0, 1.0)  # both empty = perfect agreement
     if not e or not o:
         return (0.0, 0.0)
     tp = len(e & o)

@@ -58,6 +58,21 @@ def add_conv_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     return batch.append_column("cbucket", pa.array(b, pa.int32()))
 
 
+def drop_buckets(ds: "ray.data.Dataset", column: str, done: frozenset) -> "ray.data.Dataset":
+    """Filter out rows whose bucket id (in ``column``) is already
+    checkpointed — the resume-path filter, shared by both stages."""
+
+    def _drop(batch: pa.Table, done=frozenset(done), column=column) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.invert(
+            pc.is_in(batch.column(column), pa.array(sorted(done), pa.int32()))
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(_drop, batch_format="pyarrow")
+
+
 def build_mentions(
     ds: "ray.data.Dataset",
     normalizer: int = 1,
@@ -332,16 +347,7 @@ def triples_from_flat(
         add_spo_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
     )
     if exclude_spo_buckets:
-
-        def _drop_done(batch: pa.Table, done=frozenset(exclude_spo_buckets)) -> pa.Table:
-            import pyarrow.compute as pc
-
-            mask = pc.invert(
-                pc.is_in(batch.column("bucket"), pa.array(sorted(done), pa.int32()))
-            )
-            return batch.filter(mask)
-
-        ds = ds.map_batches(_drop_done, batch_format="pyarrow")
+        ds = drop_buckets(ds, "bucket", frozenset(exclude_spo_buckets))
     if shuffle_blocks:
         ds = ds.repartition(shuffle_blocks)
     if staged:
@@ -411,15 +417,7 @@ def run_kg_pipeline(
             add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
         )
         if done1:
-            done_arr = sorted(done1)
-
-            def _drop_done(batch: pa.Table, done=frozenset(done_arr)) -> pa.Table:
-                import pyarrow.compute as pc
-
-                mask = pc.invert(pc.is_in(batch.column("cbucket"), pa.array(list(done), pa.int32())))
-                return batch.filter(mask)
-
-            ds = ds.map_batches(_drop_done, batch_format="pyarrow")
+            ds = drop_buckets(ds, "cbucket", frozenset(done1))
         ds = ds.map_batches(make_normalizer(normalizer), batch_format="pyarrow")
         ds = ds.map_batches(derive_seller, batch_format="pyarrow")
         cls = {"regex": RegexExtractor, "ner": NerScorer}[extractor]

@@ -70,8 +70,8 @@ def prepare_labeled(
         for tokens, tags in zip(
             batch.column("tokens").to_pylist(), batch.column("tags").to_pylist()
         ):
-            tags = clean_tags(tags, label_set)
-            tags = fix_entity_tags(tokens, tags)
+            tags = fix_entity_tags(tokens, tags)  # repair (M6) …
+            tags = clean_tags(tags, label_set)  # … then clean (M8)
             if not tokens or not validate_sentence(tokens, tags):
                 continue
             h = int.from_bytes(

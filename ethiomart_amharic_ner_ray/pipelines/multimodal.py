@@ -74,10 +74,13 @@ class MediaFeaturizer:
         return list(np.round(ints / 2**32, 6))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = [self._features(b) for b in t.column("blob").to_pylist()]
-        sizes = [len(b) for b in t.column("blob").to_pylist()]
+        import pyarrow.compute as pc
+
+        blobs = t.column("blob").to_pylist()  # single copy out of Arrow
+        feats = [self._features(b) for b in blobs]
+        sizes = pc.cast(pc.binary_length(t.column("blob")), pa.int64())
         out = t.drop_columns(["blob"])  # features replace payload downstream
-        out = out.append_column("blob_bytes", pa.array(sizes, pa.int64()))
+        out = out.append_column("blob_bytes", sizes)
         out = out.append_column("features", pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)))
         return out
 

@@ -91,7 +91,13 @@ class _SegmentJoiner:
     def __call__(self, t: pa.Table) -> pa.Table:
         ck = t.column("o_custkey").to_numpy()
         idx = np.searchsorted(self._keys, ck)
-        seg = self._segs[idx]
+        # inner-join semantics: drop rows whose key is absent (searchsorted
+        # alone returns an insertion point, which would silently join a
+        # missing key to the NEXT customer or index out of bounds)
+        idx_c = np.clip(idx, 0, len(self._keys) - 1)
+        hit = self._keys[idx_c] == ck
+        t = t.filter(pa.array(hit))
+        seg = self._segs[idx_c[hit]]
         return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
 
 

@@ -182,15 +182,18 @@ def ensure_transcripts(
     file), it is reused."""
     out_dir = Path(out_dir)
     marker = out_dir / "_GENERATED.json"
-    params = f"n_turns={n_turns} seed={seed} n_sellers={n_sellers} corrupt_ts={corrupt_ts}"
+    if n_files is None:
+        n_files = max(1, min(64, n_turns // 50_000))
+    params = (
+        f"n_turns={n_turns} seed={seed} n_sellers={n_sellers} "
+        f"corrupt_ts={corrupt_ts} n_files={n_files}"
+    )
     if marker.exists() and marker.read_text() == params:
         return str(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     for old in out_dir.glob("*.parquet"):
         old.unlink()
     table = generate_transcripts(n_turns, seed=seed, n_sellers=n_sellers, corrupt_ts=corrupt_ts)
-    if n_files is None:
-        n_files = max(1, min(64, table.num_rows // 50_000))
     rows_per = -(-table.num_rows // n_files)
     for i in range(n_files):
         chunk = table.slice(i * rows_per, rows_per)

@@ -98,15 +98,19 @@ class NerScorer:
             i += matched or 1
         return tokens, tags
 
-    _NUM_RE = re.compile(r"\d{1,3}(?:,\d{3})*(?:\.\d+)?")
-
     def _decode(self, tokens: list[str], tags: list[str]) -> list[dict]:
+        from ..functions.textnorm import PRICE_RE_V1
+
         mentions = []
         for span in bio_decode(tokens, tags):
             etype, surface = span["etype"], span["surface"]
             if etype == "PRICE":
-                m = self._NUM_RE.search(surface)
-                norm = canon_price(m.group(0)) if m else None
+                # same amount-capture as the regex path (incl. its partial-
+                # match quirk on ungrouped numbers) so extractor="ner" is
+                # swap-compatible; an unanchored \d{1,3} search would
+                # fabricate digit prefixes like "250" from "2500 ብር"
+                m = PRICE_RE_V1.search(surface + " ብር")
+                norm = canon_price(m.group(1)) if m else None
                 if norm is None:
                     continue
             elif etype == "PHONE":
