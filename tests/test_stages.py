@@ -80,6 +80,15 @@ class TestNerScorerRules:
         assert len(tokens) == len(tags)
         assert "B-PRICE" in tags and "I-PRICE" in tags
 
+    def test_price_capture_matches_regex_path_quirk(self):
+        """Swap-compat: for '2500 ብር' the regex path captures '500' (the
+        reference's \\d{1,3} grouping quirk); the NER decode must agree,
+        not fabricate a digit PREFIX like '250'."""
+        b = make_normalizer(1)(_batch(["ዋጋ 2500 ብር ነው"]))
+        out = NerScorer()(b)
+        prices = [m["norm"] for m in out.column("mentions").to_pylist()[0] if m["etype"] == "PRICE"]
+        assert prices == ["500 ብር"]
+
 
 class TestLinker:
     def test_trigram_vector_deterministic(self):
