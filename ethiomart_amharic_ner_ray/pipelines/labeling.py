@@ -13,8 +13,9 @@ Split: the reference uses ``train_test_split(random_state=42, shuffle)``
 shuffle just to partition is wasted movement. Here the split is a
 deterministic HASH split (sha1 of the joined tokens mod 100 < 80), which is
 stable under resharding/resume and needs no shuffle at all; the reference's
-80/20 proportions are preserved in expectation. ``random_split=True``
-restores shuffle-split semantics for small data.
+80/20 proportions are preserved in expectation. (For small offline corpora
+Ray's ``Dataset.train_test_split`` reproduces the reference's shuffle-split
+directly.)
 """
 
 from __future__ import annotations
