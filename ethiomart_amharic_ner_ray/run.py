@@ -27,11 +27,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-link", action="store_true")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--export-format",
+        choices=("json", "csv"),
+        default=None,
+        help="additionally export triples as JSON/CSV (S4/S6 writer parity; Parquet stays canonical)",
+    )
     args = p.parse_args(argv)
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -54,8 +61,33 @@ def main(argv: list[str] | None = None) -> int:
         link=not args.no_link,
         resume=not args.no_resume,
     )
+    if args.export_format and stats.get("triples_rows"):
+        import glob
+        import os
+
+        import ray.data
+
+        files = sorted(glob.glob(os.path.join(stats["triples_dir"], "bucket=*", "*.parquet")))
+        ds = ray.data.read_parquet(files)
+        if args.export_format == "csv":
+            # CSV cannot carry the nested provenance struct; flatten it
+            import pyarrow as pa
+
+            def flatten(t: pa.Table) -> pa.Table:
+                prov = t.column("provenance").combine_chunks()
+                t = t.drop_columns(["provenance"])
+                t = t.append_column("extractor", prov.field("extractor"))
+                return t.append_column("confidence", prov.field("confidence"))
+
+            ds = ds.map_batches(flatten, batch_format="pyarrow")
+            ds.write_csv(os.path.join(args.out, "triples_csv"))
+        else:
+            ds.write_json(os.path.join(args.out, "triples_json"))
+        stats["export"] = args.export_format
+
     print(json.dumps(stats))
-    ray.shutdown()
+    if owns_session:  # never tear down a caller's (or test fixture's) session
+        ray.shutdown()
     return 0
 
 
