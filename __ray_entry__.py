@@ -176,8 +176,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ANN / batched retrieval (rows-only)
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "knn_self_join": similarity.knn_self_join,
-        # multimodal plumbing (rows-only; decode stubbed per environment)
-        "media_features": lambda sf_dir: multimodal.media_features(200, seed=42),
+        # multimodal plumbing (rows-only; decode stubbed per environment).
+        # Sized from sf like the transcript fixture so the rows-only check
+        # exercises batch sizing under payload growth, not a constant.
+        "media_features": lambda sf_dir: multimodal.media_features(
+            max(200, int(20_000 * _sf_of(sf_dir))), seed=42
+        ),
         # entity explode + labeled-data prep (rows-only; transcripts-based)
         "kg_mentions_exploded": _kg_mentions_exploded,
         "labeling_prepare": _labeling_prepared,

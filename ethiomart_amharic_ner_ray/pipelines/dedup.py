@@ -200,7 +200,10 @@ def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
                 bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits == np.uint64(1), 1, -1)
             sig = int("".join("1" if v > 0 else "0" for v in acc), 2)
-            out_sig.append(sig - (1 << 63))  # store as signed int64
+            # true two's-complement reinterpretation uint64 -> int64 (NOT a
+            # shifted bijection): values with MSB=0 are stored verbatim, so
+            # external consumers comparing simhashes see the same number
+            out_sig.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
             for i in range(4):
                 out_b[i].append((sig >> (16 * i)) & 0xFFFF)
         cols = {"doc_id": t.column("doc_id"), "simhash": pa.array(out_sig, pa.int64())}

@@ -391,6 +391,7 @@ def run_kg_pipeline(
     from ..state.manifest import (
         clean_unfinished_buckets,
         done_buckets,
+        drop_manifests,
         write_bucket_manifests,
     )
 
@@ -406,7 +407,15 @@ def run_kg_pipeline(
     # ---- stage 1: mentions, bucketed by conv hash -------------------------
     done1 = done_buckets(mentions_dir, fingerprint) if resume else set()
     if not resume:
+        # Manifests must never outlive the data they vouch for: delete them
+        # FIRST, then the data dirs. If this run crashes mid-way, a later
+        # resume=True run sees no manifests and reprocesses from scratch,
+        # instead of trusting stale same-fingerprint manifests over empty
+        # dirs (which would silently yield 0 triples). Both stages.
+        drop_manifests(mentions_dir)
+        drop_manifests(triples_dir)
         clean_unfinished_buckets(mentions_dir, set())
+        clean_unfinished_buckets(triples_dir, set())
     removed = clean_unfinished_buckets(mentions_dir, done1)
     stats["mentions_buckets_skipped"] = len(done1)
     stats["mentions_buckets_cleaned"] = len(removed)

@@ -85,9 +85,42 @@ class MediaFeaturizer:
         return out
 
 
-def media_features(n: int = 200, seed: int = 42) -> "ray.data.Dataset":
+def _synth_media_batch(t: pa.Table, seed: int, blob_bytes: int) -> pa.Table:
+    """Per-block synthetic media rows, seeded by media_id — the distributed
+    generator: blobs are born inside tasks, never on the driver."""
+    ids = t.column("id").to_numpy()
+    blobs = []
+    convs = []
+    widths = np.empty(len(ids), np.int32)
+    heights = np.empty(len(ids), np.int32)
+    for j, i in enumerate(ids):
+        rng = np.random.RandomState(seed + int(i))
+        blobs.append(rng.bytes(blob_bytes))
+        convs.append(f"c{rng.randint(0, 50):04d}-{int(i):06d}")
+        widths[j] = rng.randint(64, 2048)
+        heights[j] = rng.randint(64, 2048)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "conv_id": pa.array(convs, pa.string()),
+            "media_type": pa.array([("image/jpeg", "audio/ogg", "video/mp4")[int(i) % 3] for i in ids], pa.string()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "blob": pa.array(blobs, pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def media_features(n: int = 200, seed: int = 42, blob_bytes: int = 4096) -> "ray.data.Dataset":
     """Synthetic media → featurized dataset (rows-only check)."""
-    ds = ray.data.from_arrow(synth_media_table(n, seed))
+    ds = ray.data.range(n)
+    ds = ds.map_batches(
+        _synth_media_batch,
+        fn_kwargs={"seed": seed, "blob_bytes": blob_bytes},
+        batch_format="pyarrow",
+        batch_size=256,
+    )
     return ds.map_batches(
         MediaFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
     )

@@ -60,6 +60,17 @@ def clean_unfinished_buckets(out_dir: str | Path, done: set[int]) -> list[int]:
     return removed
 
 
+def drop_manifests(out_dir: str | Path) -> None:
+    """Remove ALL manifests for a stage (the resume=False reset path).
+
+    Called BEFORE deleting bucket data dirs so the 'manifest exists => data
+    exists' invariant holds even if the reset run crashes between the two
+    deletions: no manifest can ever vouch for data a fresh run removed."""
+    mdir = _manifest_dir(out_dir)
+    if mdir.is_dir():
+        shutil.rmtree(mdir)
+
+
 def write_bucket_manifests(
     out_dir: str | Path,
     buckets: dict[int, dict],

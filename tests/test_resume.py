@@ -85,6 +85,32 @@ class TestResume:
         assert _tset(resumed) == _tset(clean)
         assert len(resumed) == len(clean)
 
+    def test_crashed_reset_run_cannot_leave_stale_manifests(
+        self, kg_run, tiny_transcripts_dir, tmp_path_factory, monkeypatch
+    ):
+        """A resume=False run that crashes before writing manifests must not
+        leave the previous run's manifests behind — otherwise the next
+        default resume=True run trusts them over the deleted data and
+        silently reports 0 triples (round-1 advisor finding)."""
+        import ray.data as rd
+
+        out, _, clean = kg_run
+        crashed = str(tmp_path_factory.mktemp("kg") / "reset_crash")
+        shutil.copytree(out, crashed)
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash at the read")
+
+        monkeypatch.setattr(rd, "read_parquet", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_kg_pipeline(tiny_transcripts_dir, crashed, n_buckets=6, concurrency=2, resume=False)
+        monkeypatch.undo()
+
+        stats = run_kg_pipeline(tiny_transcripts_dir, crashed, n_buckets=6, concurrency=2)
+        assert stats["mentions_buckets_skipped"] == 0
+        assert stats["triples_buckets_skipped"] == 0
+        assert _tset(_read_triples(crashed)) == _tset(clean)
+
     def test_fingerprint_mismatch_rebuilds(self, kg_run, tiny_transcripts_dir):
         """Different params → old manifests are invalid, nothing skipped."""
         out, _, _ = kg_run
