@@ -79,6 +79,17 @@ def _kg_triples_ner(sf_dir: str):
     return kg_triples(ds.limit(20000), extractor="ner", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False)
 
 
+def _kg_triples_ner_subword(sf_dir: str):
+    """Flagship via the full model-scoring dataflow (M9/M10): word-piece
+    tokenize → subword label alignment → per-subword predictions →
+    first-subword decode → IOB2 repair → mentions → triples. Only the model
+    forward pass is a deterministic stand-in (no torch in this container)."""
+    from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+    ds = _transcripts_ds(sf_dir)
+    return kg_triples(ds.limit(20000), extractor="ner_subword", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False)
+
+
 def _kg_scorecards(sf_dir: str):
     from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
     from ethiomart_amharic_ner_ray.pipelines.scorecard import seller_scorecards
@@ -166,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG flagship over synthetic transcripts (rows-only)
         "kg_triples": _kg_triples,
         "kg_triples_ner": _kg_triples_ner,
+        "kg_triples_ner_subword": _kg_triples_ner_subword,
         "kg_mentions": _kg_mentions,
         "kg_seller_scorecards": _kg_scorecards,
         # near-dup / sketch family (rows-only)

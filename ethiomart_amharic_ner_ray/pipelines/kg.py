@@ -43,7 +43,7 @@ import ray.data
 
 from ..stages.extract import FlatRegexExtractor, RegexExtractor, derive_seller
 from ..stages.linker import EntityLinker, build_product_index
-from ..stages.ner_scorer import NerScorer
+from ..stages.ner_scorer import MockModelNerScorer, NerScorer
 from ..stages.normalize import make_normalizer
 
 TRIPLE_FLAT_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "extractor", "confidence"]
@@ -83,7 +83,7 @@ def build_mentions(
     """transcripts → mentions dataset (text untouched, clean_text added)."""
     ds = ds.map_batches(make_normalizer(normalizer), batch_format="pyarrow")
     ds = ds.map_batches(derive_seller, batch_format="pyarrow")
-    cls = {"regex": RegexExtractor, "ner": NerScorer}[extractor]
+    cls = {"regex": RegexExtractor, "ner": NerScorer, "ner_subword": MockModelNerScorer}[extractor]
     return ds.map_batches(
         cls,
         batch_format="pyarrow",
@@ -429,7 +429,7 @@ def run_kg_pipeline(
             ds = drop_buckets(ds, "cbucket", frozenset(done1))
         ds = ds.map_batches(make_normalizer(normalizer), batch_format="pyarrow")
         ds = ds.map_batches(derive_seller, batch_format="pyarrow")
-        cls = {"regex": RegexExtractor, "ner": NerScorer}[extractor]
+        cls = {"regex": RegexExtractor, "ner": NerScorer, "ner_subword": MockModelNerScorer}[extractor]
         ds = ds.map_batches(cls, batch_format="pyarrow", batch_size=2048, concurrency=concurrency)
         ds = ds.rename_columns({"cbucket": "bucket"})
         ds.write_parquet(mentions_dir, partition_cols=["bucket"])

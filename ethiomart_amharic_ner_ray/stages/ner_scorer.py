@@ -9,9 +9,15 @@ actor in ``__init__``; ``__call__`` runs a whole Arrow batch.
 This container has no torch/transformers, so the default backend is a
 deterministic rule-based tagger that exercises the full BIO path (tokenize →
 tag → IOB2 repair per data_pipeline.py:101-136 → BIO decode → mentions).
-``backend="transformers"`` is the real-model slot and raises
-NotImplementedError here; the Ray-side plumbing (actor signature, batch
-shape, output schema) is identical and is what the pipeline tests cover.
+
+``backend="mock_model"`` runs the REAL model-scoring dataflow — word-piece
+tokenize → subword label alignment (functions/subword.py, reference
+train_ner.py:252-303) → per-subword predictions → first-subword argmax
+decode back to words (interpret.py:1023-1038) → IOB2 repair → mentions —
+with a deterministic mock word-piece tokenizer and the rule tagger standing
+in for the forward pass. ``backend="transformers"`` is the same path with a
+real HF tokenizer/model; only its model load raises NotImplementedError in
+this torch-less container.
 """
 
 from __future__ import annotations
@@ -41,19 +47,30 @@ class NerScorer:
         locations: tuple[str, ...] = DEFAULT_LOCATIONS,
     ):
         self.backend = backend
+        self._loc_pattern = build_loc_pattern(locations)
         if backend == "transformers":
+            # The full scoring path (_model_tag_sentence: subword align →
+            # forward → first-subword decode) is implemented and tested via
+            # backend="mock_model"; ONLY the tokenizer/model load below is
+            # the environment-gated stub.
             try:
                 import transformers  # noqa: F401
             except ImportError as e:  # pragma: no cover - no torch in container
                 raise NotImplementedError(
                     "transformers backend requires torch/transformers; "
-                    "this environment ships neither. Use backend='rules'."
+                    "this environment ships neither. Use backend='rules' or "
+                    "'mock_model' (same dataflow, stand-in forward pass)."
                 ) from e
-            raise NotImplementedError(
-                "real-model scoring is an offline concern (SURVEY.md §2.3 T1); "
-                "wire a fine-tuned head here when available"
+            raise NotImplementedError(  # pragma: no cover
+                "wire AutoTokenizer/AutoModelForTokenClassification here; "
+                "everything around the forward pass is _model_tag_sentence"
             )
-        self._loc_pattern = build_loc_pattern(locations)
+        elif backend == "mock_model":
+            from ..functions.subword import MockWordPieceTokenizer
+
+            self._tokenizer = MockWordPieceTokenizer(piece_len=4)
+        elif backend != "rules":
+            raise ValueError(f"unknown backend {backend!r}")
 
     # -- rule backend -------------------------------------------------------
 
@@ -132,11 +149,57 @@ class NerScorer:
             )
         return mentions
 
+    # -- model backend (mock_model / transformers) --------------------------
+
+    def _subword_logits_argmax(self, word_ids: list, words: list[str]) -> list[int]:
+        """Stand-in forward pass: per-subword predicted label ids. A real
+        backend replaces this with argmax over model logits; the mock derives
+        them from the rule tagger through the SAME training-side alignment,
+        so the decode path downstream is exercised unchanged."""
+        from ..functions.subword import IGNORE_INDEX, LABEL2ID, align_labels_with_subwords
+
+        _, word_tags = self._tag_words(words)
+        aligned = align_labels_with_subwords(word_ids, word_tags)
+        o_id = LABEL2ID["O"]
+        # a real model emits a label for EVERY subword position
+        return [o_id if i == IGNORE_INDEX else i for i in aligned]
+
+    def _tag_words(self, words: list[str]) -> tuple[list[str], list[str]]:
+        return self._tag_sentence(" ".join(words)) if words else (words, [])
+
+    def _model_tag_sentence(self, clean_text: str) -> tuple[list[str], list[str]]:
+        """Word-piece tokenize → subword predictions → first-subword decode
+        (reference interpret.py:1023-1038). Shared by mock_model and a real
+        transformers backend — only _subword_logits_argmax differs."""
+        from ..functions.subword import align_predictions_to_words
+
+        words = tokenize(clean_text)
+        if not words:
+            return words, []
+        enc = self._tokenizer(words)
+        pred_ids = self._subword_logits_argmax(enc["word_ids"], words)
+        tags = align_predictions_to_words(enc["word_ids"], pred_ids)
+        # truncation can drop trailing words: pad their tags with O so the
+        # repair/decode contract (len(tags) == len(words)) holds
+        if len(tags) < len(words):
+            tags = tags + ["O"] * (len(words) - len(tags))
+        return words, tags
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tagger = self._tag_sentence if self.backend == "rules" else self._model_tag_sentence
         all_mentions = []
         for text in batch.column("clean_text").to_pylist():
-            tokens, tags = self._tag_sentence(text)
+            tokens, tags = tagger(text)
             tags = fix_entity_tags(tokens, tags)
             all_mentions.append(self._decode(tokens, tags))
         col = pa.array(all_mentions, pa.list_(MENTION_TYPE))
         return batch.append_column("mentions", col)
+
+
+class MockModelNerScorer(NerScorer):
+    """``NerScorer(backend="mock_model")`` as a zero-arg callable class, so
+    pipelines can pass it straight to ``map_batches`` (extractor="ner_subword"
+    in pipelines/kg.py) — the full subword-alignment scoring dataflow."""
+
+    def __init__(self, **kw):
+        super().__init__(backend="mock_model", **kw)

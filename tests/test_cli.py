@@ -65,3 +65,24 @@ class TestNerRegexAgreement:
         b = set(zip(nr["subj"], nr["pred"], nr["obj"]))
         jaccard = len(a & b) / len(a | b)
         assert jaccard > 0.35, f"NER/regex overlap collapsed: {jaccard:.3f}"
+
+
+class TestSubwordPipelineParity:
+    def test_ner_subword_triples_equal_ner(self, ray_session, tiny_transcripts_dir):
+        """extractor='ner_subword' routes every sentence through the full
+        model-scoring dataflow (subword align → stand-in forward →
+        first-subword decode); its triples must equal the plain rule-tagger
+        NER path exactly — the alignment round-trip is lossless."""
+        import glob as _glob
+
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+        ds = rd.read_parquet(sorted(_glob.glob(tiny_transcripts_dir + "/*.parquet")))
+        nr = kg_triples(ds, extractor="ner", link=False, n_buckets=4, concurrency=2).to_pandas()
+        sw = kg_triples(ds, extractor="ner_subword", link=False, n_buckets=4, concurrency=2).to_pandas()
+        key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+        a = nr[key].sort_values(key).reset_index(drop=True)
+        b = sw[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
