@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_clusters": dedup.minhash_dedup,
         "dedup_simhash": dedup.simhash_signatures,
+        "dedup_simhash_pairs": dedup.simhash_pairs,
+        "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "doc_rolling_fingerprints": textstats.rolling_fingerprints,
         # ANN / batched retrieval (rows-only)
         "ann_lsh_topk": similarity.ann_lsh_topk,

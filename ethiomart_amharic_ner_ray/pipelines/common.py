@@ -78,20 +78,16 @@ def bucketed_group_agg(
     B scales with the cluster, never with key cardinality; callers
     pre-aggregate per batch first so the shuffle moves partial rows.
     """
-    import zlib
-
     def add_bucket(t: pa.Table) -> pa.Table:
-        cols = [t.column(k) for k in keys]
-        n = t.num_rows
-        if len(cols) == 1:
-            key_strs = (str(v) for v in cols[0].to_pylist())
-        else:
-            key_strs = (
-                "\x00".join(str(v) for v in row)
-                for row in zip(*(c.to_pylist() for c in cols))
-            )
-        b = [zlib.crc32(s.encode("utf-8")) % n_buckets for s in key_strs]
-        assert len(b) == n
+        # vectorized row hash (C siphash with a fixed key — deterministic
+        # across processes/nodes, required for bucket co-location); this
+        # runs on every aggregation's hot path, so no per-row Python
+        import numpy as np
+        import pandas as pd
+
+        df = t.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
         return t.append_column("_bkt", pa.array(b, pa.int32()))
 
     def per_bucket(df):
@@ -107,3 +103,111 @@ def bucketed_group_agg(
         .groupby("_bkt")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def rename_cols(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
+    """Column rename that works on ANY block format (Dataset.rename_columns
+    delegates to the block type and breaks on pandas blocks from
+    map_groups): force the batch through Arrow and rename there."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(n, n) for n in t.schema.names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _arrow_schema(ds: "ray.data.Dataset", overrides: dict | None = None) -> pa.Schema:
+    """Resolve a Dataset's schema to pyarrow fields. Pandas-backed stages
+    (map_groups output) report numpy dtypes — ``object`` columns (strings,
+    lists) can't be inferred, so callers pass their types via ``overrides``."""
+    import numpy as np
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if overrides and n in overrides:
+            fields.append(pa.field(n, overrides[n]))
+        elif isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+        else:
+            dt = np.dtype(t)
+            if dt == np.dtype("O"):
+                # pandas object column defaults to string; anything else
+                # (lists, structs) must be declared by the caller
+                fields.append(pa.field(n, pa.string()))
+            else:
+                fields.append(pa.field(n, pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)
+
+
+def bucketed_join(
+    left_ds: "ray.data.Dataset",
+    right_ds: "ray.data.Dataset",
+    on: str,
+    n_buckets: int = 64,
+    schema_overrides: dict | None = None,
+) -> "ray.data.Dataset":
+    """Inner hash-join on column ``on`` (same name on both sides) as ONE
+    bucketed shuffle — the engine's shuffle-join primitive for when neither
+    side is small enough to broadcast (candidate-pair verification ships
+    per-doc payloads this way; see pipelines/dedup.py).
+
+    Shape: tag each side, harmonize to the union schema (missing columns →
+    nulls), union, hash the key to B buckets, pandas-merge inside each
+    bucket. Non-key column names must be disjoint across sides. B scales
+    with the cluster, never with key cardinality."""
+    lschema = _arrow_schema(left_ds, schema_overrides)
+    rschema = _arrow_schema(right_ds, schema_overrides)
+    overlap = (set(lschema.names) & set(rschema.names)) - {on}
+    if overlap:
+        raise ValueError(f"non-key column overlap: {sorted(overlap)}")
+    fields: list[pa.Field] = []
+    seen: set[str] = set()
+    for sch in (lschema, rschema):
+        for name in sch.names:
+            if name not in seen:
+                seen.add(name)
+                fields.append(pa.field(name, sch.field(name).type))
+
+    def harmonize(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for field in fields:
+                if field.name in t.schema.names:
+                    col = t.column(field.name)
+                    if pa.types.is_null(col.type):  # empty pandas round-trip
+                        col = pa.nulls(t.num_rows, field.type)
+                    elif col.type != field.type:  # pandas-roundtripped blocks
+                        col = col.cast(field.type)
+                    cols[field.name] = col
+                else:
+                    cols[field.name] = pa.nulls(t.num_rows, field.type)
+            out = pa.table(cols)
+            return out.append_column("_side", pa.array([side] * t.num_rows, pa.int8()))
+
+        return f
+
+    u = left_ds.map_batches(harmonize(0), batch_format="pyarrow").union(
+        right_ds.map_batches(harmonize(1), batch_format="pyarrow")
+    )
+    lnames = list(lschema.names)
+    rextra = [n for n in rschema.names if n != on]
+
+    def merge(df):
+        import numpy as np
+
+        left = df[df["_side"] == 0][lnames]
+        right = df[df["_side"] == 1][[on] + rextra]
+        out = left.merge(right, on=on, how="inner")
+        # ndarray cells (pandas view of Arrow list columns) would re-enter
+        # Ray as tensor-extension structs; normalize to Python lists so the
+        # declared list<> types round-trip
+        for c in out.columns:
+            if out[c].dtype == object and len(out) and isinstance(out[c].iloc[0], np.ndarray):
+                out[c] = [v.tolist() if isinstance(v, np.ndarray) else v for v in out[c]]
+        return out
+
+    return bucketed_group_agg(u, [on], merge, n_buckets=n_buckets)

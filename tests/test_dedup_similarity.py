@@ -65,3 +65,175 @@ class TestTrigram:
     def test_different_strings_low_cosine(self):
         v1, v2 = _trigram_vector("sofa"), _trigram_vector("telephone")
         assert float(v1 @ v2) < 0.5
+
+
+class TestDistributedDedup:
+    """The round-2 scale-safe rewrites must reproduce the in-process
+    reference semantics exactly (zero driver-side doc materialization is
+    the point; the outputs must not move)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _inprocess_pairs(self, sf_dir, threshold=0.7):
+        """Reference implementation: banding + exact-Jaccard verify, all in
+        one process (the round-1 driver-side shape)."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from ethiomart_amharic_ner_ray.pipelines.dedup import (
+            N_BANDS,
+            ROWS_PER_BAND,
+            _minhash,
+            _perm_params,
+            _word_shingles,
+        )
+
+        t = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id", "text"])
+        a, b = _perm_params()
+        buckets = {}
+        shingles = {}
+        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            sh = _word_shingles(text)
+            shingles[doc_id] = sh
+            sig = _minhash(sh, a, b)
+            for bi in range(N_BANDS):
+                chunk = sig[bi * ROWS_PER_BAND : (bi + 1) * ROWS_PER_BAND]
+                key = (bi, hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+                buckets.setdefault(key, set()).add(doc_id)
+        cand = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+        rows = []
+        for x, y in sorted(cand):
+            sa, sb = shingles[x], shingles[y]
+            u = len(sa | sb)
+            jac = round_away(np.array(len(sa & sb) / u if u else 0.0), 4)
+            if jac >= threshold:
+                rows.append((x, y, float(jac)))
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+
+    def test_pairs_match_inprocess_reference(self, ray_session):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.dedup import minhash_lsh_pairs
+
+        got = minhash_lsh_pairs(self.SF)
+        ref = self._inprocess_pairs(self.SF)
+        pd.testing.assert_frame_equal(got.astype(ref.dtypes.to_dict()), ref)
+        assert len(got) > 0, "fixture must contain planted near-dups"
+
+    def test_clusters_equal_union_find(self, ray_session):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.dedup import minhash_dedup, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(self.SF)
+        clusters = minhash_dedup(self.SF)
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for x, y in zip(pairs["a"], pairs["b"]):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        members = sorted({int(v) for v in pd.concat([pairs["a"], pairs["b"]])}) if len(pairs) else []
+        ref = pd.DataFrame(
+            {
+                "doc_id": pd.array(members, dtype="int64"),
+                "cluster_rep": pd.array([find(m) for m in members], dtype="int64"),
+            }
+        )
+        pd.testing.assert_frame_equal(clusters.astype(ref.dtypes.to_dict()), ref)
+
+    def test_embedding_lsh_equals_exact(self, ray_session):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import (
+            embedding_neardup_lsh,
+            q25_embedding_neardup,
+        )
+
+        exact = q25_embedding_neardup(self.SF)
+        lsh = embedding_neardup_lsh(self.SF)
+        pd.testing.assert_frame_equal(lsh.astype(exact.dtypes.to_dict()), exact)
+        assert len(exact) > 0
+
+
+class TestSimhashEncoding:
+    def test_signed_int64_is_twos_complement(self, ray_session):
+        """MSB=0 signatures are stored verbatim; MSB=1 wrap to negative —
+        i.e. np.uint64(sig).view(int64), not a shifted bijection."""
+        from ethiomart_amharic_ner_ray.pipelines.dedup import (
+            _stable_hash64,
+            simhash_signatures,
+        )
+
+        df = simhash_signatures("/root/testdata/sf0.001").to_pandas()
+        t = __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+        checked_pos = checked_neg = 0
+        for row in df.itertuples():
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(texts[row.doc_id].lower().split()):
+                h = np.uint64(_stable_hash64(tok))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == np.uint64(1), 1, -1)
+            sig = int("".join("1" if v > 0 else "0" for v in acc), 2)
+            expect = np.uint64(sig).astype(np.int64)
+            assert row.simhash == expect
+            if sig < (1 << 63):
+                assert row.simhash == sig  # verbatim for MSB=0
+                checked_pos += 1
+            else:
+                assert row.simhash < 0
+                checked_neg += 1
+            if checked_pos >= 3 and checked_neg >= 3:
+                break
+
+
+class TestSimhashPairs:
+    def test_banding_exact_vs_bruteforce(self, ray_session):
+        """4×16-bit banding is EXACT for hamming ≤ 3 (pigeonhole): the
+        distributed pair set must equal driver-side brute force."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.dedup import (
+            simhash_pairs,
+            simhash_signatures,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = simhash_pairs(sf, max_hamming=3)
+        sigs = simhash_signatures(sf).to_pandas()
+        sig = sigs["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = sigs["doc_id"].to_numpy()
+        rows = []
+        for i in range(len(ids)):
+            x = np.bitwise_xor(sig[i], sig[i + 1 :])
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            for k in np.nonzero(ham <= 3)[0]:
+                p, q = int(ids[i]), int(ids[i + 1 + k])
+                rows.append((min(p, q), max(p, q), int(ham[k])))
+        ref = (
+            pd.DataFrame(rows, columns=["a", "b", "hamming"])
+            .astype({"a": "int64", "b": "int64", "hamming": "int32"})
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype(ref.dtypes.to_dict()), ref)
+        assert len(got) > 0, "planted duplicates must collide"
