@@ -110,6 +110,71 @@ def _kg_mentions_exploded(sf_dir: str):
     )
 
 
+def _kg_text_equality(sf_dir: str):
+    """North-rule invariant, driver-hash-checked: per-turn text survives the
+    normalize + extract stages byte-for-byte (the oracle reads the raw
+    transcript parquet directly)."""
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+
+    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
+    return ds.select_columns(["conv_id", "turn_idx", "text"])
+
+
+def _kg_turns_per_conv(sf_dir: str):
+    """Conversation grouping check: per-conv turn count + max turn_idx
+    (SQL-checked over the same cached transcript parquet)."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+
+    ds = _transcripts_ds(sf_dir).select_columns(["conv_id", "turn_idx"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("turn_idx", "size"), max_turn=("turn_idx", "max")
+        )
+        return g.astype({"n_turns": "int64", "max_turn": "int64"})
+
+    return bucketed_group_agg(ds, ["conv_id"], final, n_buckets=32)
+
+
+def _kg_seller_turncounts(sf_dir: str):
+    """Seller derivation check (conv_id prefix before '-'), SQL-checked via
+    split_part."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+    from ethiomart_amharic_ner_ray.stages.extract import derive_seller
+
+    ds = _transcripts_ds(sf_dir).select_columns(["conv_id"])
+    ds = ds.map_batches(derive_seller, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seller", as_index=False).agg(n_turns=("seller", "size"))
+        return g.astype({"n_turns": "int64"})
+
+    return bucketed_group_agg(ds, ["seller"], final, n_buckets=32)
+
+
+def _kg_pr_report(sf_dir: str):
+    """A9 full parity: per-entity-type P/R/F1/support report of the engine's
+    distributed mention extraction vs the sequential reference oracle
+    (the seqeval-classification-report analogue; rows-only check — the
+    report itself IS the metric)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.oracle import oracle_mentions, per_type_report
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_flat
+
+    tx = transcripts_dir_for(sf_dir)
+    flat = build_flat(ray.data.read_parquet(tx), concurrency=(1, 8))
+    eng = flat.select_columns(["conv_id", "turn_idx", "etype", "norm"]).to_pandas()
+    gold = oracle_mentions(pq.read_table(sorted(glob.glob(tx + "/*.parquet"))))
+    return per_type_report(eng, gold)
+
+
 def _labeling_prepared(sf_dir: str):
     from ethiomart_amharic_ner_ray.pipelines.labeling import (
         prepare_labeled,
@@ -179,7 +244,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_ner": _kg_triples_ner,
         "kg_triples_ner_subword": _kg_triples_ner_subword,
         "kg_mentions": _kg_mentions,
+        # transcript-derived, SQL-checked via read_parquet on the cached
+        # deterministic fixture (oracle_sql ensures generation)
+        "kg_text_equality": _kg_text_equality,
+        "kg_turns_per_conv": _kg_turns_per_conv,
+        "kg_seller_turncounts": _kg_seller_turncounts,
         "kg_seller_scorecards": _kg_scorecards,
+        "kg_pr_report": _kg_pr_report,
         # near-dup / sketch family (rows-only)
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_clusters": dedup.minhash_dedup,
@@ -205,7 +276,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The driver runs correctness at sf0.01; the transcript-derived oracle
+    # entries read the SAME cached deterministic fixture DuckDB-side.
+    # ensure_transcripts is pure pyarrow (no Ray) and idempotent, so
+    # generating here is safe whichever side the driver runs first.
+    tx = transcripts_dir_for("/root/testdata/sf0.01")
+    tx_glob = f"{tx}/*.parquet"
     return {
+        "kg_text_equality": f"""
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{tx_glob}')
+        """,
+        "kg_turns_per_conv": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   CAST(max(turn_idx) AS BIGINT) AS max_turn
+            FROM read_parquet('{tx_glob}')
+            GROUP BY conv_id
+        """,
+        "kg_seller_turncounts": f"""
+            SELECT split_part(conv_id, '-', 1) AS seller, count(*) AS n_turns
+            FROM read_parquet('{tx_glob}')
+            GROUP BY 1
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

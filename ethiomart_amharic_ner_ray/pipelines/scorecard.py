@@ -237,64 +237,109 @@ def q24_best_worst_day(sf_dir: str) -> "ray.data.Dataset":
 # --- transcripts branch (the reference's actual vendor analytics) ----------
 
 
+_SC_PARTIAL_COLS = [
+    "seller",
+    "p_turns",
+    "p_products",
+    "p_prices",
+    "p_price_sum",
+    "p_first_ts",
+    "p_last_ts",
+    "p_norm",
+]
+
+
+def _sc_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Normalize a partial to the fixed column order/dtypes so the two
+    partial streams union cleanly."""
+    out = pd.DataFrame(index=df.index)
+    out["seller"] = df["seller"].astype(str)
+    for c, default, dt in [
+        ("p_turns", 0, "int64"),
+        ("p_products", 0, "int64"),
+        ("p_prices", 0, "int64"),
+        ("p_price_sum", 0.0, "float64"),
+    ]:
+        out[c] = (df[c] if c in df else default)
+        out[c] = out[c].astype(dt)
+    for c in ("p_first_ts", "p_last_ts"):
+        out[c] = pd.to_datetime(df[c]) if c in df else pd.NaT
+    out["p_norm"] = df["p_norm"] if "p_norm" in df else None
+    return out[_SC_PARTIAL_COLS]
+
+
 def seller_scorecards(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-seller scorecard over the KG mentions dataset (rows-only check).
 
     Hot-seller skew (Zipf channels): per-batch partials bound each seller's
-    shuffle volume by the number of batches; distinct-product sets merge as
-    sorted lists in the final bucket combine."""
+    shuffle volume by the number of batches. Fully vectorized (round-1
+    verdict finding #5): turn/ts stats come from a pandas groupby over the
+    raw columns; mention stats run over the FLAT mention rows
+    (kg.flatten_mentions) with vectorized splits; product variety travels
+    as distinct (seller, product) partial ROWS (counted with nunique in the
+    final), never as Python sets."""
+    import pyarrow as pa
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for seller, g in df.groupby("seller"):
-            n_products = 0
-            n_prices = 0
-            price_sum = 0.0
-            products: set = set()
-            for ml in g["mentions"]:
-                if ml is None:
-                    continue
-                for m in ml:
-                    if m["etype"] == "PRODUCT":
-                        n_products += 1
-                        products.add(m["norm"])
-                    elif m["etype"] == "PRICE":
-                        n_prices += 1
-                        price_sum += float(m["norm"].split(" ")[0])
-            rows.append(
-                {
-                    "seller": seller,
-                    "p_turns": len(g),
-                    "p_products": n_products,
-                    "p_prices": n_prices,
-                    "p_price_sum": price_sum,
-                    "p_product_set": sorted(products),
-                    "p_first_ts": g["ts"].min(),
-                    "p_last_ts": g["ts"].max(),
-                }
+    from .kg import flatten_mentions
+
+    def turn_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seller", as_index=False).agg(
+            p_turns=("ts", "size"), p_first_ts=("ts", "min"), p_last_ts=("ts", "max")
+        )
+        return _sc_frame(g)
+
+    def mention_partial(t: pa.Table) -> pd.DataFrame:
+        flat = flatten_mentions(
+            t.select(["conv_id", "turn_idx", "seller", "mentions"])
+        ).to_pandas()
+        if flat.empty:
+            return _sc_frame(pd.DataFrame(columns=["seller"]))
+        prod = flat[flat["etype"] == "PRODUCT"]
+        price = flat[flat["etype"] == "PRICE"]
+        counts = (
+            prod.groupby("seller", as_index=False)
+            .size()
+            .rename(columns={"size": "p_products"})
+        )
+        if len(price):
+            pv = price.assign(v=price["norm"].str.split(" ").str[0].astype(float))
+            pstats = pv.groupby("seller", as_index=False).agg(
+                p_prices=("v", "size"), p_price_sum=("v", "sum")
             )
-        return pd.DataFrame(rows)
+            counts = counts.merge(pstats, on="seller", how="outer")
+        stats = _sc_frame(counts.fillna({"p_products": 0, "p_prices": 0, "p_price_sum": 0.0}))
+        distinct = prod[["seller", "norm"]].drop_duplicates().rename(columns={"norm": "p_norm"})
+        return pd.concat([stats, _sc_frame(distinct)], ignore_index=True)
 
-    partials = mentions_ds.map_batches(partial, batch_format="pandas")
+    partials = mentions_ds.map_batches(turn_partial, batch_format="pandas").union(
+        mentions_ds.map_batches(mention_partial, batch_format="pyarrow")
+    )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for seller, g in df.groupby("seller"):
-            products: set = set()
-            for s in g["p_product_set"]:
-                products.update(s)
-            n_prices = int(g["p_prices"].sum())
-            rows.append(
-                {
-                    "seller": seller,
-                    "total_turns": int(g["p_turns"].sum()),
-                    "total_products": int(g["p_products"].sum()),
-                    "product_variety": len(products),
-                    "avg_price": round_away(float(g["p_price_sum"].sum()) / n_prices, 4) if n_prices else 0.0,
-                    "first_ts": g["p_first_ts"].min(),
-                    "last_ts": g["p_last_ts"].max(),
-                }
-            )
-        return pd.DataFrame(rows)
+        g = df.groupby("seller").agg(
+            total_turns=("p_turns", "sum"),
+            total_products=("p_products", "sum"),
+            product_variety=("p_norm", "nunique"),
+            n_prices=("p_prices", "sum"),
+            price_sum=("p_price_sum", "sum"),
+            first_ts=("p_first_ts", "min"),
+            last_ts=("p_last_ts", "max"),
+        )
+        n = g["n_prices"].to_numpy()
+        g["avg_price"] = np.where(
+            n > 0, round_away(g["price_sum"].to_numpy() / np.maximum(n, 1), 4), 0.0
+        )
+        g = g.reset_index()
+        return g[
+            [
+                "seller",
+                "total_turns",
+                "total_products",
+                "product_variety",
+                "avg_price",
+                "first_ts",
+                "last_ts",
+            ]
+        ].astype({"total_turns": "int64", "total_products": "int64", "product_variety": "int64"})
 
     return bucketed_group_agg(partials, ["seller"], final, n_buckets=32)

@@ -114,3 +114,49 @@ class TestDedup:
         out = kg_triples(doubled, n_buckets=8, concurrency=2).to_pandas()
         assert _triple_set(out) == _triple_set(engine_triples)
         assert not out.duplicated(["subj", "pred", "obj"]).any()
+
+
+class TestPerTypeReport:
+    def test_all_types_perfect_on_synthetic_corpus(self, ray_session, tiny_ds, tiny_transcripts_table):
+        """Engine extraction == oracle extraction → every per-type and
+        averaged P/R/F1 must be exactly 1.0 (support > 0 for all 4 types)."""
+        from ethiomart_amharic_ner_ray.oracle import oracle_mentions, per_type_report
+        from ethiomart_amharic_ner_ray.pipelines.kg import build_flat
+
+        flat = build_flat(tiny_ds, concurrency=2)
+        eng = flat.select_columns(["conv_id", "turn_idx", "etype", "norm"]).to_pandas()
+        gold = oracle_mentions(tiny_transcripts_table)
+        rep = per_type_report(eng, gold)
+        assert set(rep["entity_type"]) == {"PRODUCT", "PRICE", "LOC", "PHONE", "micro_avg", "macro_avg"}
+        assert (rep["precision"] == 1.0).all() and (rep["recall"] == 1.0).all() and (rep["f1"] == 1.0).all()
+        per_type = rep[~rep["entity_type"].str.endswith("_avg")]
+        assert (per_type["support"] > 0).all()
+
+    def test_report_detects_misses_and_spurious(self):
+        """Synthetic degradation: dropping a gold mention lowers recall for
+        its type only; adding a spurious one lowers precision only."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.oracle import per_type_report
+
+        gold = pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1", "c2"],
+                "turn_idx": [0, 1, 0],
+                "etype": ["PRICE", "PHONE", "PRICE"],
+                "norm": ["100 birr", "+251911111111", "200 birr"],
+            }
+        )
+        eng = pd.concat(
+            [
+                gold.iloc[[0, 1]],  # miss the second PRICE
+                pd.DataFrame(
+                    {"conv_id": ["c3"], "turn_idx": [0], "etype": ["PHONE"], "norm": ["+251922222222"]}
+                ),  # spurious PHONE
+            ],
+            ignore_index=True,
+        )
+        rep = per_type_report(eng, gold).set_index("entity_type")
+        assert rep.loc["PRICE", "precision"] == 1.0 and rep.loc["PRICE", "recall"] == 0.5
+        assert rep.loc["PHONE", "recall"] == 1.0 and rep.loc["PHONE", "precision"] == 0.5
+        assert rep.loc["micro_avg", "support"] == 3

@@ -82,10 +82,20 @@ SQL_CHECKED = [
     "q25_embedding_neardup",
 ]
 
+# transcript-derived entries: their oracle SQL reads the cached sf0.01
+# fixture by literal path (the driver's correctness scale), so the Ray side
+# must run at sf0.01 here too
+SQL_CHECKED_TX = [
+    "kg_text_equality",
+    "kg_turns_per_conv",
+    "kg_seller_turncounts",
+]
 
-@pytest.mark.parametrize("name", SQL_CHECKED)
+
+@pytest.mark.parametrize("name", SQL_CHECKED + SQL_CHECKED_TX)
 def test_query_matches_oracle(name, entrymod, con):
-    got = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    sf_dir = "/root/testdata/sf0.01" if name in SQL_CHECKED_TX else SF_DIR
+    got = _canon(_to_pandas(entrymod.queries()[name](sf_dir)))
     want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
@@ -95,7 +105,7 @@ def test_query_matches_oracle(name, entrymod, con):
 def test_every_query_has_oracle_or_is_flagged(entrymod):
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
-    assert set(SQL_CHECKED) == set(sqls)
+    assert set(SQL_CHECKED) | set(SQL_CHECKED_TX) == set(sqls)
 
 
 def test_entry_smoke(entrymod):

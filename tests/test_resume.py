@@ -125,3 +125,16 @@ class TestResume:
         meta = json.loads(Path(manifests[0]).read_text())
         assert {"rows", "fingerprint", "bucket"} <= set(meta)
         assert len(data) >= 1
+
+
+class TestSidecarPredCounts:
+    def test_distributed_pred_counts_match_files(self, kg_run):
+        """run_metrics.json pred_counts (distributed partial counts) must
+        equal a direct count over the written triples files."""
+        from collections import Counter
+
+        out, stats, triples = kg_run
+        expect = Counter(triples["pred"])
+        assert stats["pred_counts"] == dict(sorted(expect.items()))
+        sidecar = json.loads(Path(out, "run_metrics.json").read_text())
+        assert sidecar["pred_counts"] == stats["pred_counts"]

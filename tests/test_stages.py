@@ -118,3 +118,51 @@ class TestLinker:
         assert len(names) == matrix.shape[0]
         assert names == sorted(names)
         assert len(names) > 0
+
+
+class TestSellerScorecardsVectorized:
+    def test_matches_reference_rowwise_computation(self, ray_session, tiny_transcripts_dir):
+        """The vectorized flat-mentions scorecard must reproduce the naive
+        per-row mentions-struct computation exactly."""
+        import glob
+
+        import pandas as pd
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.common import round_away
+        from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+        from ethiomart_amharic_ner_ray.pipelines.scorecard import seller_scorecards
+
+        ds = rd.read_parquet(sorted(glob.glob(tiny_transcripts_dir + "/*.parquet")))
+        mentions = build_mentions(ds, concurrency=2).materialize()
+        new = seller_scorecards(mentions).to_pandas().sort_values("seller").reset_index(drop=True)
+
+        df = mentions.to_pandas()
+        rows = []
+        for seller, g in df.groupby("seller"):
+            n_products = n_prices = 0
+            price_sum = 0.0
+            products = set()
+            for ml in g["mentions"]:
+                if ml is None:
+                    continue
+                for m in ml:
+                    if m["etype"] == "PRODUCT":
+                        n_products += 1
+                        products.add(m["norm"])
+                    elif m["etype"] == "PRICE":
+                        n_prices += 1
+                        price_sum += float(m["norm"].split(" ")[0])
+            rows.append(
+                {
+                    "seller": seller,
+                    "total_turns": len(g),
+                    "total_products": n_products,
+                    "product_variety": len(products),
+                    "avg_price": round_away(price_sum / n_prices, 4) if n_prices else 0.0,
+                    "first_ts": g["ts"].min(),
+                    "last_ts": g["ts"].max(),
+                }
+            )
+        ref = pd.DataFrame(rows).sort_values("seller").reset_index(drop=True)
+        pd.testing.assert_frame_equal(new.astype(ref.dtypes.to_dict()), ref)
