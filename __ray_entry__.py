@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_quality_score": textstats.q13_quality_score,
         "q14_lang_id": textstats.q14_lang_id,
         "q15_doc_fingerprint": textstats.q15_doc_fingerprint,
+        "q26_bpe_token_estimate": textstats.q26_bpe_token_estimate,
         # dedup / similarity (SQL-checked baselines)
         "q11_dedup_exact": dedup.q11_dedup_exact,
         "q16_knn_cosine": similarity.q16_knn_cosine,
@@ -256,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": dedup.minhash_dedup,
         "dedup_simhash": dedup.simhash_signatures,
         "dedup_simhash_pairs": dedup.simhash_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "doc_rolling_fingerprints": textstats.rolling_fingerprints,
         # ANN / batched retrieval (rows-only)
@@ -428,6 +430,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q15_doc_fingerprint": """
             SELECT doc_id, sha256(lower(trim(text))) AS fp FROM documents
+        """,
+        "q26_bpe_token_estimate": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\r\n]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "q16_knn_cosine": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

@@ -51,6 +51,20 @@ def _word_shingles(text: str, k: int = 3) -> set[int]:
     return {_stable_hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
 
 
+def _char_shingles(text: str, k: int = 5) -> set[int]:
+    """Character n-gram shingles (whitespace-normalized) — finer-grained
+    than word shingles; the n-gram-Jaccard dedup variant's unit."""
+    s = " ".join(text.lower().split())
+    if not s:
+        return set()
+    if len(s) < k:
+        return {_stable_hash64(s)}
+    return {_stable_hash64(s[i : i + k]) for i in range(len(s) - k + 1)}
+
+
+SHINGLERS = {"word": _word_shingles, "char": _char_shingles}
+
+
 def _minhash(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Universal-hash minhash, vectorized: (a*x + b) with 64-bit wraparound
     (odd multipliers — a standard, deterministic permutation family)."""
@@ -85,7 +99,7 @@ def q11_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
 
 
 def minhash_signatures(
-    sf_dir: str, seed: int = 42, with_shingles: bool = False
+    sf_dir: str, seed: int = 42, with_shingles: bool = False, shingle: str = "word"
 ) -> "ray.data.Dataset":
     """Per-doc MinHash signature rows exploded to (band, band_key, doc_id).
 
@@ -96,6 +110,7 @@ def minhash_signatures(
     (the same payload-vs-hops tradeoff as embedding_neardup_lsh)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     a, b = _perm_params(seed)
+    shingle_fn = SHINGLERS[shingle]
 
     class Signer:
         def __init__(self):
@@ -105,7 +120,7 @@ def minhash_signatures(
             bands, keys, ids = [], [], []
             shs: list[list[int]] = []
             for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-                shingles = _word_shingles(text)
+                shingles = shingle_fn(text)
                 sig = _minhash(shingles, self._a, self._b)
                 if with_shingles:
                     sh = np.sort(
@@ -157,7 +172,7 @@ def doc_shingle_sets(sf_dir: str) -> "ray.data.Dataset":
 
 
 def minhash_lsh_pairs_ds(
-    sf_dir: str, seed: int = 42, jaccard_threshold: float = 0.7
+    sf_dir: str, seed: int = 42, jaccard_threshold: float = 0.7, shingle: str = "word"
 ) -> "ray.data.Dataset":
     """Verified near-dup pairs, end-to-end distributed (round-1 verdict
     finding #2: nothing driver-sized anywhere).
@@ -170,7 +185,7 @@ def minhash_lsh_pairs_ds(
     shingles onto candidate pairs afterwards is available from the same
     primitives (doc_shingle_sets + common.bucketed_join) when shingle
     payloads outweigh the extra exchange hops."""
-    sigs = minhash_signatures(sf_dir, seed, with_shingles=True)
+    sigs = minhash_signatures(sf_dir, seed, with_shingles=True, shingle=shingle)
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         a_l: list[int] = []
@@ -210,10 +225,12 @@ def minhash_lsh_pairs_ds(
     )
 
 
-def minhash_lsh_pairs(sf_dir: str, seed: int = 42, jaccard_threshold: float = 0.7) -> pd.DataFrame:
+def minhash_lsh_pairs(
+    sf_dir: str, seed: int = 42, jaccard_threshold: float = 0.7, shingle: str = "word"
+) -> pd.DataFrame:
     """Driver-side collect of ``minhash_lsh_pairs_ds`` (the verified pair
     set is tiny; the heavy lifting already happened distributed)."""
-    out = minhash_lsh_pairs_ds(sf_dir, seed, jaccard_threshold).to_pandas()
+    out = minhash_lsh_pairs_ds(sf_dir, seed, jaccard_threshold, shingle=shingle).to_pandas()
     if out.empty:
         return pd.DataFrame(columns=["a", "b", "jaccard"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -329,3 +346,12 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             }
         )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, seed: int = 42, jaccard_threshold: float = 0.8, k: int = 5
+) -> pd.DataFrame:
+    """Character-n-gram Jaccard near-dup pairs: the same banded-LSH +
+    in-bucket exact-verify machinery as the word-shingle path, over char
+    5-gram shingles — finer-grained, robust to word-boundary edits."""
+    return minhash_lsh_pairs(sf_dir, seed, jaccard_threshold, shingle="char")

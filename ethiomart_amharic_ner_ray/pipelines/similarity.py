@@ -30,13 +30,16 @@ def _embedding_matrix(t: pa.Table) -> np.ndarray:
 
 
 def _query_vector(sf_dir: str, query_id: int) -> np.ndarray:
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import os
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    row = t.filter(pc.equal(t.column("vec_id"), query_id))
-    return np.asarray(row.column("embedding").to_pylist()[0], dtype=np.float64)
+    # predicate pushdown: only row groups whose stats admit vec_id survive
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", query_id)],
+    )
+    return np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
 
 
 def q16_knn_cosine(sf_dir: str, query_id: int = 0, k: int = 10) -> pd.DataFrame:
@@ -321,8 +324,17 @@ def knn_self_join(sf_dir: str, k: int = 5, limit_queries: int = 50) -> pd.DataFr
 
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    qt = t.slice(0, limit_queries)
+    # stream row groups and stop as soon as the query slice is filled —
+    # never load the whole table for a handful of query rows
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches = []
+    have = 0
+    for rb in pf.iter_batches(columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        have += rb.num_rows
+        if have >= limit_queries:
+            break
+    qt = pa.Table.from_batches(batches).slice(0, limit_queries)
     qm = _embedding_matrix(qt)
     qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
     qnorm[qnorm == 0] = 1.0

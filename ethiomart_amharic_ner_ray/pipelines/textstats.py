@@ -127,3 +127,21 @@ def rolling_fingerprints(sf_dir: str, window: int = 8, base: int = 257, mod: int
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q26_bpe_token_estimate(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish token count per document: runs of letters, single digits, and
+    single non-alnum-non-space chars (the GPT-2 pre-tokenizer's coarse
+    shape, restricted to RE2-compatible syntax so the DuckDB oracle uses the
+    IDENTICAL pattern). Vectorized: strip everything that is NOT a token
+    start, then count the extracted pieces."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\r\n]"
+
+    def f(t: pa.Table) -> pa.Table:
+        # count_substring_regex counts non-overlapping matches — the same
+        # semantics as DuckDB's len(regexp_extract_all(...))
+        n = pc.count_substring_regex(t.column("text"), pattern)
+        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

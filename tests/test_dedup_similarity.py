@@ -237,3 +237,30 @@ class TestSimhashPairs:
         )
         pd.testing.assert_frame_equal(got.astype(ref.dtypes.to_dict()), ref)
         assert len(got) > 0, "planted duplicates must collide"
+
+
+class TestNgramJaccard:
+    def test_char_shingles_variant_finds_planted_dups(self, ray_session):
+        from ethiomart_amharic_ner_ray.pipelines.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        char_pairs = ngram_jaccard_pairs(sf, jaccard_threshold=0.8)
+        word_pairs = minhash_lsh_pairs(sf, jaccard_threshold=0.7)
+        assert len(char_pairs) > 0
+        # char-5-gram near-dups at >=0.8 must be a subset-ish of word-level
+        # near-dups: every char pair should also be a word-level pair
+        wp = set(zip(word_pairs["a"], word_pairs["b"]))
+        cp = set(zip(char_pairs["a"], char_pairs["b"]))
+        assert cp and cp <= wp
+
+    def test_char_shingles_kernel(self):
+        from ethiomart_amharic_ner_ray.pipelines.dedup import _char_shingles
+
+        assert _char_shingles("") == set()
+        assert len(_char_shingles("ab")) == 1  # shorter than k → whole string
+        s1 = _char_shingles("hello world")
+        s2 = _char_shingles("hello  world")  # whitespace-normalized → equal
+        assert s1 == s2

@@ -80,6 +80,7 @@ SQL_CHECKED = [
     "q23_top_event_per_user_type",
     "q24_best_worst_day",
     "q25_embedding_neardup",
+    "q26_bpe_token_estimate",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
