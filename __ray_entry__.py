@@ -262,11 +262,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fingerprints": textstats.rolling_fingerprints,
         # ANN / batched retrieval (rows-only)
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "kmeans_assign": lambda sf_dir: similarity.kmeans_embeddings(sf_dir)[1],
         "knn_self_join": similarity.knn_self_join,
         # multimodal plumbing (rows-only; decode stubbed per environment).
         # Sized from sf like the transcript fixture so the rows-only check
         # exercises batch sizing under payload growth, not a constant.
         "media_features": lambda sf_dir: multimodal.media_features(
+            max(200, int(20_000 * _sf_of(sf_dir))), seed=42
+        ),
+        "media_frames": lambda sf_dir: multimodal.media_frames(
             max(200, int(20_000 * _sf_of(sf_dir))), seed=42
         ),
         # entity explode + labeled-data prep (rows-only; transcripts-based)

@@ -124,3 +124,97 @@ def media_features(n: int = 200, seed: int = 42, blob_bytes: int = 4096) -> "ray
     return ds.map_batches(
         MediaFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
     )
+
+
+class MediaResizer:
+    """Actor-pool resize stage: payload in, payload out, dims rewritten.
+
+    ``decode="real"`` is the PIL/ffmpeg slot (NotImplementedError here);
+    ``decode="fake"`` derives a deterministic pseudo-resized payload whose
+    size scales with the target pixel area, so batch sizing under payload
+    SHRINK/GROWTH is exercised for real. Keep ``batch_size`` small — the
+    working set is (input + output payload) × batch × concurrency."""
+
+    def __init__(self, target_w: int = 256, target_h: int = 256, decode: str = "fake"):
+        if decode == "real":
+            raise NotImplementedError(
+                "real resize requires PIL/ffmpeg — not in this container."
+            )
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        widths = t.column("width").to_numpy()
+        heights = t.column("height").to_numpy()
+        out_blobs = []
+        for blob, w, h in zip(t.column("blob").to_pylist(), widths, heights):
+            # deterministic stand-in: stretch/shrink the byte stream to the
+            # target-area-proportional size via a seeded digest expansion
+            scale = (self.tw * self.th) / max(int(w) * int(h), 1)
+            target_len = max(16, int(len(blob) * scale))
+            seed = hashlib.blake2b(blob, digest_size=16).digest()
+            reps = (target_len // 16) + 1
+            out_blobs.append((seed * reps)[:target_len])
+        out = t.drop_columns(["blob", "width", "height"])
+        out = out.append_column("width", pa.array(np.full(t.num_rows, self.tw, np.int32)))
+        out = out.append_column("height", pa.array(np.full(t.num_rows, self.th, np.int32)))
+        return out.append_column("blob", pa.array(out_blobs, pa.binary()))
+
+
+class FrameSampler:
+    """Row-expanding frame-sample stage for video payloads: each row becomes
+    ``n_frames`` rows (media_id, frame_idx, ts_frac, frame blob) — the
+    uniform-stride frame sampling shape. The expansion happens inside
+    map_batches (one output table per input batch), so block sizes stay
+    bounded: output bytes ≈ input bytes, rows × n_frames."""
+
+    def __init__(self, n_frames: int = 4, decode: str = "fake"):
+        if decode == "real":
+            raise NotImplementedError(
+                "real frame extraction requires ffmpeg — not in this container."
+            )
+        self.n_frames = n_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, idxs, fracs, blobs = [], [], [], []
+        for mid, blob in zip(t.column("media_id").to_pylist(), t.column("blob").to_pylist()):
+            n = self.n_frames
+            step = max(1, len(blob) // n)
+            for fi in range(n):
+                ids.append(mid)
+                idxs.append(fi)
+                fracs.append(round(fi / n, 6))
+                blobs.append(blob[fi * step : (fi + 1) * step] or b"\x00")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "ts_frac": pa.array(fracs, pa.float32()),
+                "blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+
+def media_frames(n: int = 200, seed: int = 42, n_frames: int = 4) -> "ray.data.Dataset":
+    """Video rows → sampled frames → per-frame features (rows-only check):
+    filter to video, frame-sample (row expansion), featurize each frame —
+    all small-batch actor-pool stages over binary columns."""
+    ds = ray.data.range(n)
+    ds = ds.map_batches(
+        _synth_media_batch,
+        fn_kwargs={"seed": seed, "blob_bytes": 4096},
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+    def only_video(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("media_type"), "video/mp4"))
+
+    ds = ds.map_batches(only_video, batch_format="pyarrow")
+    ds = ds.map_batches(FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+    return ds.map_batches(
+        MediaFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )

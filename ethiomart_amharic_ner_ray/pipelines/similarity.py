@@ -376,3 +376,128 @@ def knn_self_join(sf_dir: str, k: int = 5, limit_queries: int = 50) -> pd.DataFr
         .reset_index(drop=True)
     )
     return out
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 16, iters: int = 10, seed: int = 42
+) -> tuple[np.ndarray, "ray.data.Dataset"]:
+    """Distributed spherical k-means over the embedding column (Lloyd's):
+    per iteration, centroids are broadcast once (ray.put) and every batch
+    emits k partial rows (count + vector sum) — the shuffle-free
+    broadcast/partial-reduce shape; the driver only ever reduces k×dim
+    floats. Deterministic: init = the k lowest-vec_id vectors (predicate
+    pushdown read), ties in assignment break to the lowest cluster id.
+
+    Returns (centroids, assignments Dataset (vec_id, list_id))."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    init = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    c = _embedding_matrix(init.sort_by("vec_id"))
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        ref = ray.put(c)
+        dim = c.shape[1]
+
+        def partial(t: pa.Table, ref=ref, k=k, dim=dim) -> pa.Table:
+            cc = ray.get(ref)
+            m = _embedding_matrix(t)
+            n = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            a = np.argmax((m / n) @ cc.T, axis=1)  # argmax → lowest index wins ties
+            sums = np.zeros((k, dim))
+            np.add.at(sums, a, m / n)
+            counts = np.bincount(a, minlength=k)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "vsum": pa.array(sums.tolist(), pa.list_(pa.float64(), dim)),
+                }
+            )
+
+        agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+        counts = np.zeros(k)
+        sums = np.zeros_like(c)
+        for cl, n_, vs in zip(agg["cluster"], agg["n"], agg["vsum"]):
+            counts[cl] += n_
+            sums[cl] += np.asarray(vs)
+        newc = c.copy()
+        nz = counts > 0
+        newc[nz] = sums[nz] / counts[nz, None]
+        newc = newc / np.maximum(np.linalg.norm(newc, axis=1, keepdims=True), 1e-12)
+        if np.allclose(newc, c, atol=1e-12):
+            c = newc
+            break
+        c = newc
+
+    ref = ray.put(c)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cc = ray.get(ref)
+        m = _embedding_matrix(t)
+        n = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        a = np.argmax((m / n) @ cc.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "list_id": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return c, ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF approximate top-k: spherical-k-means coarse quantizer; a query
+    scans only its ``nprobe`` nearest inverted lists. With
+    nprobe == n_lists this degrades to exact brute force (the property the
+    conformance test pins). At cluster scale the assignment pass writes
+    list-partitioned Parquet once and queries read only their probed
+    partitions — the same partition-pruning story as ann_lsh_topk."""
+    centroids, _ = kmeans_embeddings(sf_dir, k=n_lists, iters=iters, seed=seed)
+    q = _query_vector(sf_dir, query_id)
+    qn = q / np.maximum(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(centroids @ qn))[:nprobe].tolist())
+    ref = ray.put((qn, centroids, frozenset(probe)))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class ListScan:
+        def __init__(self):
+            self._q, self._c, self._probe = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _embedding_matrix(t)
+            n = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            mn = m / n
+            lists = np.argmax(mn @ self._c.T, axis=1)
+            mask = np.isin(lists, list(self._probe))
+            if not mask.any():
+                return pa.table({"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
+            cos = mn[mask] @ self._q
+            df = pd.DataFrame(
+                {"vec_id": t.column("vec_id").to_numpy()[mask], "cos_sim": round_away(cos, 4)}
+            )
+            df = df.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(ListScan, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)).to_pandas()
+    return (
+        cand.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+    )

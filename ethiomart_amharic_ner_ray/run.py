@@ -23,7 +23,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="output dir (mentions/, triples/)")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--normalizer", type=int, default=1, choices=(1, 2))
-    p.add_argument("--extractor", default="regex", choices=("regex", "ner"))
+    p.add_argument("--extractor", default="regex", choices=("regex", "ner", "ner_subword"))
     p.add_argument("--no-link", action="store_true")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)

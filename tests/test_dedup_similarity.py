@@ -264,3 +264,44 @@ class TestNgramJaccard:
         s1 = _char_shingles("hello world")
         s2 = _char_shingles("hello  world")  # whitespace-normalized → equal
         assert s1 == s2
+
+
+class TestIvf:
+    SF = "/root/testdata/sf0.001"
+
+    def test_full_probe_equals_bruteforce(self, ray_session):
+        """nprobe == n_lists scans everything → must equal exact top-k."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import (
+            ann_ivf_topk,
+            q16_knn_cosine,
+        )
+
+        exact = q16_knn_cosine(self.SF)
+        ivf = ann_ivf_topk(self.SF, n_lists=8, nprobe=8)
+        pd.testing.assert_frame_equal(ivf.astype(exact.dtypes.to_dict()), exact)
+
+    def test_partial_probe_recall_sane(self, ray_session):
+        from ethiomart_amharic_ner_ray.pipelines.similarity import (
+            ann_ivf_topk,
+            q16_knn_cosine,
+        )
+
+        exact = set(q16_knn_cosine(self.SF)["vec_id"])
+        approx = set(ann_ivf_topk(self.SF, n_lists=8, nprobe=4)["vec_id"])
+        assert len(exact & approx) >= 3  # includes the query's own list
+
+    def test_kmeans_deterministic_and_total(self, ray_session):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import kmeans_embeddings
+
+        c1, a1 = kmeans_embeddings(self.SF, k=8, iters=4)
+        c2, a2 = kmeans_embeddings(self.SF, k=8, iters=4)
+        assert np.allclose(c1, c2)
+        d1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        d2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(d1, d2)
+        assert d1["list_id"].between(0, 7).all()
+        assert len(d1) == 500  # every vector assigned exactly once

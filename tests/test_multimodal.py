@@ -1,0 +1,67 @@
+"""Multimodal binary-column plumbing: featurize, resize, frame-sample.
+
+Decoders are environment-stubbed; everything Ray-side (schemas, batch
+shapes, actor signatures, row expansion, payload scaling) is real."""
+
+import numpy as np
+import pytest
+
+from ethiomart_amharic_ner_ray.pipelines.multimodal import (
+    FEATURE_DIM,
+    FrameSampler,
+    MediaFeaturizer,
+    MediaResizer,
+    media_features,
+    media_frames,
+    synth_media_table,
+)
+
+
+class TestStages:
+    def test_featurizer_deterministic(self):
+        t = synth_media_table(16, seed=7)
+        f = MediaFeaturizer()
+        o1, o2 = f(t), f(t)
+        assert o1.equals(o2)
+        assert o1.column("features").type.list_size == FEATURE_DIM
+        assert "blob" not in o1.schema.names  # payload replaced by features
+        assert o1.column("blob_bytes").to_pylist() == [4096] * 16
+
+    def test_resizer_scales_payload_with_target_area(self):
+        t = synth_media_table(8, seed=7)
+        small = MediaResizer(64, 64)(t)
+        big = MediaResizer(1024, 1024)(t)
+        assert small.column("width").to_pylist() == [64] * 8
+        s_bytes = [len(b) for b in small.column("blob").to_pylist()]
+        b_bytes = [len(b) for b in big.column("blob").to_pylist()]
+        assert sum(b_bytes) > sum(s_bytes)
+        # deterministic
+        again = MediaResizer(64, 64)(t)
+        assert again.equals(small)
+
+    def test_frame_sampler_expands_rows(self):
+        t = synth_media_table(6, seed=7)
+        out = FrameSampler(n_frames=4)(t)
+        assert out.num_rows == 24
+        assert sorted(set(out.column("frame_idx").to_pylist())) == [0, 1, 2, 3]
+        # frames partition the payload prefix; all non-empty
+        assert all(len(b) > 0 for b in out.column("blob").to_pylist())
+
+    @pytest.mark.parametrize("cls", [MediaFeaturizer, MediaResizer, FrameSampler])
+    def test_real_decode_is_clearly_stubbed(self, cls):
+        with pytest.raises(NotImplementedError):
+            cls(decode="real")
+
+
+class TestPipelines:
+    def test_media_features_scales_with_n(self, ray_session):
+        assert media_features(64, seed=42).count() == 64
+        assert media_features(128, seed=42).count() == 128
+
+    def test_media_frames_end_to_end(self, ray_session):
+        ds = media_frames(60, seed=42, n_frames=4)
+        df = ds.to_pandas()
+        # every third synthetic row is video/mp4 → 20 videos × 4 frames
+        assert len(df) == 80
+        assert {"media_id", "frame_idx", "ts_frac", "blob_bytes", "features"} <= set(df.columns)
+        assert df.groupby("media_id").size().eq(4).all()
