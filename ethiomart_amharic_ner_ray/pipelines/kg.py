@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -155,55 +156,64 @@ def flatten_mentions(batch: pa.Table) -> pa.Table:
     )
 
 
+_PRED_OF = {
+    "PRODUCT": "sells",
+    "PRICE": "priced_at",
+    "LOC": "located_in",
+    "PHONE": "reachable_at",
+}
+
+
 def _emit_triples_bucket(df: pd.DataFrame, extractor_name: str) -> pd.DataFrame:
     """One conv-hash bucket of FLAT mention rows: stable-sort by
-    (conv_id, turn_idx, ord), scan each conversation in order carrying the
-    last seen product. Pure + deterministic."""
+    (conv_id, turn_idx, ord), then a VECTORIZED carry-last-product scan:
+    within each conversation, the most recent PRODUCT norm at-or-before a
+    row is a per-conv forward fill (sorted frame + groupby.ffill), so
+    PRICE/LOC subjects come from `ffill → fillna(seller)` with no Python
+    row loop. Pure + deterministic; equality with the sequential scan is
+    pinned by the oracle conformance tests."""
     df = df.sort_values(["conv_id", "turn_idx", "ord"], kind="mergesort")
-    subj_l: list[str] = []
-    pred_l: list[str] = []
-    obj_l: list[str] = []
-    conv_l: list[str] = []
-    tidx_l: list[int] = []
-
-    last_conv = None
-    last_product = None
-    for conv_id, turn_idx, seller, et, norm in zip(
-        df["conv_id"].to_numpy(),
-        df["turn_idx"].to_numpy(),
-        df["seller"].to_numpy(),
-        df["etype"].to_numpy(),
-        df["norm"].to_numpy(),
-    ):
-        if conv_id != last_conv:
-            last_conv = conv_id
-            last_product = None
-        if et == "PRODUCT":
-            last_product = norm
-            subj, pred = seller, "sells"
-        elif et == "PRICE":
-            subj, pred = (last_product or seller), "priced_at"
-        elif et == "LOC":
-            subj, pred = (last_product or seller), "located_in"
-        elif et == "PHONE":
-            subj, pred = seller, "reachable_at"
-        else:
-            continue
-        subj_l.append(subj)
-        pred_l.append(pred)
-        obj_l.append(norm)
-        conv_l.append(conv_id)
-        tidx_l.append(int(turn_idx))
-
+    df = df[df["etype"].isin(_PRED_OF.keys())]
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "subj": pd.array([], dtype="object"),
+                "pred": pd.array([], dtype="object"),
+                "obj": pd.array([], dtype="object"),
+                "conv_id": pd.array([], dtype="object"),
+                "turn_idx": pd.array([], dtype="int32"),
+                "extractor": pd.array([], dtype="object"),
+                "confidence": pd.array([], dtype="float32"),
+            }
+        )
+    et = df["etype"].to_numpy()
+    is_product = et == "PRODUCT"
+    # last product seen at-or-before each row, never crossing conversations:
+    # cummax of product row indices vs cummax of conversation-start indices
+    # — pure numpy, no per-group work. Empty-string product norms are
+    # filtered upstream (flatten drops them), so index validity is the only
+    # "no product yet" marker.
+    idx = np.arange(len(df))
+    conv = df["conv_id"].to_numpy()
+    new_conv = np.empty(len(df), bool)
+    new_conv[0] = True
+    np.not_equal(conv[1:], conv[:-1], out=new_conv[1:])
+    conv_start = np.maximum.accumulate(np.where(new_conv, idx, 0))
+    last_prod_idx = np.maximum.accumulate(np.where(is_product, idx, -1))
+    has_prod = last_prod_idx >= conv_start
+    norms = df["norm"].to_numpy()
+    sellers = df["seller"].to_numpy()
+    carried = np.where(has_prod, norms[np.maximum(last_prod_idx, 0)], sellers)
+    subj = np.where(np.isin(et, ("PRICE", "LOC")), carried, sellers)
     return pd.DataFrame(
         {
-            "subj": subj_l,
-            "pred": pred_l,
-            "obj": obj_l,
-            "conv_id": conv_l,
-            "turn_idx": pd.array(tidx_l, dtype="int32"),
+            "subj": subj,
+            "pred": df["etype"].map(_PRED_OF).to_numpy(),
+            "obj": df["norm"].to_numpy(),
+            "conv_id": df["conv_id"].to_numpy(),
+            "turn_idx": df["turn_idx"].astype("int32").to_numpy(),
             "extractor": extractor_name,
-            "confidence": pd.array([1.0] * len(subj_l), dtype="float32"),
+            "confidence": pd.array([1.0] * len(df), dtype="float32"),
         }
     )
 
