@@ -94,7 +94,12 @@ def _kg_scorecards(sf_dir: str):
     from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
     from ethiomart_amharic_ner_ray.pipelines.scorecard import seller_scorecards
 
-    return seller_scorecards(build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8)))
+    # seller_scorecards consumes its input TWICE (turn-stat + mention-stat
+    # branches), so hand it a materialized dataset — a lazy actor-pool chain
+    # executed by both union branches can deadlock at low CPU counts. The
+    # cluster path feeds Parquet-backed mentions instead (no object-store pin).
+    mentions = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8)).materialize()
+    return seller_scorecards(mentions)
 
 
 def _kg_mentions_exploded(sf_dir: str):
@@ -235,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_asof_last_signup": windows.q17_asof_last_signup,
         "q18_hourly_windows": windows.q18_hourly_windows,
         "q21_sessionize": windows.q21_sessionize,
+        "q27_range_join_count": windows.q27_range_join_count,
         # joins / per-group top-k / temporal trend (SQL-checked)
         "q22_customers_without_orders": relational.q22_customers_without_orders,
         "q23_top_event_per_user_type": scorecard.q23_top_event_per_user_type,
@@ -252,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_turncounts": _kg_seller_turncounts,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
+        "kg_scorecard_summary": lambda sf_dir: __import__(
+            "ethiomart_amharic_ner_ray.pipelines.scorecard", fromlist=["scorecard_summary"]
+        ).scorecard_summary(_kg_scorecards(sf_dir)),
         # near-dup / sketch family (rows-only)
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_clusters": dedup.minhash_dedup,
@@ -468,6 +477,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "q27_range_join_count": """
+            SELECT a.event_id, count(b.event_id) AS n_prior
+            FROM events a LEFT JOIN events b
+              ON b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts
+            GROUP BY a.event_id
         """,
         "q22_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

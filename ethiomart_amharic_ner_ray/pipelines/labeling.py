@@ -172,3 +172,50 @@ def quality_report(prepared_ds: "ray.data.Dataset") -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+def export_conll(prepared_ds: "ray.data.Dataset", out_dir: str) -> dict:
+    """Distributed CoNLL export (S8/S9 at scale): each task writes its
+    block's sentences as one atomic shard file under
+    ``<out_dir>/<split>/part-<taskid>-<blockid>.conll`` — no driver-side
+    sentence materialization, resumable at the directory level (rerun
+    overwrites shards atomically; readers glob the directory). Returns
+    per-split sentence counts."""
+    import os
+
+    from ..functions.conll import write_conll
+
+    os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "val"), exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        # shard name = content hash → deterministic layout, idempotent rerun
+        shard = hashlib.blake2b(
+            "\x00".join(" ".join(t) for t in batch.column("tokens").to_pylist()[:64]).encode("utf-8"),
+            digest_size=6,
+        ).hexdigest()
+        counts = {"train": 0, "val": 0}
+        by_split: dict[str, list] = {"train": [], "val": []}
+        for tokens, tags, split in zip(
+            batch.column("tokens").to_pylist(),
+            batch.column("tags").to_pylist(),
+            batch.column("split").to_pylist(),
+        ):
+            by_split[split].append(list(zip(tokens, tags)))
+        for split, sents in by_split.items():
+            if sents:
+                write_conll(sents, os.path.join(out_dir, split, f"part-{shard}.conll"))
+                counts[split] += len(sents)
+        return pa.table(
+            {
+                "split": pa.array(["train", "val"], pa.string()),
+                "n": pa.array([counts["train"], counts["val"]], pa.int64()),
+            }
+        )
+
+    parts = prepared_ds.map_batches(write_shard, batch_format="pyarrow", batch_size=4096)
+    totals = {"train": 0, "val": 0}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for s, n in zip(b.column("split").to_pylist(), b.column("n").to_pylist()):
+            totals[s] += n
+    return totals

@@ -277,7 +277,11 @@ def seller_scorecards(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     raw columns; mention stats run over the FLAT mention rows
     (kg.flatten_mentions) with vectorized splits; product variety travels
     as distinct (seller, product) partial ROWS (counted with nunique in the
-    final), never as Python sets."""
+    final), never as Python sets.
+
+    The two partial branches each consume ``mentions_ds``, so pass a
+    MATERIALIZED or Parquet-backed dataset — a lazy actor-pool chain
+    executed by both union branches can deadlock at low CPU counts."""
     import pyarrow as pa
 
     from .kg import flatten_mentions
@@ -343,3 +347,33 @@ def seller_scorecards(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         ].astype({"total_turns": "int64", "total_products": "int64", "product_variety": "int64"})
 
     return bucketed_group_agg(partials, ["seller"], final, n_buckets=32)
+
+
+def scorecard_summary(scorecards_ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Run-level vendor-analytics summary — the engine-side analogue of the
+    reference's report/visualization branch (SURVEY.md §2 S10/S13; charts
+    replaced by a tidy (metric, value) frame a dashboard can render).
+    Input is the per-seller scorecard AGGREGATE (one row per seller — small
+    by construction), so the driver-side collect here is bounded by seller
+    cardinality, not corpus size."""
+    df = scorecards_ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"metric": pd.array([], dtype="object"), "value": pd.array([], dtype="object")})
+    priced = df[df["avg_price"] > 0]
+    top = df.sort_values(["total_products", "seller"], ascending=[False, True]).head(5)
+    rows = [
+        ("n_sellers", str(len(df))),
+        ("total_turns", str(int(df["total_turns"].sum()))),
+        ("total_product_mentions", str(int(df["total_products"].sum()))),
+        ("mean_product_variety", str(round_away(float(df["product_variety"].mean()), 4))),
+        ("n_sellers_with_prices", str(len(priced))),
+        (
+            "median_avg_price",
+            str(round_away(float(priced["avg_price"].median()), 4)) if len(priced) else "0.0",
+        ),
+        ("first_activity", str(df["first_ts"].min())),
+        ("last_activity", str(df["last_ts"].max())),
+    ]
+    for rank, r in enumerate(top.itertuples(), 1):
+        rows.append((f"top{rank}_seller", f"{r.seller}:{int(r.total_products)}"))
+    return pd.DataFrame(rows, columns=["metric", "value"])

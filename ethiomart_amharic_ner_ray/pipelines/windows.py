@@ -95,3 +95,63 @@ def q17_asof_last_signup(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q27_range_join_count(sf_dir: str, window_minutes: int = 5) -> "ray.data.Dataset":
+    """Band/range join WITHOUT an equality key: for every event, count the
+    events (any user) with ts in [ts − W, ts) — strictly earlier, window W.
+
+    Distributed shape (the time-bin co-partition trick for pure range
+    joins): bin the time axis at width W. A left event in bin k only needs
+    right events from bins {k−1, k}, so rights are emitted to their own bin
+    AND the next one; ONE groupby on the bin co-locates every candidate
+    pair exactly once; inside a bin the count is two vectorized
+    searchsorted probes against the bin's sorted right timestamps — never a
+    pairwise product. Skew note: a hot W-wide burst concentrates in one
+    bin; at cluster scale shrink the bin width below W and emit rights to
+    ceil(W/bin)+1 bins (same math), which re-spreads hot windows."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    w = pd.Timedelta(minutes=window_minutes)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        # normalize to ns regardless of the parquet's datetime resolution
+        bins = (df["ts"].astype("datetime64[ns]").astype("int64") // int(w.value)).astype("int64")
+        left = pd.DataFrame(
+            {"bin": bins, "event_id": df["event_id"], "ts": df["ts"], "side": 0}
+        )
+        rights = pd.concat(
+            [
+                pd.DataFrame({"bin": bins, "event_id": df["event_id"], "ts": df["ts"], "side": 1}),
+                pd.DataFrame({"bin": bins + 1, "event_id": df["event_id"], "ts": df["ts"], "side": 1}),
+            ],
+            ignore_index=True,
+        )
+        return pd.concat([left, rights], ignore_index=True)
+
+    def count_in_bin(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("bin", sort=False):
+            lefts = g[g["side"] == 0]
+            if lefts.empty:
+                continue
+            rts = np.sort(g.loc[g["side"] == 1, "ts"].to_numpy().astype("datetime64[ns]").astype("int64"))
+            lt = lefts["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            lo = np.searchsorted(rts, lt - int(w.value), side="left")
+            hi = np.searchsorted(rts, lt, side="left")
+            outs.append(
+                pd.DataFrame(
+                    {"event_id": lefts["event_id"].to_numpy(), "n_prior": (hi - lo).astype("int64")}
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {"event_id": pd.array([], dtype="int64"), "n_prior": pd.array([], dtype="int64")}
+            )
+        )
+
+    emitted = ds.map_batches(emit, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(emitted, ["bin"], count_in_bin, n_buckets=64)

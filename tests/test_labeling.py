@@ -99,3 +99,36 @@ class TestExplode:
         out = explode_entities(t)
         assert out.column("has_price").to_pylist() == [False]
         assert out.column("prices").to_pylist() == [[]]
+
+
+class TestConllExport:
+    def test_export_roundtrip(self, ray_session, tiny_transcripts_dir, tmp_path):
+        """Distributed shard export → read back via the CoNLL reader →
+        sentence multiset identical to the prepared dataset."""
+        import glob
+
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.functions.conll import read_conll
+        from ethiomart_amharic_ner_ray.pipelines.labeling import (
+            export_conll,
+            prepare_labeled,
+            sentences_from_transcripts,
+        )
+
+        ds = rd.read_parquet(sorted(glob.glob(tiny_transcripts_dir + "/*.parquet")))
+        prepared = prepare_labeled(sentences_from_transcripts(ds)).materialize()
+        out = str(tmp_path / "conll")
+        totals = export_conll(prepared, out)
+
+        df = prepared.to_pandas()
+        expect = {"train": int((df["split"] == "train").sum()), "val": int((df["split"] == "val").sum())}
+        assert totals == expect
+
+        got = []
+        for split in ("train", "val"):
+            for f in glob.glob(f"{out}/{split}/part-*.conll"):
+                got.extend(read_conll(f))
+        want = [list(zip(t, g)) for t, g in zip(df["tokens"], df["tags"])]
+        key = lambda s: tuple(map(tuple, s))
+        assert sorted(map(key, got)) == sorted(map(key, want))

@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "q24_best_worst_day",
     "q25_embedding_neardup",
     "q26_bpe_token_estimate",
+    "q27_range_join_count",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01

@@ -166,3 +166,28 @@ class TestSellerScorecardsVectorized:
             )
         ref = pd.DataFrame(rows).sort_values("seller").reset_index(drop=True)
         pd.testing.assert_frame_equal(new.astype(ref.dtypes.to_dict()), ref)
+
+
+class TestScorecardSummary:
+    def test_summary_shape_and_consistency(self, ray_session, tiny_transcripts_dir):
+        import glob
+
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+        from ethiomart_amharic_ner_ray.pipelines.scorecard import (
+            scorecard_summary,
+            seller_scorecards,
+        )
+
+        ds = rd.read_parquet(sorted(glob.glob(tiny_transcripts_dir + "/*.parquet")))
+        mentions = build_mentions(ds, concurrency=2).materialize()
+        cards = seller_scorecards(mentions).materialize()
+        rep = scorecard_summary(cards).set_index("metric")["value"]
+        df = cards.to_pandas()
+        assert int(rep["n_sellers"]) == len(df)
+        assert int(rep["total_turns"]) == int(df["total_turns"].sum())
+        assert int(rep["total_product_mentions"]) == int(df["total_products"].sum())
+        assert rep.index.str.startswith("top1_seller").any()
+        top1 = rep["top1_seller"].split(":")[0]
+        assert top1 == df.sort_values(["total_products", "seller"], ascending=[False, True]).iloc[0]["seller"]
