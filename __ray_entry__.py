@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_hourly_windows": windows.q18_hourly_windows,
         "q21_sessionize": windows.q21_sessionize,
         "q27_range_join_count": windows.q27_range_join_count,
+        "q28_sliding_windows": windows.q28_sliding_windows,
         # joins / per-group top-k / temporal trend (SQL-checked)
         "q22_customers_without_orders": relational.q22_customers_without_orders,
         "q23_top_event_per_user_type": scorecard.q23_top_event_per_user_type,
@@ -483,6 +484,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events a LEFT JOIN events b
               ON b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts
             GROUP BY a.event_id
+        """,
+        "q28_sliding_windows": """
+            SELECT user_id,
+                   (CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k) * 900 AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+            GROUP BY 1, 2
         """,
         "q22_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

