@@ -250,3 +250,63 @@ def ensure_transcripts_parallel(
     tmp.write_text(params)
     os.replace(tmp, marker)
     return str(out_dir)
+
+
+from ray.data.datasource import Datasource as _RayDatasource
+
+
+class TranscriptSynthDatasource(_RayDatasource):
+    """Custom ``ray.data.Datasource`` for transcript ingestion — the S1
+    (live channel reader) extension slot done idiomatically: the driver
+    plans N ReadTasks with row-count metadata; each task generates its
+    deterministic conversation chunk INSIDE the read (seed + conv-id offset
+    per chunk, like ensure_transcripts_parallel), so ingestion streams
+    straight into the pipeline with no staging files. A real live source
+    swaps the generator body for an API pager per task while keeping the
+    planning/metadata shape.
+
+    Use: ``ray.data.read_datasource(TranscriptSynthDatasource(n_turns))``.
+    """
+
+    def __init__(self, n_turns: int, seed: int = 42, n_sellers: int = 200, n_chunks: int = 32):
+        self.n_turns = n_turns
+        self.seed = seed
+        self.n_sellers = n_sellers
+        self.n_chunks = max(1, min(n_chunks, max(1, n_turns // 100)))
+
+    # --- ray.data.Datasource protocol ---------------------------------------
+
+    def get_name(self) -> str:
+        return "TranscriptSynth"
+
+    def estimate_inmemory_data_size(self):
+        return int(self.n_turns * 220)  # ≈ bytes/turn of the synth schema
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data import ReadTask
+        from ray.data.block import BlockMetadata
+
+        n_chunks = self.n_chunks
+        per = self.n_turns // n_chunks
+        tasks = []
+        for ci in range(n_chunks):
+            n = per if ci < n_chunks - 1 else self.n_turns - per * (n_chunks - 1)
+            if n <= 0:
+                continue
+            seed_i = self.seed + 7919 * ci
+            base = ci * (per * 4 + 1024)  # disjoint conv-id ranges per chunk
+
+            def gen(n=n, seed_i=seed_i, base=base, ns=self.n_sellers):
+                yield generate_transcripts(n, seed=seed_i, n_sellers=ns, conv_base=base)
+
+            meta = BlockMetadata(
+                num_rows=None,  # generator may round up to whole conversations
+                size_bytes=int(n * 220),
+                exec_stats=None,
+                input_files=None,
+            )
+            tasks.append(ReadTask(gen, meta))
+        return tasks
+
+    def supports_distributed_reads(self) -> bool:
+        return True

@@ -85,3 +85,31 @@ class TestEmptyAggregates:
             )
         )
         assert prepare_labeled(ds).count() == 0
+
+
+class TestNullAndEmptyText:
+    def test_null_text_turns_are_skipped_not_fatal(self, ray_session):
+        """NULL / empty text turns flow through normalize+extract+triples
+        without error and contribute no mentions."""
+        import datetime
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+        from ethiomart_amharic_ner_ray.schemas import TRANSCRIPT_SCHEMA
+
+        ts = datetime.datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "conv_id": pa.array(["s1-c1", "s1-c1", "s2-c2", "s2-c2"]),
+                "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+                "role": pa.array(["user", "assistant", "user", "assistant"]),
+                "text": pa.array(["phone 0911234567", None, "", "ዋጋ 500 ብር"]),
+                "tool": pa.array([None, None, "t", None]),
+                "ts": pa.array([ts] * 4, pa.timestamp("us")),
+            },
+            schema=TRANSCRIPT_SCHEMA,
+        )
+        out = kg_triples(rd.from_arrow(t), n_buckets=2, concurrency=2).to_pandas()
+        assert set(zip(out["subj"], out["pred"])) == {("s1", "reachable_at"), ("s2", "priced_at")}

@@ -80,3 +80,45 @@ class TestConll:
         p = tmp_path / "m.conll"
         p.write_text("good\tO\nbadline\n\n", encoding="utf-8")
         assert read_conll(p) == [[("good", "O")]]
+
+
+class TestSynthDatasource:
+    def test_read_datasource_streams_chunks(self, ray_session):
+        """S1 slot: the custom Datasource plans per-chunk ReadTasks whose
+        output feeds the flagship directly — same schema, valid triples."""
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+        from ethiomart_amharic_ner_ray.schemas import TRANSCRIPT_SCHEMA
+        from ethiomart_amharic_ner_ray.sources.transcripts import TranscriptSynthDatasource
+
+        ds = rd.read_datasource(TranscriptSynthDatasource(2000, seed=5, n_chunks=4))
+        n = ds.count()
+        assert n >= 2000  # whole conversations may round up
+        assert set(ds.schema().names) == set(TRANSCRIPT_SCHEMA.names)
+        tr = kg_triples(ds, n_buckets=4, concurrency=2).to_pandas()
+        assert len(tr) > 0
+        assert set(tr["pred"]) <= {"sells", "priced_at", "located_in", "reachable_at"}
+
+    def test_datasource_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.sources.transcripts import TranscriptSynthDatasource
+
+        a = rd.read_datasource(TranscriptSynthDatasource(1500, seed=9, n_chunks=3)).to_pandas()
+        b = rd.read_datasource(TranscriptSynthDatasource(1500, seed=9, n_chunks=3)).to_pandas()
+        key = ["conv_id", "turn_idx"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_chunks_have_disjoint_conversations(self, ray_session):
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.sources.transcripts import TranscriptSynthDatasource
+
+        df = rd.read_datasource(TranscriptSynthDatasource(1200, seed=2, n_chunks=3)).to_pandas()
+        # each (conv_id) appears with contiguous turn_idx 0..n-1 exactly once
+        g = df.groupby("conv_id")["turn_idx"]
+        assert (g.min() == 0).all()
+        assert (g.max() + 1 == g.size()).all()
