@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q28_sliding_windows": windows.q28_sliding_windows,
         # joins / per-group top-k / temporal trend (SQL-checked)
         "q22_customers_without_orders": relational.q22_customers_without_orders,
+        "q29_deterministic_sample": relational.q29_deterministic_sample,
+        "q30_distinct_pairs": relational.q30_distinct_pairs,
         "q23_top_event_per_user_type": scorecard.q23_top_event_per_user_type,
         "q24_best_worst_day": scorecard.q24_best_worst_day,
         "q25_embedding_neardup": similarity.q25_embedding_neardup,
@@ -497,6 +499,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN
                 (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "q29_deterministic_sample": """
+            SELECT event_id, event_type FROM events
+            WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '29'
+        """,
+        "q30_distinct_pairs": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "q23_top_event_per_user_type": """
             WITH m AS (

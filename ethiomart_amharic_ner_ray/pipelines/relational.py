@@ -289,3 +289,40 @@ def q20_supplier_nation(sf_dir: str) -> "ray.data.Dataset":
 
     partials = joined.map_batches(partial, batch_format="pandas")
     return bucketed_group_agg(partials, ["n_name"], final, n_buckets=4)
+
+
+def q29_deterministic_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic content-hash sampling (§2.6 sampling parity): keep an
+    event iff the first 2 hex chars of md5(event_id) sort below '29' —
+    ≈16% rate, stable under resharding/resume (never RNG state), identical
+    predicate on the DuckDB side. Stratification across event types falls
+    out of hashing the id, not the type."""
+    import hashlib
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode("ascii")).hexdigest()[:2] < "29" for i in ids
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q30_distinct_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct (§2.7 unique parity): distinct (user_id, event_type) pairs
+    via per-batch drop_duplicates partials → bucketed final distinct —
+    the two-phase shape, so a hot pair never concentrates raw rows."""
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df):
+        return df.drop_duplicates()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(
+        partials, ["user_id", "event_type"], lambda df: df.drop_duplicates(), n_buckets=32
+    )

@@ -83,6 +83,8 @@ SQL_CHECKED = [
     "q26_bpe_token_estimate",
     "q27_range_join_count",
     "q28_sliding_windows",
+    "q29_deterministic_sample",
+    "q30_distinct_pairs",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
