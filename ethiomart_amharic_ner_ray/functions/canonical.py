@@ -50,8 +50,16 @@ _WS_RE = re.compile(r"\s+")
 _COMMA = re.compile(r",")
 
 
+# every codepoint the fold map touches, as one C-speed scan: translate()
+# with a large table costs a dict probe per char, so skipping texts with no
+# foldable char is a measured win on mixed-script corpora (identity there)
+_FOLDABLE_RE = re.compile("[" + "".join(chr(c) for c in sorted(_FOLD_MAP)) + "]")
+
+
 def fold_ethiopic(text: str) -> str:
     """Fold Amharic homophone consonant rows to one canonical row."""
+    if _FOLDABLE_RE.search(text) is None:
+        return text
     return text.translate(_FOLD_MAP)
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-from .canonical import canon_phone, canon_price, canon_text
+from .canonical import canon_phone, canon_price, canon_text, fold_ethiopic
 from .textnorm import PHONE_RE_V1, PHONE_RE_V2, PRICE_RE_V1, PRODUCT_RE_V1
 
 # Default location gazetteer: Addis Ababa commercial districts seen in the
@@ -143,8 +143,6 @@ def extract_mentions(
         )
 
     if loc_pattern is not None:
-        from .canonical import fold_ethiopic
-
         folded = fold_ethiopic(clean_text)  # 1:1 chars → spans index clean_text
         for m in loc_pattern.finditer(folded):
             surface = clean_text[m.start() : m.end()]
