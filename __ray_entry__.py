@@ -161,6 +161,38 @@ def _kg_seller_turncounts(sf_dir: str):
     return bucketed_group_agg(ds, ["seller"], final, n_buckets=32)
 
 
+def _kg_extractor_disagreement(sf_dir: str):
+    """T3-adjacent diagnostics (reference interpret failure-case analysis):
+    per-predicate agreement between the regex and NER extraction paths on
+    the same input — n_both / n_regex_only / n_ner_only / jaccard. The NER
+    path legitimately diverges where IOB2 repair (SKU demotion) splits
+    spans; this report quantifies exactly where."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import round_away
+    from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+    ds = _transcripts_ds(sf_dir).limit(20000)
+    rx = kg_triples(ds, extractor="regex", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False).to_pandas()
+    nr = kg_triples(ds, extractor="ner", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False).to_pandas()
+    rows = []
+    for pred in sorted(set(rx["pred"]) | set(nr["pred"])):
+        a = set(map(tuple, rx.loc[rx["pred"] == pred, ["subj", "obj"]].itertuples(index=False)))
+        b = set(map(tuple, nr.loc[nr["pred"] == pred, ["subj", "obj"]].itertuples(index=False)))
+        both = len(a & b)
+        union = len(a | b)
+        rows.append(
+            {
+                "pred": pred,
+                "n_both": both,
+                "n_regex_only": len(a - b),
+                "n_ner_only": len(b - a),
+                "jaccard": round_away(both / union, 4) if union else 1.0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def _kg_pr_report(sf_dir: str):
     """A9 full parity: per-entity-type P/R/F1/support report of the engine's
     distributed mention extraction vs the sequential reference oracle
@@ -261,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_turncounts": _kg_seller_turncounts,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
+        "kg_extractor_disagreement": _kg_extractor_disagreement,
         "kg_scorecard_summary": lambda sf_dir: __import__(
             "ethiomart_amharic_ner_ray.pipelines.scorecard", fromlist=["scorecard_summary"]
         ).scorecard_summary(_kg_scorecards(sf_dir)),

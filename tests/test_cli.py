@@ -86,3 +86,12 @@ class TestSubwordPipelineParity:
         a = nr[key].sort_values(key).reset_index(drop=True)
         b = sw[key].sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestDisagreementReport:
+    def test_phone_row_perfect_and_counts_consistent(self, ray_session, monkeypatch):
+        import __ray_entry__ as e
+
+        rep = e.queries()["kg_extractor_disagreement"]("/root/testdata/sf0.001").set_index("pred")
+        assert rep.loc["reachable_at", "jaccard"] == 1.0  # identical semantics
+        assert (rep["n_both"] + rep["n_regex_only"] + rep["n_ner_only"] > 0).all()
