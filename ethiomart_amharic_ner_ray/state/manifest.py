@@ -60,6 +60,23 @@ def clean_unfinished_buckets(out_dir: str | Path, done: set[int]) -> list[int]:
     return removed
 
 
+def manifest_rows(out_dir: str | Path, fingerprint: str) -> dict[int, int]:
+    """Per-bucket row counts recorded at commit time — lets resume report
+    totals without re-reading any Parquet footer."""
+    mdir = _manifest_dir(out_dir)
+    rows: dict[int, int] = {}
+    if not mdir.is_dir():
+        return rows
+    for p in mdir.glob("bucket=*.json"):
+        try:
+            meta = json.loads(p.read_text())
+        except (ValueError, OSError):
+            continue
+        if meta.get("fingerprint") == fingerprint and "rows" in meta:
+            rows[int(p.stem.split("=")[1])] = int(meta["rows"])
+    return rows
+
+
 def drop_manifests(out_dir: str | Path) -> None:
     """Remove ALL manifests for a stage (the resume=False reset path).
 
