@@ -93,6 +93,10 @@ def run_bench() -> dict:
         "q17_asof_last_signup",
         "q18_hourly_windows",
         "dedup_minhash_pairs",
+        # round-2 additions (keys absent from BENCH_r01 — compared from r02 on)
+        "q25_embedding_neardup",
+        "q27_range_join_count",
+        "q28_sliding_windows",
     ]
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         picks = []
