@@ -218,3 +218,36 @@ def media_frames(n: int = 200, seed: int = 42, n_frames: int = 4) -> "ray.data.D
     return ds.map_batches(
         MediaFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
     )
+
+
+def archive_media_zips(media_ds: "ray.data.Dataset", out_dir: str, group_col: str = "conv_id") -> int:
+    """S3 parity (reference per-channel ZIP archiver) at engine scale: one
+    ZIP per ``group_col`` group, written INSIDE the grouped task (atomic
+    tmp+rename) — the driver never sees a blob. Entry names are
+    ``<media_id>.bin``; groups are hash-bucketed like every other wide op.
+    Returns the number of archives written."""
+    import os
+    import zipfile
+
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_zips(df: pd.DataFrame) -> pd.DataFrame:
+        names = []
+        for key, g in df.groupby(group_col, sort=False):
+            path = os.path.join(out_dir, f"{key}.zip")
+            tmp = path + ".tmp"
+            with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_STORED) as zf:
+                for r in g.itertuples():
+                    zf.writestr(f"{r.media_id}.bin", bytes(r.blob))
+            os.replace(tmp, path)
+            names.append(str(key))
+        return pd.DataFrame({"archive": names})
+
+    out = bucketed_group_agg(
+        media_ds.select_columns([group_col, "media_id", "blob"]), [group_col], write_zips, n_buckets=32
+    )
+    return out.count()

@@ -65,3 +65,38 @@ class TestPipelines:
         assert len(df) == 80
         assert {"media_id", "frame_idx", "ts_frac", "blob_bytes", "features"} <= set(df.columns)
         assert df.groupby("media_id").size().eq(4).all()
+
+
+class TestZipArchiver:
+    def test_one_zip_per_group_with_all_blobs(self, ray_session, tmp_path):
+        import glob
+        import zipfile
+
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.multimodal import (
+            archive_media_zips,
+            synth_media_table,
+        )
+
+        t = synth_media_table(60, seed=4)
+        n = archive_media_zips(rd.from_arrow(t), str(tmp_path / "zips"))
+        groups = set(t.column("conv_id").to_pylist())
+        assert n == len(groups)
+        files = glob.glob(str(tmp_path / "zips" / "*.zip"))
+        assert len(files) == len(groups)
+        # spot-check one group's archive restores the exact payloads
+        conv = sorted(groups)[0]
+        want = {
+            f"{m}.bin": b
+            for m, c, b in zip(
+                t.column("media_id").to_pylist(),
+                t.column("conv_id").to_pylist(),
+                t.column("blob").to_pylist(),
+            )
+            if c == conv
+        }
+        with zipfile.ZipFile(tmp_path / "zips" / f"{conv}.zip") as zf:
+            got = {n: zf.read(n) for n in zf.namelist()}
+        assert got == want
+        assert not glob.glob(str(tmp_path / "zips" / "*.tmp"))  # atomic

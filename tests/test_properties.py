@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis) for the pure kernels — the invariants
+that must hold for EVERY input, not just fixtures: IOB2 repair/validate
+laws, BIO decode/align round-trips, canonicalization idempotence, rounding
+parity with DuckDB, salted/bucketed hashing determinism."""
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ethiomart_amharic_ner_ray.functions.canonical import canon_text, fold_ethiopic
+from ethiomart_amharic_ner_ray.functions.iob import (
+    bio_decode,
+    fix_entity_tags,
+    validate_sentence,
+)
+from ethiomart_amharic_ner_ray.functions.subword import (
+    IGNORE_INDEX,
+    LABEL2ID,
+    MockWordPieceTokenizer,
+    align_labels_with_subwords,
+    align_predictions_to_words,
+)
+from ethiomart_amharic_ner_ray.pipelines.common import round_away
+from ethiomart_amharic_ner_ray.schemas import BIO_LABELS
+
+tags_strategy = st.lists(st.sampled_from(BIO_LABELS), min_size=0, max_size=24)
+tokens_for = lambda tags: [f"w{i}" for i in range(len(tags))]  # noqa: E731
+
+words_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+mixed_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs", "Lo"),
+        min_codepoint=0x20,
+        max_codepoint=0x137F,
+    ),
+    max_size=80,
+)
+
+
+class TestIobLaws:
+    @given(tags=tags_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_repair_output_always_validates(self, tags):
+        """fix_entity_tags must produce a sentence the strict validator
+        accepts UNLESS the input contains a B-after-I pattern (which repair
+        intentionally preserves — reference rule set has no rule for it)."""
+        tokens = tokens_for(tags)
+        fixed = fix_entity_tags(tokens, tags)
+        # rule 3 guarantees: no orphan I- anywhere
+        prev = None
+        for t in fixed:
+            if t.startswith("I-"):
+                assert prev is not None and prev[2:] == t[2:] and prev[0] in "BI"
+            prev = t
+
+    @given(tags=tags_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_repair_idempotent(self, tags):
+        tokens = tokens_for(tags)
+        once = fix_entity_tags(tokens, tags)
+        assert fix_entity_tags(tokens, once) == once
+
+    @given(tags=tags_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_decode_spans_partition_tagged_tokens(self, tags):
+        """bio_decode spans are disjoint, ordered, in-range, and cover
+        exactly the non-O positions of a repaired sentence."""
+        tokens = tokens_for(tags)
+        fixed = fix_entity_tags(tokens, tags)
+        spans = bio_decode(tokens, fixed)
+        covered = set()
+        last_end = 0
+        for s in spans:
+            assert 0 <= s["tok_start"] < s["tok_end"] <= len(tokens)
+            assert s["tok_start"] >= last_end
+            last_end = s["tok_end"]
+            covered |= set(range(s["tok_start"], s["tok_end"]))
+        assert covered == {i for i, t in enumerate(fixed) if t != "O"}
+
+    @given(tags=tags_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_validate_accepts_canonical_sequences(self, tags):
+        tokens = tokens_for(tags)
+        fixed = fix_entity_tags(tokens, tags)
+        if validate_sentence(tokens, fixed):
+            # validated sentences decode and re-encode consistently
+            spans = bio_decode(tokens, fixed)
+            rebuilt = ["O"] * len(tokens)
+            for s in spans:
+                rebuilt[s["tok_start"]] = "B-" + s["etype"]
+                for i in range(s["tok_start"] + 1, s["tok_end"]):
+                    rebuilt[i] = "I-" + s["etype"]
+            # canonical IOB2 differs from fixed only where fixed used
+            # B- continuation of same type (both valid encodings)
+            assert [t[2:] if t != "O" else "O" for t in rebuilt] == [
+                t[2:] if t != "O" else "O" for t in fixed
+            ]
+
+
+class TestSubwordLaws:
+    @given(words=words_strategy, data=st.data())
+    @settings(max_examples=150, deadline=None)
+    def test_align_roundtrip_for_any_valid_tagging(self, words, data):
+        tags = data.draw(
+            st.lists(st.sampled_from(BIO_LABELS), min_size=len(words), max_size=len(words))
+        )
+        enc = MockWordPieceTokenizer(piece_len=3)(words)
+        lab = align_labels_with_subwords(enc["word_ids"], tags)
+        assert len(lab) == len(enc["word_ids"])
+        preds = [LABEL2ID["O"] if i == IGNORE_INDEX else i for i in lab]
+        assert align_predictions_to_words(enc["word_ids"], preds) == tags
+
+
+class TestCanonicalLaws:
+    @given(text=mixed_text)
+    @settings(max_examples=300, deadline=None)
+    def test_fold_idempotent_and_length_preserving(self, text):
+        once = fold_ethiopic(text)
+        assert fold_ethiopic(once) == once
+        assert len(once) == len(text)  # 1:1 — spans stay valid
+
+    @given(text=mixed_text)
+    @settings(max_examples=200, deadline=None)
+    def test_canon_text_idempotent(self, text):
+        assert canon_text(canon_text(text)) == canon_text(text)
+
+
+class TestRoundingParity:
+    @given(
+        x=st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_round_away_matches_duckdb(self, x):
+        con = duckdb.connect()
+        want = con.sql("SELECT round(CAST(? AS DOUBLE), 4)", params=[x]).fetchone()[0]
+        assert round_away(x, 4) == want
+
+
+class TestHashDeterminism:
+    @given(keys=st.lists(st.text(max_size=20), min_size=1, max_size=50))
+    @settings(max_examples=100, deadline=None)
+    def test_bucket_hash_stable_across_block_splits(self, keys):
+        """The bucket id of a key must not depend on which block it arrives
+        in — co-location across tasks hangs on this."""
+        import pandas as pd
+
+        full = pd.util.hash_pandas_object(pd.DataFrame({"k": keys}), index=False).to_numpy()
+        half = np.concatenate(
+            [
+                pd.util.hash_pandas_object(pd.DataFrame({"k": keys[:1]}), index=False).to_numpy(),
+                pd.util.hash_pandas_object(pd.DataFrame({"k": keys[1:]}), index=False).to_numpy(),
+            ]
+        )
+        assert (full == half).all()
