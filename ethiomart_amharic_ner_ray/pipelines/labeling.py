@@ -147,31 +147,25 @@ def quality_report(prepared_ds: "ray.data.Dataset") -> pd.DataFrame:
         return pd.DataFrame(rows)
 
     parts = prepared_ds.map_batches(partial, batch_format="pandas").to_pandas()
-    agg: dict[str, dict] = {}
-    for _, r in parts.iterrows():
-        a = agg.setdefault(r["split"], {"n_sentences": 0, "n_tokens": 0, "min_len": 1 << 30, "max_len": 0})
-        a["n_sentences"] += int(r["p_n"])
-        a["n_tokens"] += int(r["p_tok"])
-        a["min_len"] = min(a["min_len"], int(r["p_min"]))
-        a["max_len"] = max(a["max_len"], int(r["p_max"]))
-        for c in parts.columns:
-            if c.startswith("p_b_") and pd.notna(r[c]):
-                a[f"b_{c[4:]}"] = a.get(f"b_{c[4:]}", 0) + int(r[c])
-    rows = []
-    for split in sorted(agg):
-        a = agg[split]
-        rows.append(
-            {
-                "split": split,
-                "n_sentences": a["n_sentences"],
-                "n_tokens": a["n_tokens"],
-                "avg_len": round(a["n_tokens"] / a["n_sentences"], 4) if a["n_sentences"] else 0.0,
-                "min_len": a["min_len"],
-                "max_len": a["max_len"],
-                **{k: v for k, v in sorted(a.items()) if k.startswith("b_")},
-            }
-        )
-    return pd.DataFrame(rows)
+    # vectorized merge of the bounded partials (rows ≈ batches × splits)
+    b_cols = sorted(c for c in parts.columns if c.startswith("p_b_"))
+    agg = parts.groupby("split").agg(
+        n_sentences=("p_n", "sum"),
+        n_tokens=("p_tok", "sum"),
+        min_len=("p_min", "min"),
+        max_len=("p_max", "max"),
+        **{f"b_{c[4:]}": (c, "sum") for c in b_cols},
+    )
+    agg["avg_len"] = (agg["n_tokens"] / agg["n_sentences"].clip(lower=1)).round(4)
+    agg = agg.reset_index().sort_values("split").reset_index(drop=True)
+    cols = ["split", "n_sentences", "n_tokens", "avg_len", "min_len", "max_len"] + sorted(
+        c for c in agg.columns if c.startswith("b_")
+    )
+    out = agg[cols].copy()
+    for c in out.columns:
+        if c.startswith(("n_", "min_", "max_", "b_")):
+            out[c] = out[c].astype("int64")
+    return out
 
 
 def export_conll(prepared_ds: "ray.data.Dataset", out_dir: str) -> dict:
