@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         scorecard,
         similarity,
+        sketches,
         textstats,
         windows,
     )
@@ -305,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "doc_rolling_fingerprints": textstats.rolling_fingerprints,
+        "approx_distinct_report": sketches.approx_distinct_report,
         # ANN / batched retrieval (rows-only)
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .common import bucketed_group_agg, bucketed_join, read_table, rename_cols, round_away
+from .common import bucketed_group_agg, read_table, round_away
 
 N_PERM = 64
 N_BANDS = 16  # 16 bands × 4 rows

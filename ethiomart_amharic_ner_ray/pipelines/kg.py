@@ -42,7 +42,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.extract import FlatRegexExtractor, RegexExtractor, derive_seller
+from ..stages.extract import RegexExtractor, derive_seller
 from ..stages.linker import EntityLinker, build_product_index
 from ..stages.ner_scorer import MockModelNerScorer, NerScorer
 from ..stages.normalize import make_normalizer

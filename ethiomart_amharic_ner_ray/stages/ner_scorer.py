@@ -22,8 +22,6 @@ this torch-less container.
 
 from __future__ import annotations
 
-import re
-
 import pyarrow as pa
 
 from ..functions.canonical import canon_phone, canon_price, canon_text

@@ -305,3 +305,49 @@ class TestIvf:
         pd.testing.assert_frame_equal(d1, d2)
         assert d1["list_id"].between(0, 7).all()
         assert len(d1) == 500  # every vector assigned exactly once
+
+
+class TestHll:
+    def test_small_cardinality_near_exact(self, ray_session):
+        """150 users with 4096 registers sits in the linear-counting regime:
+        estimate must land within 2%."""
+        from ethiomart_amharic_ner_ray.pipelines.common import read_table
+        from ethiomart_amharic_ner_ray.pipelines.sketches import approx_distinct
+
+        ds = read_table("/root/testdata/sf0.001", "events", columns=["user_id"])
+        exact = ds.to_pandas()["user_id"].nunique()
+        est = approx_distinct(ds, "user_id")
+        assert abs(est - exact) <= max(2, 0.02 * exact), (est, exact)
+
+    def test_high_cardinality_within_error_bound(self):
+        """100k distinct ints: HLL(p=12) standard error ≈1.04/√4096 ≈ 1.6%;
+        assert within 4σ."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.sketches import (
+            _hll_estimate,
+            _hll_registers,
+        )
+
+        n = 100_000
+        regs = _hll_registers(pd.Series(range(n)))
+        est = _hll_estimate(regs)
+        assert abs(est - n) / n < 0.065, est
+
+    def test_merge_equals_single_pass(self):
+        """Register-max merging of split inputs == one pass over the union
+        (the property that makes partials shuffle-free)."""
+        import numpy as np
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.sketches import (
+            _hll_estimate,
+            _hll_registers,
+        )
+
+        a = pd.Series([f"u{i}" for i in range(5000)])
+        b = pd.Series([f"u{i}" for i in range(2500, 7500)])
+        merged = np.maximum(_hll_registers(a), _hll_registers(b))
+        single = _hll_registers(pd.concat([a, b], ignore_index=True))
+        assert (merged == single).all()
+        assert abs(_hll_estimate(merged) - 7500) / 7500 < 0.065
