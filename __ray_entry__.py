@@ -307,6 +307,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "doc_rolling_fingerprints": textstats.rolling_fingerprints,
         "approx_distinct_report": sketches.approx_distinct_report,
+        "approx_value_quantiles": lambda sf_dir: sketches.approx_quantiles(
+            __import__(
+                "ethiomart_amharic_ner_ray.pipelines.common", fromlist=["read_table"]
+            ).read_table(sf_dir, "events", columns=["value"]),
+            "value",
+        ),
         # ANN / batched retrieval (rows-only)
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,

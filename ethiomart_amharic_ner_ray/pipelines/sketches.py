@@ -88,3 +88,42 @@ def approx_distinct_report(sf_dir: str) -> pd.DataFrame:
         est = approx_distinct(ds, col)
         rows.append({"table": table, "column": col, "approx_distinct": est})
     return pd.DataFrame(rows)
+
+
+def bottomk_sample(ds: "ray.data.Dataset", column: str, k: int = 4096) -> pd.DataFrame:
+    """Bottom-k sketch: the k rows whose fixed-key hash of ``column`` is
+    smallest — a MERGEABLE deterministic uniform sample (merge = take the
+    k smallest of the union; same result regardless of sharding). Each
+    batch emits ≤k candidate rows, the driver keeps the global k: state is
+    O(k) end-to-end, no shuffle, no RNG. The same sketch yields a distinct
+    estimate (k-1)/h_k, but HLL above is tighter per byte for that."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[column], index=False).to_numpy()
+        out = df.copy()
+        out["_h"] = h
+        return out.nsmallest(k, "_h")
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pandas", batch_size=65536).iter_batches(
+        batch_format="pandas"
+    ):
+        parts.append(b)
+    merged = pd.concat(parts, ignore_index=True).nsmallest(k, "_h")
+    return merged.drop(columns=["_h"]).reset_index(drop=True)
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset", column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95), k: int = 4096
+) -> pd.DataFrame:
+    """Approximate quantiles of a numeric column from the bottom-k uniform
+    sample — error ~O(1/√k) in rank; exact-median stays q09's per-key
+    bucketed path, this is the corpus-level scale tool."""
+    sample = bottomk_sample(ds.select_columns([column]), column, k)
+    vals = sample[column].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "q": list(qs),
+            "value": [float(np.quantile(vals, q)) for q in qs] if len(vals) else [np.nan] * len(qs),
+        }
+    )

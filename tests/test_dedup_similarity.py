@@ -351,3 +351,35 @@ class TestHll:
         single = _hll_registers(pd.concat([a, b], ignore_index=True))
         assert (merged == single).all()
         assert abs(_hll_estimate(merged) - 7500) / 7500 < 0.065
+
+
+class TestBottomK:
+    def test_merge_invariant_under_sharding(self, ray_session):
+        """bottom-k over 2 blocks == bottom-k over 8 blocks (determinism +
+        mergeability: the sketch cannot depend on the partitioning)."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.sketches import bottomk_sample
+
+        t = pa.table({"v": pa.array(range(20000), pa.int64())})
+        a = bottomk_sample(rd.from_arrow(t).repartition(2), "v", k=512)
+        b = bottomk_sample(rd.from_arrow(t).repartition(8), "v", k=512)
+        pd.testing.assert_frame_equal(
+            a.sort_values("v").reset_index(drop=True), b.sort_values("v").reset_index(drop=True)
+        )
+        assert len(a) == 512
+
+    def test_quantiles_near_truth(self, ray_session):
+        from ethiomart_amharic_ner_ray.pipelines.common import read_table
+        from ethiomart_amharic_ner_ray.pipelines.sketches import approx_quantiles
+
+        ds = read_table("/root/testdata/sf0.01", "events", columns=["value"])
+        exact = ds.to_pandas()["value"].to_numpy()
+        got = approx_quantiles(ds, "value", qs=(0.5,), k=4096).iloc[0]["value"]
+        import numpy as np
+
+        true_med = np.quantile(exact, 0.5)
+        spread = np.quantile(exact, 0.6) - np.quantile(exact, 0.4)
+        assert abs(got - true_med) <= max(spread, 1e-9), (got, true_med)
