@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_customers_without_orders": relational.q22_customers_without_orders,
         "q29_deterministic_sample": relational.q29_deterministic_sample,
         "q30_distinct_pairs": relational.q30_distinct_pairs,
+        "q31_region_nation_rollup": relational.q31_region_nation_rollup,
+        "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q23_top_event_per_user_type": scorecard.q23_top_event_per_user_type,
         "q24_best_worst_day": scorecard.q24_best_worst_day,
         "q25_embedding_neardup": similarity.q25_embedding_neardup,
@@ -547,6 +549,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q30_distinct_pairs": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q31_region_nation_rollup": """
+            SELECT coalesce(r_name, '') AS r_name,
+                   coalesce(n_name, '') AS n_name,
+                   count(*) AS n_customers,
+                   round(sum(c_acctbal), 4) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "q32_event_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
         """,
         "q23_top_event_per_user_type": """
             WITH m AS (

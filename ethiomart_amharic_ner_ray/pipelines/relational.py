@@ -326,3 +326,83 @@ def q30_distinct_pairs(sf_dir: str) -> "ray.data.Dataset":
     return bucketed_group_agg(
         partials, ["user_id", "event_type"], lambda df: df.drop_duplicates(), n_buckets=32
     )
+
+
+def q31_region_nation_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Hierarchical ROLLUP (region → nation → grand total) over customer
+    balances: the detail aggregation runs ONCE (two-phase bucketed); the
+    coarser levels reduce the tiny detail result — never a second pass over
+    the fact table. NULL group levels are encoded as '' to keep the
+    value-hash comparable."""
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = read_small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    n2r = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    import ray as _ray
+
+    ref = _ray.put((n2name, n2r, r2name))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n2name_, n2r_, r2name_ = _ray.get(ref)
+        df = df.assign(
+            r_name=[r2name_[n2r_[k]] for k in df["c_nationkey"]],
+            n_name=[n2name_[k] for k in df["c_nationkey"]],
+        )
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            p_n=("c_acctbal", "size"), p_sum=("c_acctbal", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            n_customers=("p_n", "sum"), total_acctbal=("p_sum", "sum")
+        )
+
+    detail_ds = bucketed_group_agg(
+        cust.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["r_name", "n_name"],
+        final,
+        n_buckets=16,
+    )
+    detail = detail_ds.to_pandas()  # ≤ |nation| rows — the rollup input is tiny
+    lvl1 = detail.groupby("r_name", as_index=False).agg(
+        n_customers=("n_customers", "sum"), total_acctbal=("total_acctbal", "sum")
+    )
+    lvl1["n_name"] = ""
+    total = pd.DataFrame(
+        {
+            "r_name": [""],
+            "n_name": [""],
+            "n_customers": [detail["n_customers"].sum()],
+            "total_acctbal": [detail["total_acctbal"].sum()],
+        }
+    )
+    out = pd.concat([detail, lvl1[detail.columns], total[detail.columns]], ignore_index=True)
+    out["total_acctbal"] = round_away(out["total_acctbal"].to_numpy(), 4)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+def q32_event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT: one row per user, one count column per event type (the closed
+    5-type vocabulary). Two-phase: per-batch (user, type) partials →
+    bucketed final pivot_table with zero fill."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False).agg(p_n=("event_type", "size"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(n=("p_n", "sum"))
+        piv = g.pivot_table(index="user_id", columns="event_type", values="n", fill_value=0)
+        for t in types:
+            if t not in piv.columns:
+                piv[t] = 0
+        piv = piv[types].astype("int64").reset_index()
+        piv.columns = ["user_id"] + [f"n_{t}" for t in types]
+        return piv
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)

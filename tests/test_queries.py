@@ -85,6 +85,8 @@ SQL_CHECKED = [
     "q28_sliding_windows",
     "q29_deterministic_sample",
     "q30_distinct_pairs",
+    "q31_region_nation_rollup",
+    "q32_event_type_pivot",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
