@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_distinct_pairs": relational.q30_distinct_pairs,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
+        "q33_top3_events_per_user": relational.q33_top3_events_per_user,
         "q23_top_event_per_user_type": scorecard.q23_top_event_per_user_type,
         "q24_best_worst_day": scorecard.q24_best_worst_day,
         "q25_embedding_neardup": similarity.q25_embedding_neardup,
@@ -568,6 +569,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'signup') AS n_signup,
                    count(*) FILTER (event_type = 'view') AS n_view
             FROM events GROUP BY user_id
+        """,
+        "q33_top3_events_per_user": """
+            SELECT user_id, event_id, round(value, 4) AS top_value
+            FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events)
+            WHERE rn <= 3
         """,
         "q23_top_event_per_user_type": """
             WITH m AS (

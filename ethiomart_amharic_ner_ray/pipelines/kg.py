@@ -340,7 +340,10 @@ def triples_from_flat(
     ``exclude_spo_buckets`` drops already-checkpointed output buckets
     before the dedup shuffle (resume path)."""
     ds = flat_ds
-    if "entity_id" in ds.schema().names:
+    schema = ds.schema()
+    if schema is None:
+        return _empty_triples_ds()
+    if "entity_id" in schema.names:
         ds = ds.drop_columns(["entity_id"])
     ds = ds.map_batches(
         add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
@@ -362,7 +365,36 @@ def triples_from_flat(
         ds = ds.repartition(shuffle_blocks)
     if staged:
         ds = ds.materialize()
+        if ds.count() == 0:
+            # fuzz-found edge: a corpus with zero mentions must come out as
+            # an EMPTY dataset with the stable triple schema — a groupby
+            # over zero rows yields a block-less (column-less) dataset
+            return _empty_triples_ds()
     ds = ds.groupby("bucket").map_groups(_bucket_dedup, batch_format="pandas")
+    return ds
+
+
+def _empty_triples_table() -> pa.Table:
+    return pa.table(
+        {
+            "subj": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj": pa.array([], pa.string()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "extractor": pa.array([], pa.string()),
+            "confidence": pa.array([], pa.float32()),
+            "bucket": pa.array([], pa.int32()),
+        }
+    )
+
+
+def _empty_triples_ds() -> "ray.data.Dataset":
+    ds = ray.data.from_arrow(_empty_triples_table())
+    # marker for downstream transforms: Ray drops 0-row output blocks, so
+    # any further map on this dataset would silently lose the schema —
+    # kg_triples applies its provenance fold eagerly on the table instead
+    ds._kg_empty = True
     return ds
 
 
@@ -611,5 +643,7 @@ def kg_triples(
         flat = link_flat(flat, concurrency=concurrency)
     triples = triples_from_flat(flat, n_buckets=n_buckets, extractor_name=extractor)
     if with_provenance_struct:
+        if getattr(triples, "_kg_empty", False):
+            return ray.data.from_arrow(add_provenance(_empty_triples_table()))
         triples = triples.map_batches(add_provenance, batch_format="pyarrow")
     return triples

@@ -406,3 +406,29 @@ def q32_event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
+
+
+def q33_top3_events_per_user(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Grouped top-k (top-3 events by value per user, deterministic
+    event_id tie-break): per-batch per-user top-k partials bound a hot
+    user's shuffle volume to k×batches rows; the final per-bucket pass
+    re-ranks the partials. The SQL oracle is the classic row_number
+    formulation."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True], kind="mergesort")
+            .groupby("user_id", as_index=False)
+            .head(k)
+        )
+
+    partials = ds.map_batches(topk, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df)
+        out = out.rename(columns={"value": "top_value"})
+        out["top_value"] = round_away(out["top_value"].to_numpy(), 4)
+        return out
+
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)

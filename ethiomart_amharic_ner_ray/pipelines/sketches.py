@@ -127,3 +127,40 @@ def approx_quantiles(
             "value": [float(np.quantile(vals, q)) for q in qs] if len(vals) else [np.nan] * len(qs),
         }
     )
+
+
+class BloomFilter:
+    """Plain k-hash Bloom filter over uint64 element hashes — the broadcast
+    SEMI-JOIN prune for when the small side outgrows an exact broadcast
+    set: no false negatives ever, false-positive rate ≈ (1-e^{-kn/m})^k.
+    Deterministic double hashing (h1 + i*h2) from the engine's fixed-key
+    siphash, so every worker builds/probes identically."""
+
+    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 5):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+
+    @staticmethod
+    def _h12(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        h = pd.util.hash_pandas_object(values, index=False).to_numpy().astype(np.uint64)
+        return h & np.uint64(0xFFFFFFFF), (h >> np.uint64(32)) | np.uint64(1)
+
+    def _positions(self, values: pd.Series) -> np.ndarray:
+        h1, h2 = self._h12(values)
+        i = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add(self, values: pd.Series) -> "BloomFilter":
+        pos = self._positions(values).reshape(-1)
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return self
+
+    def contains(self, values: pd.Series) -> np.ndarray:
+        pos = self._positions(values)
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self.bits |= other.bits
+        return self

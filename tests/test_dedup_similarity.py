@@ -383,3 +383,29 @@ class TestBottomK:
         true_med = np.quantile(exact, 0.5)
         spread = np.quantile(exact, 0.6) - np.quantile(exact, 0.4)
         assert abs(got - true_med) <= max(spread, 1e-9), (got, true_med)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_bounded_fp(self):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.sketches import BloomFilter
+
+        members = pd.Series([f"k{i}" for i in range(20_000)])
+        others = pd.Series([f"x{i}" for i in range(20_000)])
+        bf = BloomFilter(n_bits=1 << 18, n_hashes=5).add(members)
+        assert bf.contains(members).all()  # never a false negative
+        fp = bf.contains(others).mean()
+        assert fp < 0.05, fp  # (1-e^{-5*20000/262144})^5 ≈ 0.0042
+
+    def test_merge_equals_union_build(self):
+        import numpy as np
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.sketches import BloomFilter
+
+        a = pd.Series([f"a{i}" for i in range(1000)])
+        b = pd.Series([f"b{i}" for i in range(1000)])
+        merged = BloomFilter().add(a).merge(BloomFilter().add(b))
+        union = BloomFilter().add(pd.concat([a, b], ignore_index=True))
+        assert np.array_equal(merged.bits, union.bits)

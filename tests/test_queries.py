@@ -87,6 +87,7 @@ SQL_CHECKED = [
     "q30_distinct_pairs",
     "q31_region_nation_rollup",
     "q32_event_type_pivot",
+    "q33_top3_events_per_user",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01

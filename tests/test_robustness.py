@@ -113,3 +113,58 @@ class TestNullAndEmptyText:
         )
         out = kg_triples(rd.from_arrow(t), n_buckets=2, concurrency=2).to_pandas()
         assert set(zip(out["subj"], out["pred"])) == {("s1", "reachable_at"), ("s2", "priced_at")}
+
+
+class TestUnicodeFuzzPipeline:
+    def test_arbitrary_unicode_text_flows_end_to_end(self, ray_session):
+        """Pipeline-level fuzz: arbitrary (non-surrogate) unicode turn text
+        must flow through normalize → extract → triples without error, and
+        per-turn text must survive byte-for-byte."""
+        import datetime
+
+        import pyarrow as pa
+        import ray.data as rd
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions, kg_triples
+        from ethiomart_amharic_ner_ray.schemas import TRANSCRIPT_SCHEMA
+
+        texts_strategy = st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFFF),
+                max_size=60,
+            ),
+            min_size=4,
+            max_size=12,
+        )
+
+        @given(texts=texts_strategy)
+        @settings(max_examples=8, deadline=None)
+        def run(texts):
+            n = len(texts)
+            ts = datetime.datetime(2024, 1, 1)
+            t = pa.table(
+                {
+                    "conv_id": pa.array([f"s{i % 2}-c{i % 3}" for i in range(n)]),
+                    "turn_idx": pa.array(list(range(n)), pa.int32()),
+                    "role": pa.array(["user"] * n),
+                    "text": pa.array(texts),
+                    "tool": pa.array([None] * n, pa.string()),
+                    "ts": pa.array([ts] * n, pa.timestamp("us")),
+                },
+                schema=TRANSCRIPT_SCHEMA,
+            )
+            ds = rd.from_arrow(t)
+            triples = kg_triples(ds, n_buckets=2, concurrency=2).materialize()
+            # schema survives even when zero triples come out (Ray's
+            # to_pandas drops columns on ANY empty dataset, so assert at
+            # the Dataset level)
+            assert {"subj", "pred", "obj", "conv_id", "turn_idx"} <= set(triples.schema().names)
+            if triples.count():
+                out = triples.to_pandas()
+                assert set(out["pred"]) <= {"sells", "priced_at", "located_in", "reachable_at"}
+            m = build_mentions(ds, concurrency=2).to_pandas().sort_values("turn_idx")
+            assert m["text"].tolist() == texts  # byte-for-byte equality
+
+        run()
