@@ -432,9 +432,9 @@ def run_kg_pipeline(
 
     from ..state.manifest import (
         clean_unfinished_buckets,
-        done_buckets,
         drop_manifests,
         manifest_rows,
+        validated_done_buckets,
         write_bucket_manifests,
     )
 
@@ -448,7 +448,7 @@ def run_kg_pipeline(
     triples_dir = _os.path.join(out_dir, "triples")
 
     # ---- stage 1: mentions, bucketed by conv hash -------------------------
-    done1 = done_buckets(mentions_dir, fingerprint) if resume else set()
+    done1 = validated_done_buckets(mentions_dir, fingerprint) if resume else set()
     if not resume:
         # Manifests must never outlive the data they vouch for: delete them
         # FIRST, then the data dirs. If this run crashes mid-way, a later
@@ -521,7 +521,7 @@ def run_kg_pipeline(
     stats["mentions_rows"] = sum(manifest_rows(mentions_dir, fingerprint).values())
 
     # ---- stage 2: triples, bucketed by spo hash ---------------------------
-    done2 = done_buckets(triples_dir, fingerprint) if resume else set()
+    done2 = validated_done_buckets(triples_dir, fingerprint) if resume else set()
     removed2 = clean_unfinished_buckets(triples_dir, done2)
     stats["triples_buckets_skipped"] = len(done2)
     stats["triples_buckets_cleaned"] = len(removed2)

@@ -46,6 +46,22 @@ def done_buckets(out_dir: str | Path, fingerprint: str) -> set[int]:
     return done
 
 
+def validated_done_buckets(out_dir: str | Path, fingerprint: str) -> set[int]:
+    """``done_buckets`` plus an existence check on the data it vouches for:
+    a manifest claiming rows > 0 whose ``bucket=N`` dir is gone (external
+    deletion, partial restore, operator error) is NOT done — its manifest
+    is dropped so the bucket rebuilds. Found by the chaos-resume test:
+    trusting such a manifest silently loses that bucket's output."""
+    out_dir = Path(out_dir)
+    done: set[int] = set()
+    for bucket, rows in manifest_rows(out_dir, fingerprint).items():
+        if rows == 0 or (out_dir / f"bucket={bucket}").is_dir():
+            done.add(bucket)
+        else:
+            _manifest_path(out_dir, bucket).unlink(missing_ok=True)
+    return done
+
+
 def clean_unfinished_buckets(out_dir: str | Path, done: set[int]) -> list[int]:
     """Delete bucket data dirs that lack a valid manifest (partial output)."""
     out_dir = Path(out_dir)

@@ -138,3 +138,32 @@ class TestSidecarPredCounts:
         assert stats["pred_counts"] == dict(sorted(expect.items()))
         sidecar = json.loads(Path(out, "run_metrics.json").read_text())
         assert sidecar["pred_counts"] == stats["pred_counts"]
+
+
+class TestChaosResume:
+    def test_repeated_random_crash_resume_cycles(self, kg_run, tiny_transcripts_dir, tmp_path_factory):
+        """Chaos loop: repeatedly destroy random per-bucket state (manifest
+        only, data only, or both — across both stages), resume, and require
+        the exact clean-run triple set every time."""
+        import random
+
+        out, _, clean = kg_run
+        work = str(tmp_path_factory.mktemp("kg") / "chaos")
+        shutil.copytree(out, work)
+        rng = random.Random(1234)
+
+        for cycle in range(3):
+            for stage in ("mentions", "triples"):
+                for b in rng.sample(range(6), rng.randint(1, 3)):
+                    mode = rng.choice(("manifest", "data", "both"))
+                    mpath = Path(work, stage, "manifest", f"bucket={b:04d}.json")
+                    dpath = Path(work, stage, f"bucket={b}")
+                    if mode in ("manifest", "both") and mpath.exists():
+                        mpath.unlink()
+                    if mode in ("data", "both"):
+                        shutil.rmtree(dpath, ignore_errors=True)
+            stats = run_kg_pipeline(tiny_transcripts_dir, work, n_buckets=6, concurrency=2)
+            resumed = _read_triples(work)
+            assert _tset(resumed) == _tset(clean), f"cycle {cycle}"
+            assert len(resumed) == len(clean), f"cycle {cycle}"
+            assert stats["triples_rows"] == len(clean)
