@@ -33,6 +33,19 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="additionally export triples as JSON/CSV (S4/S6 writer parity; Parquet stays canonical)",
     )
+    p.add_argument(
+        "--labeling-out",
+        default=None,
+        help="also run the labeling branch (rule-tag → repair → validate → "
+        "hash split) and export CoNLL shards + tag stats here "
+        "(reference labeling_prep/conll_annotator parity)",
+    )
+    p.add_argument(
+        "--scorecards-out",
+        default=None,
+        help="also compute per-seller scorecards + run summary here "
+        "(reference generate_scorecards parity)",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -84,6 +97,41 @@ def main(argv: list[str] | None = None) -> int:
         else:
             ds.write_json(os.path.join(args.out, "triples_json"))
         stats["export"] = args.export_format
+
+    if args.labeling_out:
+        import ray.data
+
+        from .pipelines.labeling import (
+            export_conll,
+            prepare_labeled,
+            sentences_from_transcripts,
+            tag_distribution,
+        )
+
+        tx = ray.data.read_parquet(args.input)
+        prepared = prepare_labeled(sentences_from_transcripts(tx)).materialize()
+        stats["labeling"] = export_conll(prepared, args.labeling_out)
+        tag_distribution(prepared).to_json(
+            args.labeling_out + "/tag_distribution.json", orient="records"
+        )
+
+    if args.scorecards_out:
+        import os
+
+        import ray.data
+
+        from .pipelines.kg import build_mentions
+        from .pipelines.scorecard import scorecard_summary, seller_scorecards
+
+        tx = ray.data.read_parquet(args.input)
+        mentions = build_mentions(tx).materialize()
+        cards = seller_scorecards(mentions).materialize()
+        os.makedirs(args.scorecards_out, exist_ok=True)
+        cards.write_parquet(os.path.join(args.scorecards_out, "scorecards"))
+        scorecard_summary(cards).to_json(
+            os.path.join(args.scorecards_out, "summary.json"), orient="records"
+        )
+        stats["scorecards"] = cards.count()
 
     print(json.dumps(stats))
     if owns_session:  # never tear down a caller's (or test fixture's) session

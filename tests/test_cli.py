@@ -29,6 +29,30 @@ class TestCli:
         assert {"subj", "pred", "obj"} <= set(row)
         assert json.loads(open(out + "/run_metrics.json").read())["triples_rows"] > 0
 
+    def test_full_run_with_labeling_and_scorecards(self, ray_session, tiny_transcripts_dir, tmp_path):
+        """One command replaces the reference's whole script suite: triples
+        + CoNLL labeling artifacts + vendor scorecards."""
+        from ethiomart_amharic_ner_ray.run import main
+
+        out = str(tmp_path / "full_out")
+        rc = main(
+            [
+                "--input", tiny_transcripts_dir,
+                "--out", out,
+                "--buckets", "4",
+                "--labeling-out", str(tmp_path / "labeling"),
+                "--scorecards-out", str(tmp_path / "cards"),
+            ]
+        )
+        assert rc == 0
+        conll = glob.glob(str(tmp_path / "labeling" / "train" / "*.conll"))
+        assert conll
+        assert (tmp_path / "labeling" / "tag_distribution.json").exists()
+        cards = glob.glob(str(tmp_path / "cards" / "scorecards" / "*.parquet"))
+        assert cards
+        summary = json.loads(open(tmp_path / "cards" / "summary.json").read())
+        assert any(r["metric"] == "n_sellers" for r in summary)
+
     def test_run_with_csv_export(self, ray_session, tiny_transcripts_dir, tmp_path):
         from ethiomart_amharic_ner_ray.run import main
 
