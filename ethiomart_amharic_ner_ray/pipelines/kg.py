@@ -120,40 +120,52 @@ def flatten_mentions(batch: pa.Table) -> pa.Table:
     the rows that do carry six short columns instead of the full
     list<struct> mention payload + text columns. ``ord`` preserves the
     within-turn mention order (by char start) so the per-conversation scan
-    is deterministic."""
-    convs: list[str] = []
-    tidxs: list[int] = []
-    sellers: list[str] = []
-    ords: list[int] = []
-    etypes: list[str] = []
-    norms: list[str] = []
-    for conv_id, turn_idx, seller, mentions in zip(
-        batch.column("conv_id").to_pylist(),
-        batch.column("turn_idx").to_pylist(),
-        batch.column("seller").to_pylist(),
-        batch.column("mentions").to_pylist(),
-    ):
-        if not mentions:
-            continue
-        for i, m in enumerate(mentions):
-            if not m["norm"]:
-                continue
-            convs.append(conv_id)
-            tidxs.append(turn_idx)
-            sellers.append(seller)
-            ords.append(i)
-            etypes.append(m["etype"])
-            norms.append(m["norm"])
-    return pa.table(
+    is deterministic.
+
+    Fully Arrow-vectorized: parent indices take the turn columns, the
+    struct children flatten zero-copy, and per-turn mention ordinals come
+    from one cumulative-count subtraction — no Python row loop."""
+    import pyarrow.compute as pc
+
+    col = batch.column("mentions")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0 or col.null_count == len(col):
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "seller": pa.array([], pa.string()),
+                "ord": pa.array([], pa.int32()),
+                "etype": pa.array([], pa.string()),
+                "norm": pa.array([], pa.string()),
+            }
+        )
+    parents = pc.list_parent_indices(col)  # one entry per mention row
+    flat = pc.list_flatten(col)
+    # ord = mention position within its turn: global index minus the first
+    # global index of that turn (vectorized via per-turn offset gather)
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    p = parents.to_numpy()
+    ords = (np.arange(len(p)) - starts[p]).astype(np.int32)
+
+    out = pa.table(
         {
-            "conv_id": pa.array(convs, pa.string()),
-            "turn_idx": pa.array(tidxs, pa.int32()),
-            "seller": pa.array(sellers, pa.string()),
-            "ord": pa.array(ords, pa.int32()),
-            "etype": pa.array(etypes, pa.string()),
-            "norm": pa.array(norms, pa.string()),
+            "conv_id": pc.take(batch.column("conv_id"), parents),
+            "turn_idx": pc.cast(pc.take(batch.column("turn_idx"), parents), pa.int32()),
+            "seller": pc.take(batch.column("seller"), parents),
+            "ord": pa.array(ords),
+            "etype": flat.field("etype"),
+            "norm": flat.field("norm"),
         }
     )
+    # drop mentions with empty/null norm (same filter as before)
+    keep = pc.and_kleene(
+        pc.is_valid(out.column("norm")), pc.not_equal(out.column("norm"), "")
+    )
+    return out.filter(pc.fill_null(keep, False))
 
 
 _PRED_OF = {
