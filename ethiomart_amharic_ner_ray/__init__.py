@@ -22,4 +22,4 @@ The flagship pipeline (pipelines/kg.py) turns Parquet transcript tables
 (subj, pred, obj) triples, preserving per-turn text equality end-to-end.
 """
 
-__version__ = "0.2.0"  # flat-mention checkpoint layout (invalidates 0.1 checkpoints)
+__version__ = "0.3.0"  # vectorized bucket hash changes bucket assignment (invalidates 0.2 checkpoints)

@@ -34,8 +34,6 @@ first (conv_id, turn_idx) — deterministic under arbitrary sharding.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -50,12 +48,16 @@ from ..stages.normalize import make_normalizer
 TRIPLE_FLAT_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "extractor", "confidence"]
 
 
-def _crc_bucket(values: list[str], n_buckets: int) -> list[int]:
-    return [zlib.crc32(v.encode("utf-8")) % n_buckets for v in values]
+def _hash_bucket(df: "pd.DataFrame", n_buckets: int) -> np.ndarray:
+    """Vectorized deterministic bucket ids (C siphash, fixed key — stable
+    across processes/nodes); this stamps every row on the flagship's two
+    shuffle paths, so no per-row Python."""
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return (h % np.uint64(n_buckets)).astype(np.int32)
 
 
 def add_conv_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
-    b = _crc_bucket(batch.column("conv_id").to_pylist(), n_buckets)
+    b = _hash_bucket(batch.select(["conv_id"]).to_pandas(), n_buckets)
     return batch.append_column("cbucket", pa.array(b, pa.int32()))
 
 
@@ -241,15 +243,7 @@ def _bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def add_spo_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
-    keys = [
-        f"{s}\x00{p}\x00{o}"
-        for s, p, o in zip(
-            batch.column("subj").to_pylist(),
-            batch.column("pred").to_pylist(),
-            batch.column("obj").to_pylist(),
-        )
-    ]
-    b = _crc_bucket(keys, n_buckets)
+    b = _hash_bucket(batch.select(["subj", "pred", "obj"]).to_pandas(), n_buckets)
     return batch.append_column("bucket", pa.array(b, pa.int32()))
 
 
