@@ -77,37 +77,48 @@ def explode_entities(batch: pa.Table) -> pa.Table:
     """M4/J1 parity (reference data_cleaner.py:92-98): project the mentions
     struct into top-level ``prices/phones/products/locations`` list columns
     plus ``has_*`` flags — the reference's pd.json_normalize explode, done
-    as a same-batch column projection (no shuffle)."""
-    prices, phones, products, locations = [], [], [], []
-    for ml in batch.column("mentions").to_pylist():
-        p, ph, pr, lo = [], [], [], []
-        for m in ml or []:
-            if m["etype"] == "PRICE":
-                p.append(m["norm"])
-            elif m["etype"] == "PHONE":
-                ph.append(m["norm"])
-            elif m["etype"] == "PRODUCT":
-                pr.append(m["norm"])
-            elif m["etype"] == "LOC":
-                lo.append(m["norm"])
-        prices.append(p)
-        phones.append(ph)
-        products.append(pr)
-        locations.append(lo)
+    as a same-batch column projection (no shuffle).
+
+    Arrow-vectorized: flatten once, then per type filter + regroup by
+    parent row via bincount offsets (flatten order is parent-ordered, so a
+    filtered value stream re-lists with ListArray.from_arrays) — no Python
+    row loop."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = batch.column("mentions")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = batch.num_rows
+    if n and (len(col) == 0 or col.null_count == len(col)):
+        flat = None
+        parents = np.array([], dtype=np.int64)
+        etypes = np.array([], dtype=object)
+    else:
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col).to_numpy()
+        etypes = np.asarray(flat.field("etype").to_pylist(), dtype=object)
+
     out = batch
-    for name, vals in (
-        ("prices", prices),
-        ("phones", phones),
-        ("products", products),
-        ("locations", locations),
-    ):
-        out = out.append_column(name, pa.array(vals, pa.list_(pa.string())))
-    for flag, vals in (
-        ("has_price", prices),
-        ("has_phone", phones),
-        ("has_product", products),
-    ):
-        out = out.append_column(flag, pa.array([len(v) > 0 for v in vals], pa.bool_()))
+    spec = (
+        ("prices", "has_price", "PRICE"),
+        ("phones", "has_phone", "PHONE"),
+        ("products", "has_product", "PRODUCT"),
+        ("locations", None, "LOC"),
+    )
+    for name, flag, et in spec:
+        if flat is None or len(etypes) == 0:
+            counts = np.zeros(n, dtype=np.int64)
+            vals = pa.array([], pa.string())
+        else:
+            mask = etypes == et
+            vals = flat.field("norm").filter(pa.array(mask))
+            counts = np.bincount(parents[mask], minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        out = out.append_column(name, arr)
+        if flag is not None:
+            out = out.append_column(flag, pa.array(counts > 0))
     return out
 
 
