@@ -161,6 +161,19 @@ def _kg_seller_turncounts(sf_dir: str):
     return bucketed_group_agg(ds, ["seller"], final, n_buckets=32)
 
 
+def _kg_product_price_paths(sf_dir: str):
+    """KG consumption: two-hop traversal seller -sells-> product
+    -priced_at-> price over the flagship triples (graph query as one
+    bucketed join; rows-only)."""
+    from ethiomart_amharic_ner_ray.pipelines.graph import two_hop
+    from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+    triples = kg_triples(
+        _transcripts_ds(sf_dir), n_buckets=32, concurrency=(1, 8), with_provenance_struct=False
+    ).materialize()
+    return two_hop(triples, "sells", "priced_at")
+
+
 def _kg_extractor_disagreement(sf_dir: str):
     """T3-adjacent diagnostics (reference interpret failure-case analysis):
     per-predicate agreement between the regex and NER extraction paths on
@@ -298,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
+        "kg_product_price_paths": _kg_product_price_paths,
         "kg_scorecard_summary": lambda sf_dir: __import__(
             "ethiomart_amharic_ner_ray.pipelines.scorecard", fromlist=["scorecard_summary"]
         ).scorecard_summary(_kg_scorecards(sf_dir)),

@@ -79,3 +79,33 @@ def connected_components_minlabel(
         prev_sum = new_sum
 
     return rename_cols(labels, {"node": "doc_id", "label": "cluster_rep"})
+
+
+def two_hop(
+    triples_ds: "ray.data.Dataset",
+    pred_ab: str,
+    pred_bc: str,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Graph traversal as dataflow: (src)-[pred_ab]->(mid)-[pred_bc]->(dst)
+    over a triples Dataset — e.g. seller -sells-> product -priced_at-> birr.
+
+    Both edge sets are predicate-filtered AT THE SCAN (tiny row subsets of
+    the triples table), then joined on the shared ``mid`` entity with ONE
+    bucketed shuffle (common.bucketed_join). The output carries the full
+    path (src, mid, dst). Skew note: a super-connected mid entity (a
+    product sold by thousands of sellers) concentrates its join group;
+    bound it upstream with salted pre-aggregation if paths per mid must be
+    capped."""
+    import pyarrow.compute as pc
+
+    def edges(pred: str, src_name: str, dst_name: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("pred"), pred))
+            return pa.table({src_name: t.column("subj"), dst_name: t.column("obj")})
+
+        return triples_ds.map_batches(f, batch_format="pyarrow")
+
+    left = edges(pred_ab, "src", "mid")
+    right = edges(pred_bc, "mid", "dst")
+    return bucketed_join(left, right, on="mid", n_buckets=n_buckets)

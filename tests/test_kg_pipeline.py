@@ -160,3 +160,28 @@ class TestPerTypeReport:
         assert rep.loc["PRICE", "precision"] == 1.0 and rep.loc["PRICE", "recall"] == 0.5
         assert rep.loc["PHONE", "recall"] == 1.0 and rep.loc["PHONE", "precision"] == 0.5
         assert rep.loc["micro_avg", "support"] == 3
+
+
+class TestTwoHop:
+    def test_paths_match_pandas_merge(self, ray_session, engine_triples, tiny_ds):
+        """two_hop over the flagship triples == a pandas merge of the two
+        predicate-filtered edge sets."""
+        import pandas as pd
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.graph import two_hop
+        from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+        triples = kg_triples(tiny_ds, n_buckets=8, concurrency=2, with_provenance_struct=False).materialize()
+        got = (
+            two_hop(triples, "sells", "priced_at")
+            .to_pandas()
+            .sort_values(["src", "mid", "dst"])
+            .reset_index(drop=True)
+        )
+        df = triples.to_pandas()
+        left = df[df["pred"] == "sells"][["subj", "obj"]].rename(columns={"subj": "src", "obj": "mid"})
+        right = df[df["pred"] == "priced_at"][["subj", "obj"]].rename(columns={"subj": "mid", "obj": "dst"})
+        want = left.merge(right, on="mid").sort_values(["src", "mid", "dst"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["src", "mid", "dst"]], want)
+        assert len(got) > 0
