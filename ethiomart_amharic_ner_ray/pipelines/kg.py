@@ -470,7 +470,10 @@ def run_kg_pipeline(
     stats["mentions_buckets_cleaned"] = len(removed)
 
     if len(done1) < n_buckets:
+        from ..schemas import validate_transcripts_schema
+
         ds = ray.data.read_parquet(input_path)
+        validate_transcripts_schema(ds.schema())  # fail fast with a named report
         ds = ds.map_batches(
             add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
         )

@@ -83,3 +83,43 @@ BIO_LABELS = (
     "B-PHONE",
     "I-PHONE",
 )
+
+
+def validate_transcripts_schema(schema) -> None:
+    """Fail fast with a complete, named report when an input table doesn't
+    match the transcript contract (BASELINE.json input_hint) — instead of a
+    KeyError deep inside some stage. Accepts a pyarrow.Schema or a Ray
+    Dataset schema wrapper; timestamp unit/tz variants are tolerated."""
+    names = list(getattr(schema, "names", []) or [])
+    types = {}
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        schema = base
+    if isinstance(schema, pa.Schema):
+        names = schema.names
+        types = {f.name: f.type for f in schema}
+    else:  # Ray Schema wrapper with parallel names/types
+        types = dict(zip(names, getattr(schema, "types", [])))
+
+    problems: list[str] = []
+    for field in TRANSCRIPT_SCHEMA:
+        if field.name not in names:
+            problems.append(f"missing column '{field.name}' ({field.type})")
+            continue
+        actual = types.get(field.name)
+        if not isinstance(actual, pa.DataType):
+            continue  # pandas-inferred; let it through
+        ok = (
+            actual == field.type
+            or (pa.types.is_timestamp(field.type) and pa.types.is_timestamp(actual))
+            or (pa.types.is_integer(field.type) and pa.types.is_integer(actual))
+            or (pa.types.is_string(field.type) and (pa.types.is_string(actual) or pa.types.is_large_string(actual)))
+        )
+        if not ok:
+            problems.append(f"column '{field.name}' has type {actual}, expected {field.type}")
+    if problems:
+        raise ValueError(
+            "input does not match the transcript schema "
+            f"(conv_id:string, turn_idx:int32, role:string, text:string, "
+            f"tool:string, ts:timestamp): " + "; ".join(problems)
+        )

@@ -168,3 +168,33 @@ class TestUnicodeFuzzPipeline:
             assert m["text"].tolist() == texts  # byte-for-byte equality
 
         run()
+
+
+class TestSchemaValidation:
+    def test_missing_and_mistyped_columns_named(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        from ethiomart_amharic_ner_ray.pipelines.kg import run_kg_pipeline
+        from ethiomart_amharic_ner_ray.schemas import validate_transcripts_schema
+
+        bad = pa.table({"conv_id": pa.array(["a"]), "turn_idx": pa.array(["oops"])})
+        with pytest.raises(ValueError, match="missing column 'text'"):
+            validate_transcripts_schema(bad.schema)
+        with pytest.raises(ValueError, match="turn_idx"):
+            validate_transcripts_schema(bad.schema)
+
+        # and through the pipeline entrypoint
+        p = tmp_path / "bad.parquet"
+        pq.write_table(bad, p)
+        with pytest.raises(ValueError, match="transcript schema"):
+            run_kg_pipeline(str(p), str(tmp_path / "out"), n_buckets=2, concurrency=2)
+
+    def test_good_schema_passes(self):
+        from ethiomart_amharic_ner_ray.schemas import (
+            TRANSCRIPT_SCHEMA,
+            validate_transcripts_schema,
+        )
+
+        validate_transcripts_schema(TRANSCRIPT_SCHEMA)  # no raise
