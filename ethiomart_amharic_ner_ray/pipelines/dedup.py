@@ -37,6 +37,25 @@ def _stable_hash64(token: str) -> int:
     return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def _hash_shingle_strings(strings: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash per shingle string — the engine's fixed-key
+    C siphash, vectorized over a whole batch's shingles at once. Shared by
+    the scalar shinglers and the batch signer so every consumer sees the
+    SAME shingle ids (jaccard verification, reference-test parity)."""
+    if not strings:
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_pandas_object(
+        pd.Series(strings, dtype=object), index=False
+    ).to_numpy().astype(np.uint64)
+
+
+def _shingle_strings(text: str, k: int = 3) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
 def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 1 << 62, size=N_PERM, dtype=np.int64).astype(np.uint64) | np.uint64(1)
@@ -45,21 +64,25 @@ def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _word_shingles(text: str, k: int = 3) -> set[int]:
-    toks = text.lower().split()
-    if len(toks) < k:
-        return {_stable_hash64(" ".join(toks))} if toks else set()
-    return {_stable_hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+    return set(_hash_shingle_strings(_shingle_strings(text, k)).tolist())
+
+
+def _char_shingle_strings(text: str, k: int = 5) -> list[str]:
+    s = " ".join(text.lower().split())
+    if not s:
+        return []
+    if len(s) < k:
+        return [s]
+    return [s[i : i + k] for i in range(len(s) - k + 1)]
 
 
 def _char_shingles(text: str, k: int = 5) -> set[int]:
     """Character n-gram shingles (whitespace-normalized) — finer-grained
     than word shingles; the n-gram-Jaccard dedup variant's unit."""
-    s = " ".join(text.lower().split())
-    if not s:
-        return set()
-    if len(s) < k:
-        return {_stable_hash64(s)}
-    return {_stable_hash64(s[i : i + k]) for i in range(len(s) - k + 1)}
+    return set(_hash_shingle_strings(_char_shingle_strings(text, k)).tolist())
+
+
+SHINGLE_STRING_BUILDERS = {"word": _shingle_strings, "char": _char_shingle_strings}
 
 
 SHINGLERS = {"word": _word_shingles, "char": _char_shingles}
@@ -110,40 +133,64 @@ def minhash_signatures(
     (the same payload-vs-hops tradeoff as embedding_neardup_lsh)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     a, b = _perm_params(seed)
-    shingle_fn = SHINGLERS[shingle]
+    build_strings = SHINGLE_STRING_BUILDERS[shingle]
 
-    class Signer:
-        def __init__(self):
-            self._a, self._b = a, b
+    def sign_batch(t: pa.Table) -> pa.Table:
+        """Batch-vectorized: ONE siphash call for the whole batch's shingle
+        strings, then minhash for every doc at once — (64, ΣN) universal-
+        hash products reduced per doc with np.minimum.reduceat (chunked so
+        the product matrix stays ≤64 MB). Stateless TASKS, not an actor
+        pool: the only state (two 64-entry arrays) ships in the closure,
+        and pool spin-up was the dominant cost at fixture scale."""
+        doc_ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        per_doc = [build_strings(x) for x in texts]
+        counts = np.array([len(p) for p in per_doc], dtype=np.int64)
+        h = _hash_shingle_strings([s for p in per_doc for s in p])
+        offs = np.concatenate([[0], np.cumsum(counts)])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bands, keys, ids = [], [], []
-            shs: list[list[int]] = []
-            for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-                shingles = shingle_fn(text)
-                sig = _minhash(shingles, self._a, self._b)
-                if with_shingles:
-                    sh = np.sort(
-                        np.fromiter(shingles, dtype=np.uint64, count=len(shingles)).view(np.int64)
-                    ).tolist() if shingles else []
-                for bi in range(N_BANDS):
-                    chunk = sig[bi * ROWS_PER_BAND : (bi + 1) * ROWS_PER_BAND]
-                    key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                    bands.append(bi)
-                    keys.append(key)
-                    ids.append(doc_id)
-                    if with_shingles:
-                        shs.append(sh)
-            cols = {
-                "band": pa.array(bands, pa.int32()),
-                "band_key": pa.array(keys, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-            }
+        n_docs = len(texts)
+        sigs = np.full((n_docs, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nz = np.nonzero(counts)[0]
+        CH = 1 << 17  # ≤64 MB of (64, CH) uint64 product per chunk
+        i = 0
+        while i < len(nz):
+            j = i + 1
+            tot = counts[nz[i]]
+            while j < len(nz) and tot + counts[nz[j]] <= CH:
+                tot += counts[nz[j]]
+                j += 1
+            docs = nz[i:j]
+            base = offs[docs[0]]
+            seg = h[base : offs[docs[-1] + 1]]  # contiguous (0-len gaps ok)
+            prod = a[:, None] * seg[None, :] + b[:, None]
+            starts = (offs[docs] - base).astype(np.int64)
+            sigs[docs] = np.minimum.reduceat(prod, starts, axis=1).T
+            i = j
+
+        bands, keys, ids = [], [], []
+        shs: list[list[int]] = []
+        for d in range(n_docs):
+            sig = sigs[d]
             if with_shingles:
-                cols["sh"] = pa.array(shs, pa.list_(pa.int64()))
-            return pa.table(cols)
+                sh = np.unique(h[offs[d] : offs[d + 1]].view(np.int64)).tolist()
+            for bi in range(N_BANDS):
+                chunk = sig[bi * ROWS_PER_BAND : (bi + 1) * ROWS_PER_BAND]
+                bands.append(bi)
+                keys.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+                ids.append(doc_ids[d])
+                if with_shingles:
+                    shs.append(sh)
+        cols = {
+            "band": pa.array(bands, pa.int32()),
+            "band_key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        }
+        if with_shingles:
+            cols["sh"] = pa.array(shs, pa.list_(pa.int64()))
+        return pa.table(cols)
 
-    return ds.map_batches(Signer, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(sign_batch, batch_format="pyarrow")
 
 
 def doc_shingle_sets(sf_dir: str) -> "ray.data.Dataset":
