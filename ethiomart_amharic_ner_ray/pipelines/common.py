@@ -247,3 +247,18 @@ def salted_group_agg(
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
     partials = bucketed_group_agg(salted, keys + ["_salt"], round1, n_buckets=n_buckets)
     return bucketed_group_agg(partials, keys, combine_fn, n_buckets=n_buckets)
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def get_broadcast(ref):
+    """Per-worker-process cache for ``ray.put`` broadcast objects: ONE
+    ray.get per worker, shared by every stateless task that lands there.
+    Lets cheap-state broadcast joins run as elastic tasks instead of actor
+    pools — pool spin-up dominated those stages at fixture scale, and the
+    zero-copy get is repeated per worker anyway."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]

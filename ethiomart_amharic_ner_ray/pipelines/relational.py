@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .common import bucketed_group_agg, read_small, read_table, round_away
+from .common import bucketed_group_agg, get_broadcast, read_small, read_table, round_away
 
 
 def q01_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
@@ -79,26 +79,21 @@ def q02_filter_orders(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-class _SegmentJoiner:
-    """Broadcast join: custkey → mktsegment, built once per actor from a
-    ray.put object ref (sorted-key searchsorted lookup, no shuffle)."""
-
-    def __init__(self, ref):
-        keys, segs = ray.get(ref)
-        self._keys = keys
-        self._segs = segs
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ck = t.column("o_custkey").to_numpy()
-        idx = np.searchsorted(self._keys, ck)
-        # inner-join semantics: drop rows whose key is absent (searchsorted
-        # alone returns an insertion point, which would silently join a
-        # missing key to the NEXT customer or index out of bounds)
-        idx_c = np.clip(idx, 0, len(self._keys) - 1)
-        hit = self._keys[idx_c] == ck
-        t = t.filter(pa.array(hit))
-        seg = self._segs[idx_c[hit]]
-        return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+def _segment_join_batch(t: pa.Table, ref) -> pa.Table:
+    """Broadcast join: custkey → mktsegment (sorted-key searchsorted, no
+    shuffle). Stateless task + per-worker broadcast cache — the state is
+    two arrays, far too cheap to justify an actor pool."""
+    keys, segs = get_broadcast(ref)
+    ck = t.column("o_custkey").to_numpy()
+    idx = np.searchsorted(keys, ck)
+    # inner-join semantics: drop rows whose key is absent (searchsorted
+    # alone returns an insertion point, which would silently join a
+    # missing key to the NEXT customer or index out of bounds)
+    idx_c = np.clip(idx, 0, len(keys) - 1)
+    hit = keys[idx_c] == ck
+    t = t.filter(pa.array(hit))
+    seg = segs[idx_c[hit]]
+    return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
 
 
 def q03_segment_revenue(sf_dir: str) -> "ray.data.Dataset":
@@ -110,9 +105,7 @@ def q03_segment_revenue(sf_dir: str) -> "ray.data.Dataset":
     ref = ray.put((keys, segs))
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = ds.map_batches(
-        _SegmentJoiner, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
-    )
+    joined = ds.map_batches(_segment_join_batch, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("c_mktsegment", as_index=False).agg(
@@ -130,14 +123,11 @@ def q03_segment_revenue(sf_dir: str) -> "ray.data.Dataset":
     return bucketed_group_agg(partials, ["c_mktsegment"], final, n_buckets=4)
 
 
-class _NationRegionJoiner:
-    def __init__(self, ref):
-        self._nation_to_region = ray.get(ref)
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        nk = t.column("c_nationkey").to_pylist()
-        rname = [self._nation_to_region[k] for k in nk]
-        return t.append_column("r_name", pa.array(rname, pa.string()))
+def _nation_region_join_batch(t: pa.Table, ref) -> pa.Table:
+    nation_to_region = get_broadcast(ref)
+    nk = t.column("c_nationkey").to_pylist()
+    rname = [nation_to_region[k] for k in nk]
+    return t.append_column("r_name", pa.array(rname, pa.string()))
 
 
 def q04_region_rollup(sf_dir: str) -> "ray.data.Dataset":
@@ -152,9 +142,7 @@ def q04_region_rollup(sf_dir: str) -> "ray.data.Dataset":
     ref = ray.put(n_map)
 
     ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
-    joined = ds.map_batches(
-        _NationRegionJoiner, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
-    )
+    joined = ds.map_batches(_nation_region_join_batch, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("r_name", as_index=False).agg(
@@ -264,16 +252,13 @@ def q20_supplier_nation(sf_dir: str) -> "ray.data.Dataset":
     n_map = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
     ref = ray.put(n_map)
 
-    class Joiner:
-        def __init__(self):
-            self._map = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self._map[k] for k in t.column("s_nationkey").to_pylist()]
-            return t.append_column("n_name", pa.array(names, pa.string()))
+    def join_nation(t: pa.Table) -> pa.Table:
+        nmap = get_broadcast(ref)
+        names = [nmap[k] for k in t.column("s_nationkey").to_pylist()]
+        return t.append_column("n_name", pa.array(names, pa.string()))
 
     ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
-    joined = ds.map_batches(Joiner, batch_format="pyarrow", concurrency=1)
+    joined = ds.map_batches(join_nation, batch_format="pyarrow")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("n_name", as_index=False).agg(
