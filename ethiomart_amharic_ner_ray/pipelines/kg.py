@@ -86,7 +86,16 @@ def build_mentions(
     """transcripts → mentions dataset (text untouched, clean_text added)."""
     ds = ds.map_batches(make_normalizer(normalizer), batch_format="pyarrow")
     ds = ds.map_batches(derive_seller, batch_format="pyarrow")
-    cls = {"regex": RegexExtractor, "ner": NerScorer, "ner_subword": MockModelNerScorer}[extractor]
+    if extractor == "regex":
+        # cheap compiled-pattern state → stateless tasks with a per-worker
+        # cache (actor-pool spin-up dominated this stage at fixture scale);
+        # the BIO scorers keep the actor pool (compute-bound, real state)
+        from ..stages.extract import regex_extract_batch
+
+        return ds.map_batches(
+            regex_extract_batch, batch_format="pyarrow", batch_size=batch_size
+        )
+    cls = {"ner": NerScorer, "ner_subword": MockModelNerScorer}[extractor]
     return ds.map_batches(
         cls,
         batch_format="pyarrow",

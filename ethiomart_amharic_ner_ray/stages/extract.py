@@ -130,6 +130,18 @@ def _cached_flat_extractor(locations: tuple[str, ...], phone_lookaround: bool) -
     return FlatRegexExtractor(locations, phone_lookaround)
 
 
+@lru_cache(maxsize=4)
+def _cached_struct_extractor(locations: tuple[str, ...]) -> "RegexExtractor":
+    return RegexExtractor(locations)
+
+
+def regex_extract_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task wrapper for the struct-mentions RegexExtractor with
+    the same per-worker-process state cache as flat_extract_batch — the
+    compiled patterns are far too cheap to justify actor-pool spin-up."""
+    return _cached_struct_extractor(DEFAULT_LOCATIONS)(batch)
+
+
 def flat_extract_batch(batch: pa.Table) -> pa.Table:
     """Stateless-task wrapper around FlatRegexExtractor with process-level
     state caching: regex/gazetteer compile once per WORKER PROCESS (workers
