@@ -5,7 +5,8 @@ Dataflow (SURVEY.md §3.4):
     read_parquet(transcripts)                         [streaming tasks]
      ├─ normalize: map_batches (adds clean_text)      [stateless]
      ├─ seller:    map_batches (vectorized)           [stateless]
-     ├─ extract:   map_batches(RegexExtractor|NerScorer, actor pool)
+     ├─ extract:   map_batches — cached stateless tasks (regex) /
+     │               actor pool (NerScorer backends)
      ├─ link:      map_batches(EntityLinker, actor pool, broadcast index)
      ├─ reassemble+emit: groupby(conv_bucket).map_groups
      │      — per bucket: pandas sort by (conv_id, turn_idx) = stable turn

@@ -1,7 +1,9 @@
 """Mention-extraction stage (deterministic regex path — defines the oracle).
 
-A callable class → actor pool: the location gazetteer pattern is compiled
-once per actor in ``__init__`` (not per batch), per the stateful-stage rule.
+State (compiled regex + gazetteer) is built once per WORKER PROCESS via the
+lru-cached stateless-task wrappers (regex_extract_batch /
+flat_extract_batch) — compiled patterns are too cheap to justify actor-pool
+spin-up; the callable classes remain for callers that want explicit pools.
 Batches are Arrow in / Arrow out; the mentions column is built directly as a
 ``list<struct>`` array so spans survive (FIXTURES.md §2).
 """
