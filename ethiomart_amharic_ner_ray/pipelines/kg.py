@@ -459,7 +459,30 @@ def run_kg_pipeline(
     stats: dict = {"n_buckets": n_buckets}
     # engine version is part of the fingerprint: a code upgrade invalidates
     # old checkpoints instead of silently mixing semantics across resumes
-    fingerprint = f"v{__version__}|{input_path}|b{n_buckets}|n{normalizer}|x{extractor}|l{link}"
+    # the fingerprint covers the input CONTENTS (file names + sizes), not
+    # just the path: an appended/replaced/truncated input dir must
+    # invalidate old checkpoints — with a path-only fingerprint, resume
+    # would trust "done" conv buckets and silently drop the new turns
+    import hashlib as _hashlib
+
+    def _input_signature(path: str) -> str:
+        p = _Path(path)
+        files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+        h = _hashlib.blake2b(digest_size=8)
+        for f in files:
+            try:
+                h.update(f.name.encode())
+                h.update(str(f.stat().st_size).encode())
+            except OSError:
+                h.update(b"?")
+        return h.hexdigest()
+
+    from pathlib import Path as _Path
+
+    fingerprint = (
+        f"v{__version__}|{input_path}|i{_input_signature(input_path)}"
+        f"|b{n_buckets}|n{normalizer}|x{extractor}|l{link}"
+    )
     mentions_dir = _os.path.join(out_dir, "mentions")
     triples_dir = _os.path.join(out_dir, "triples")
 

@@ -167,3 +167,27 @@ class TestChaosResume:
             assert _tset(resumed) == _tset(clean), f"cycle {cycle}"
             assert len(resumed) == len(clean), f"cycle {cycle}"
             assert stats["triples_rows"] == len(clean)
+
+
+class TestInputMutation:
+    def test_changed_input_invalidates_checkpoints(self, ray_session, tiny_transcripts_dir, tmp_path_factory):
+        """Appending data to the input dir must invalidate the old
+        checkpoints (content-aware fingerprint): a path-only fingerprint
+        would skip 'done' buckets and silently drop the new turns."""
+        import pyarrow.parquet as pq
+
+        from ethiomart_amharic_ner_ray.sources.transcripts import generate_transcripts
+
+        src = tmp_path_factory.mktemp("kg") / "growing_input"
+        shutil.copytree(tiny_transcripts_dir, src)
+        out = str(tmp_path_factory.mktemp("kg") / "out")
+        stats1 = run_kg_pipeline(str(src), out, n_buckets=6, concurrency=2)
+        n1 = stats1["triples_rows"]
+
+        # input grows: a new shard with fresh conversations
+        extra = generate_transcripts(500, seed=777, conv_base=10_000_000)
+        pq.write_table(extra, src / "extra.parquet")
+
+        stats2 = run_kg_pipeline(str(src), out, n_buckets=6, concurrency=2)
+        assert stats2["mentions_buckets_skipped"] == 0  # fingerprint changed
+        assert stats2["triples_rows"] > n1  # new conversations included
