@@ -164,3 +164,63 @@ class TestHashDeterminism:
             ]
         )
         assert (full == half).all()
+
+
+class TestCanonPriceLaws:
+    @given(
+        v=st.decimals(
+            min_value="0.01", max_value="99999999", places=2, allow_nan=False, allow_infinity=False
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_comma_grouping_never_changes_the_value(self, v):
+        """'1,234.56' and '1234.56' must canonicalize identically (the
+        reference's comma-strip), and integral values collapse to ints."""
+        from ethiomart_amharic_ner_ray.functions.canonical import canon_price, parse_price
+
+        plain = f"{v:f}".rstrip("0").rstrip(".")
+        intpart, _, frac = plain.partition(".")
+        grouped = f"{int(intpart):,}" + (f".{frac}" if frac else "")
+        assert canon_price(plain) == canon_price(grouped)
+        assert parse_price(grouped) == float(plain)
+        if float(plain) == int(float(plain)):
+            assert canon_price(plain) == f"{int(float(plain))} ብር"
+
+    @given(junk=st.text(max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def test_garbage_never_raises(self, junk):
+        from ethiomart_amharic_ner_ray.functions.canonical import canon_price, parse_price
+
+        p = parse_price(junk)
+        c = canon_price(junk)
+        assert (p is None) == (c is None)
+
+    def test_phone_national_form(self):
+        from ethiomart_amharic_ner_ray.functions.canonical import canon_phone
+
+        assert canon_phone("911234567") == "0911234567"
+        assert canon_phone("0911234567") == "0911234567"
+
+
+class TestExtractorSpanLaws:
+    @given(text=mixed_text)
+    @settings(max_examples=150, deadline=None)
+    def test_spans_are_valid_and_sorted(self, text):
+        """Every mention's span indexes clean_text, spans are ordered by
+        start, and the non-LOC surface equals the span slice."""
+        from ethiomart_amharic_ner_ray.functions.extract import (
+            build_loc_pattern,
+            extract_mentions,
+        )
+        from ethiomart_amharic_ner_ray.functions.textnorm import clean_text_v1
+
+        clean = clean_text_v1(text)
+        loc = build_loc_pattern()
+        ms = extract_mentions(clean, loc)
+        last = -1
+        for m in ms:
+            assert 0 <= m["start"] <= m["end"] <= len(clean)
+            assert m["start"] >= last
+            last = m["start"]
+            if m["etype"] == "LOC":
+                assert clean[m["start"] : m["end"]] == m["surface"]
