@@ -157,6 +157,7 @@ def bucketed_join(
     on: str,
     n_buckets: int = 64,
     schema_overrides: dict | None = None,
+    merge_fn=None,
 ) -> "ray.data.Dataset":
     """Inner hash-join on column ``on`` (same name on both sides) as ONE
     bucketed shuffle — the engine's shuffle-join primitive for when neither
@@ -166,7 +167,12 @@ def bucketed_join(
     Shape: tag each side, harmonize to the union schema (missing columns →
     nulls), union, hash the key to B buckets, pandas-merge inside each
     bucket. Non-key column names must be disjoint across sides. B scales
-    with the cluster, never with key cardinality."""
+    with the cluster, never with key cardinality.
+
+    ``merge_fn(left_df, right_df) -> df`` replaces the default inner merge
+    inside each bucket — the hook for joins that must bound their output
+    (e.g. per-key fan-out caps in graph traversals, semi/anti variants)
+    without giving up the one-shuffle shape."""
     lschema = _arrow_schema(left_ds, schema_overrides)
     rschema = _arrow_schema(right_ds, schema_overrides)
     overlap = (set(lschema.names) & set(rschema.names)) - {on}
@@ -209,7 +215,10 @@ def bucketed_join(
 
         left = df[df["_side"] == 0][lnames]
         right = df[df["_side"] == 1][[on] + rextra]
-        out = left.merge(right, on=on, how="inner")
+        if merge_fn is not None:
+            out = merge_fn(left, right)
+        else:
+            out = left.merge(right, on=on, how="inner")
         # ndarray cells (pandas view of Arrow list columns) would re-enter
         # Ray as tensor-extension structs; normalize to Python lists so the
         # declared list<> types round-trip

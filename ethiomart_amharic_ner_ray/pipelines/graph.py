@@ -60,6 +60,7 @@ def connected_components_minlabel(
     labels = bucketed_group_agg(edges, ["src"], init_labels, n_buckets=n_buckets).materialize()
     prev_sum = labels.sum(on="label")
 
+    converged = False
     for _ in range(max_rounds):
         # messages: every edge forwards label(src) to dst
         msgs = bucketed_join(
@@ -75,8 +76,22 @@ def connected_components_minlabel(
         ).materialize()
         new_sum = labels.sum(on="label")
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+
+    if not converged:
+        # a component with diameter > max_rounds would silently carry
+        # MULTIPLE cluster_rep values (one true cluster split in two) —
+        # surface it instead of returning partial labels as if final
+        import warnings
+
+        warnings.warn(
+            f"connected_components_minlabel: label propagation did not "
+            f"converge within max_rounds={max_rounds}; labels are partial "
+            f"(some components may be split). Raise max_rounds.",
+            RuntimeWarning,
+        )
 
     return rename_cols(labels, {"node": "doc_id", "label": "cluster_rep"})
 
@@ -86,6 +101,7 @@ def two_hop(
     pred_ab: str,
     pred_bc: str,
     n_buckets: int = 32,
+    max_paths_per_mid: int | None = None,
 ) -> "ray.data.Dataset":
     """Graph traversal as dataflow: (src)-[pred_ab]->(mid)-[pred_bc]->(dst)
     over a triples Dataset — e.g. seller -sells-> product -priced_at-> birr.
@@ -93,10 +109,19 @@ def two_hop(
     Both edge sets are predicate-filtered AT THE SCAN (tiny row subsets of
     the triples table), then joined on the shared ``mid`` entity with ONE
     bucketed shuffle (common.bucketed_join). The output carries the full
-    path (src, mid, dst). Skew note: a super-connected mid entity (a
-    product sold by thousands of sellers) concentrates its join group;
-    bound it upstream with salted pre-aggregation if paths per mid must be
-    capped."""
+    path (src, mid, dst).
+
+    Skew bound: a super-connected mid entity (a product sold by thousands
+    of sellers priced thousands of ways) makes its join group emit
+    |sellers| x |prices| rows — quadratic in the hot entity's degree.
+    ``max_paths_per_mid`` caps that deterministically: each side keeps only
+    the k = isqrt(cap) LEXICOGRAPHICALLY SMALLEST endpoints per mid (min-k
+    is a semilattice, so a per-batch partial cap runs before the shuffle —
+    a hot mid's rows are pre-thinned in every scan task and the exchange
+    never ships more than k x n_blocks rows for it), then the in-group
+    cross product is trimmed to the cap. Output for a capped mid is a
+    deterministic, rerun-stable subset of the uncapped paths; mids with
+    degree <= k on both sides are emitted in full."""
     import pyarrow.compute as pc
 
     def edges(pred: str, src_name: str, dst_name: str):
@@ -108,4 +133,34 @@ def two_hop(
 
     left = edges(pred_ab, "src", "mid")
     right = edges(pred_bc, "mid", "dst")
-    return bucketed_join(left, right, on="mid", n_buckets=n_buckets)
+    if max_paths_per_mid is None:
+        return bucketed_join(left, right, on="mid", n_buckets=n_buckets)
+
+    import math
+
+    k = max(1, math.isqrt(max_paths_per_mid))
+
+    def cap_side(other: str):
+        def f(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df.sort_values(["mid", other], kind="mergesort").groupby("mid", sort=False).head(k)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return f
+
+    left = left.map_batches(cap_side("src"), batch_format="pyarrow")
+    right = right.map_batches(cap_side("dst"), batch_format="pyarrow")
+
+    def capped_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        ldf = ldf.sort_values(["mid", "src"], kind="mergesort").groupby("mid", sort=False).head(k)
+        rdf = rdf.sort_values(["mid", "dst"], kind="mergesort").groupby("mid", sort=False).head(k)
+        out = ldf.merge(rdf, on="mid", how="inner")
+        # k*k <= cap by floor-isqrt; the head() is a hard guarantee that
+        # also pins the output-order contract per mid
+        return (
+            out.sort_values(["mid", "src", "dst"], kind="mergesort")
+            .groupby("mid", sort=False)
+            .head(max_paths_per_mid)
+        )
+
+    return bucketed_join(left, right, on="mid", n_buckets=n_buckets, merge_fn=capped_merge)

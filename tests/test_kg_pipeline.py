@@ -185,3 +185,74 @@ class TestTwoHop:
         want = left.merge(right, on="mid").sort_values(["src", "mid", "dst"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["src", "mid", "dst"]], want)
         assert len(got) > 0
+
+    def test_hot_mid_fanout_capped(self, ray_session):
+        """Planted super-connected entity: 100 sellers x 100 prices share one
+        product. Uncapped, its join group emits 10,000 paths (quadratic in
+        degree); with max_paths_per_mid=25 the group emits exactly
+        k*k = 25 rows — the deterministic min-k selection (5 smallest srcs x
+        5 smallest dsts) — while a low-degree mid is emitted in full."""
+        import pandas as pd
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.graph import two_hop
+
+        hot_sell = pd.DataFrame(
+            {"subj": [f"seller{i:03d}" for i in range(100)], "pred": "sells", "obj": "hotproduct"}
+        )
+        hot_price = pd.DataFrame(
+            {"subj": "hotproduct", "pred": "priced_at", "obj": [f"{100 + i} birr" for i in range(100)]}
+        )
+        cold_sell = pd.DataFrame({"subj": ["s1", "s2"], "pred": "sells", "obj": "coldproduct"})
+        cold_price = pd.DataFrame(
+            {"subj": "coldproduct", "pred": "priced_at", "obj": ["5 birr", "6 birr"]}
+        )
+        triples = rd.from_pandas(pd.concat([hot_sell, hot_price, cold_sell, cold_price], ignore_index=True))
+
+        uncapped = two_hop(triples, "sells", "priced_at").to_pandas()
+        assert (uncapped["mid"] == "hotproduct").sum() == 10_000
+        assert (uncapped["mid"] == "coldproduct").sum() == 4
+
+        capped = two_hop(triples, "sells", "priced_at", max_paths_per_mid=25).to_pandas()
+        hot = capped[capped["mid"] == "hotproduct"].sort_values(["src", "dst"]).reset_index(drop=True)
+        assert len(hot) == 25
+        # deterministic min-k: the 5 lexicographically smallest endpoints per side
+        assert sorted(hot["src"].unique()) == [f"seller{i:03d}" for i in range(5)]
+        assert sorted(hot["dst"].unique()) == [f"{100 + i} birr" for i in range(5)]
+        # low-degree mid untouched; capped output is a subset of uncapped
+        assert (capped["mid"] == "coldproduct").sum() == 4
+        upairs = set(map(tuple, uncapped[["src", "mid", "dst"]].itertuples(index=False)))
+        assert set(map(tuple, capped[["src", "mid", "dst"]].itertuples(index=False))) <= upairs
+
+        # rerun-stable: identical selection on a second run
+        capped2 = two_hop(triples, "sells", "priced_at", max_paths_per_mid=25).to_pandas()
+        key = ["mid", "src", "dst"]
+        pd.testing.assert_frame_equal(
+            capped.sort_values(key).reset_index(drop=True)[key],
+            capped2.sort_values(key).reset_index(drop=True)[key],
+        )
+
+
+class TestConnectedComponentsConvergence:
+    def test_warns_when_max_rounds_too_small(self, ray_session):
+        """A chain component with diameter > max_rounds must WARN (labels are
+        partial — one true cluster would silently split otherwise)."""
+        import warnings
+
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.graph import connected_components_minlabel
+
+        chain = pd.DataFrame({"a": list(range(9)), "b": list(range(1, 10))})
+        pairs = rd.from_pandas(chain)
+        with pytest.warns(RuntimeWarning, match="did not\\s+converge|did not converge"):
+            connected_components_minlabel(pairs, n_buckets=4, max_rounds=2)
+
+        # with enough rounds: converges, no convergence warning, rep=0
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = connected_components_minlabel(rd.from_pandas(chain), n_buckets=4).to_pandas()
+        assert not [w for w in caught if "converge" in str(w.message)]
+        assert (out["cluster_rep"] == 0).all() and len(out) == 10
