@@ -91,32 +91,50 @@ def q15_doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 def rolling_fingerprints(sf_dir: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> "ray.data.Dataset":
     """Rolling-hash (Rabin-Karp) shingle fingerprints per document: the
     document-fingerprinting primitive for content-defined dedup. Emits the
-    min/max/count of the rolling hashes per doc (rows-only check)."""
+    min/max/count of the rolling hashes per doc (rows-only check).
+
+    Vectorized: H[i] = sum_k b[i+k] * base^(w-1-k) mod p (the value the
+    scalar multiply-subtract recurrence maintains) is computed for the
+    batch's CONCATENATED bytes with ``window`` table gathers total —
+    per-position byte tables T_k[v] = v*base^(w-1-k) mod p keep every
+    addend < p, and for the defaults (w=8, p=2^61-1) the un-reduced sum is
+    <= w*(p-1) < 2^64, so uint64 accumulation is exact and one final
+    ``% p`` lands on the scalar loop's values bit-for-bit. Windows that
+    would straddle a document boundary are simply never sliced."""
+    import numpy as np
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if window * (mod - 1) >= (1 << 64):
+        raise ValueError("window*(mod-1) must fit in uint64 for exact accumulation")
 
     def f(t: pa.Table) -> pa.Table:
+        # tables built per batch call (window x 256 uint64 — trivially cheap)
+        tables = np.array(
+            [[(v * pow(base, window - 1 - k, mod)) % mod for v in range(256)] for k in range(window)],
+            dtype=np.uint64,
+        )
+        blobs = [x.encode("utf-8") for x in t.column("text").to_pylist()]
+        lens = np.array([len(b) for b in blobs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        total = int(offs[-1])
+        H = None
+        if total >= window:
+            cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            s = np.zeros(total - window + 1, dtype=np.uint64)
+            for k in range(window):
+                s += tables[k][cat[k : total - window + 1 + k]]
+            H = s % np.uint64(mod)
         mins, maxs, counts = [], [], []
-        for x in t.column("text").to_pylist():
-            b = x.encode("utf-8")
-            if len(b) < window:
+        for d in range(len(blobs)):
+            if lens[d] < window:
                 mins.append(0)
                 maxs.append(0)
                 counts.append(0)
                 continue
-            h = 0
-            pw = pow(base, window - 1, mod)
-            lo, hi, n = None, None, 0
-            for i, ch in enumerate(b):
-                h = (h * base + ch) % mod
-                if i >= window:
-                    h = (h - b[i - window] * pw * base) % mod
-                if i >= window - 1:
-                    n += 1
-                    lo = h if lo is None or h < lo else lo
-                    hi = h if hi is None or h > hi else hi
-            mins.append(lo)
-            maxs.append(hi)
-            counts.append(n)
+            seg = H[offs[d] : offs[d + 1] - window + 1]
+            mins.append(int(seg.min()))
+            maxs.append(int(seg.max()))
+            counts.append(seg.size)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
