@@ -266,7 +266,10 @@ def salted_group_agg(
     return bucketed_group_agg(partials, keys, combine_fn, n_buckets=n_buckets)
 
 
-_BROADCAST_CACHE: dict = {}
+from collections import OrderedDict
+
+_BROADCAST_CACHE: "OrderedDict" = OrderedDict()
+_BROADCAST_CACHE_SLOTS = 8  # a stage uses 1-2 broadcasts; 8 covers overlap
 
 
 def get_broadcast(ref):
@@ -274,8 +277,18 @@ def get_broadcast(ref):
     ray.get per worker, shared by every stateless task that lands there.
     Lets cheap-state broadcast joins run as elastic tasks instead of actor
     pools — pool spin-up dominated those stages at fixture scale, and the
-    zero-copy get is repeated per worker anyway."""
+    zero-copy get is repeated per worker anyway.
+
+    Bounded LRU: a long-lived worker in a session running many queries
+    would otherwise pin every broadcast payload it ever deserialized
+    (product indexes, centroid matrices, nation maps) for the process
+    lifetime. Eviction only drops this process's deserialized copy; the
+    object-store copy lives exactly as long as the caller's ref does."""
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _BROADCAST_CACHE:
+    if key in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.move_to_end(key)
+    else:
         _BROADCAST_CACHE[key] = ray.get(ref)
+        while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_SLOTS:
+            _BROADCAST_CACHE.popitem(last=False)
     return _BROADCAST_CACHE[key]

@@ -466,13 +466,52 @@ def run_kg_pipeline(
     import hashlib as _hashlib
 
     def _input_signature(path: str) -> str:
+        # Remote inputs (s3://, gs://, hdfs://, the `ray job submit --input`
+        # path) resolve through pyarrow.fs — a pathlib stat on a URI would
+        # silently hash to a constant and degrade the content-aware
+        # fingerprint to path-only EXACTLY in the cluster deployment case
+        # (resume would trust stale 'done' buckets and drop appended
+        # turns). A scheme that can't be content-signed REFUSES instead of
+        # degrading. mtime rides along where the filesystem reports it, so
+        # same-size in-place edits invalidate too.
+        h = _hashlib.blake2b(digest_size=8)
+        if "://" in path:
+            try:
+                from pyarrow import fs as _pafs
+
+                fsys, rel = _pafs.FileSystem.from_uri(path)
+                info = fsys.get_file_info(rel)
+                if info.type == _pafs.FileType.Directory:
+                    infos = [
+                        i
+                        for i in fsys.get_file_info(_pafs.FileSelector(rel, recursive=True))
+                        if i.path.endswith(".parquet")
+                    ]
+                    infos.sort(key=lambda i: i.path)
+                elif info.type == _pafs.FileType.File:
+                    infos = [info]
+                else:
+                    raise FileNotFoundError(f"{path}: {info.type}")
+                for i in infos:
+                    h.update(i.base_name.encode())
+                    h.update(str(i.size).encode())
+                    if i.mtime_ns is not None:
+                        h.update(str(i.mtime_ns).encode())
+            except Exception as exc:
+                raise ValueError(
+                    f"cannot content-sign input {path!r} for checkpoint/resume "
+                    f"({exc}); resumable runs require a filesystem pyarrow.fs "
+                    f"can stat"
+                ) from exc
+            return h.hexdigest()
         p = _Path(path)
         files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
-        h = _hashlib.blake2b(digest_size=8)
         for f in files:
             try:
+                st = f.stat()
                 h.update(f.name.encode())
-                h.update(str(f.stat().st_size).encode())
+                h.update(str(st.st_size).encode())
+                h.update(str(st.st_mtime_ns).encode())
             except OSError:
                 h.update(b"?")
         return h.hexdigest()

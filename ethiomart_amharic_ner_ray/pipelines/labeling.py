@@ -171,23 +171,35 @@ def quality_report(prepared_ds: "ray.data.Dataset") -> pd.DataFrame:
 def export_conll(prepared_ds: "ray.data.Dataset", out_dir: str) -> dict:
     """Distributed CoNLL export (S8/S9 at scale): each task writes its
     block's sentences as one atomic shard file under
-    ``<out_dir>/<split>/part-<taskid>-<blockid>.conll`` — no driver-side
-    sentence materialization, resumable at the directory level (rerun
-    overwrites shards atomically; readers glob the directory). Returns
-    per-split sentence counts."""
+    ``<out_dir>/<split>/part-<hash>-<uid>.conll`` — no driver-side
+    sentence materialization. Returns per-split sentence counts.
+
+    Shard names carry a hash of ALL the block's sentences (debuggability)
+    plus a per-task unique id: two blocks that share a sentence prefix —
+    or are entirely identical, as in duplicate-heavy corpora — can never
+    map to the same file and silently overwrite each other, and
+    concurrent tasks can never race on the same ``.tmp`` path. Reruns are
+    idempotent at the DIRECTORY level instead of the file level: shards
+    land in a fresh staging dir and each split dir is atomically swapped
+    into place only after the whole export succeeds, so a rerun with
+    different block boundaries can't leave stale differently-named shards
+    behind for readers to glob in."""
     import os
+    import shutil
+    import uuid
 
     from ..functions.conll import write_conll
 
-    os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "val"), exist_ok=True)
+    staging = os.path.join(out_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    os.makedirs(os.path.join(staging, "train"), exist_ok=True)
+    os.makedirs(os.path.join(staging, "val"), exist_ok=True)
 
     def write_shard(batch: pa.Table) -> pa.Table:
-        # shard name = content hash → deterministic layout, idempotent rerun
-        shard = hashlib.blake2b(
-            "\x00".join(" ".join(t) for t in batch.column("tokens").to_pylist()[:64]).encode("utf-8"),
-            digest_size=6,
-        ).hexdigest()
+        h = hashlib.blake2b(digest_size=6)
+        for t in batch.column("tokens").to_pylist():
+            h.update(" ".join(t).encode("utf-8"))
+            h.update(b"\x00")
+        shard = f"{h.hexdigest()}-{uuid.uuid4().hex[:8]}"
         counts = {"train": 0, "val": 0}
         by_split: dict[str, list] = {"train": [], "val": []}
         for tokens, tags, split in zip(
@@ -198,7 +210,7 @@ def export_conll(prepared_ds: "ray.data.Dataset", out_dir: str) -> dict:
             by_split[split].append(list(zip(tokens, tags)))
         for split, sents in by_split.items():
             if sents:
-                write_conll(sents, os.path.join(out_dir, split, f"part-{shard}.conll"))
+                write_conll(sents, os.path.join(staging, split, f"part-{shard}.conll"))
                 counts[split] += len(sents)
         return pa.table(
             {
@@ -207,9 +219,16 @@ def export_conll(prepared_ds: "ray.data.Dataset", out_dir: str) -> dict:
             }
         )
 
-    parts = prepared_ds.map_batches(write_shard, batch_format="pyarrow", batch_size=4096)
-    totals = {"train": 0, "val": 0}
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        for s, n in zip(b.column("split").to_pylist(), b.column("n").to_pylist()):
-            totals[s] += n
+    try:
+        parts = prepared_ds.map_batches(write_shard, batch_format="pyarrow", batch_size=4096)
+        totals = {"train": 0, "val": 0}
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            for s, n in zip(b.column("split").to_pylist(), b.column("n").to_pylist()):
+                totals[s] += n
+        for split in ("train", "val"):
+            final = os.path.join(out_dir, split)
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(os.path.join(staging, split), final)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return totals

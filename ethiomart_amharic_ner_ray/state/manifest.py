@@ -48,14 +48,16 @@ def done_buckets(out_dir: str | Path, fingerprint: str) -> set[int]:
 
 def validated_done_buckets(out_dir: str | Path, fingerprint: str) -> set[int]:
     """``done_buckets`` plus an existence check on the data it vouches for:
-    a manifest claiming rows > 0 whose ``bucket=N`` dir is gone (external
-    deletion, partial restore, operator error) is NOT done — its manifest
-    is dropped so the bucket rebuilds. Found by the chaos-resume test:
-    trusting such a manifest silently loses that bucket's output."""
+    a manifest claiming rows > 0 whose ``bucket=N`` dir is gone — or still
+    exists but holds no parquet files (partial restore, selective delete) —
+    is NOT done; its manifest is dropped so the bucket rebuilds. Found by
+    the chaos-resume test: trusting such a manifest silently loses that
+    bucket's output."""
     out_dir = Path(out_dir)
     done: set[int] = set()
     for bucket, rows in manifest_rows(out_dir, fingerprint).items():
-        if rows == 0 or (out_dir / f"bucket={bucket}").is_dir():
+        d = out_dir / f"bucket={bucket}"
+        if rows == 0 or (d.is_dir() and any(d.glob("*.parquet"))):
             done.add(bucket)
         else:
             _manifest_path(out_dir, bucket).unlink(missing_ok=True)

@@ -132,3 +132,50 @@ class TestConllExport:
         want = [list(zip(t, g)) for t, g in zip(df["tokens"], df["tags"])]
         key = lambda s: tuple(map(tuple, s))
         assert sorted(map(key, got)) == sorted(map(key, want))
+
+    def test_duplicate_blocks_do_not_collide(self, ray_session, tmp_path):
+        """Duplicate-heavy corpus: blocks with IDENTICAL sentences must all
+        survive export — shard names carry a unique id, so two blocks can
+        never map to one file and overwrite each other."""
+        import glob
+
+        import pandas as pd
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.functions.conll import read_conll
+        from ethiomart_amharic_ner_ray.pipelines.labeling import export_conll
+
+        one = {"tokens": ["hello", "world"], "tags": ["O", "O"], "split": "train"}
+        df = pd.DataFrame([one] * 400)  # all sentences identical
+        ds = rd.from_pandas(df).repartition(4)  # force multiple blocks
+        out = str(tmp_path / "dups")
+        totals = export_conll(ds, out)
+        assert totals == {"train": 400, "val": 0}
+        got = []
+        for f in glob.glob(f"{out}/train/part-*.conll"):
+            got.extend(read_conll(f))
+        assert len(got) == 400
+
+    def test_rerun_leaves_no_stale_shards(self, ray_session, tmp_path):
+        """A rerun with different data must atomically replace the split
+        dirs — readers must never glob in shards from a previous export."""
+        import glob
+
+        import pandas as pd
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.functions.conll import read_conll
+        from ethiomart_amharic_ner_ray.pipelines.labeling import export_conll
+
+        out = str(tmp_path / "rerun")
+        mk = lambda tok, n: rd.from_pandas(
+            pd.DataFrame([{"tokens": [tok], "tags": ["O"], "split": "train"}] * n)
+        ).repartition(2)
+        export_conll(mk("old", 10), out)
+        export_conll(mk("new", 6), out)
+        got = []
+        for f in glob.glob(f"{out}/train/part-*.conll"):
+            got.extend(read_conll(f))
+        assert len(got) == 6
+        assert all(s == [("new", "O")] for s in got)
+        assert not glob.glob(f"{out}/.staging-*")

@@ -48,6 +48,21 @@ class TestManifestUnit:
         (mdir / "bucket=0007.json").write_text("{not json")
         assert done_buckets(tmp_path, "fp") == set()
 
+    def test_emptied_bucket_dir_not_done(self, tmp_path):
+        """A bucket dir emptied of its parquet files (selective delete,
+        partial restore) must NOT validate while its manifest claims
+        rows > 0 — same failure mode as a deleted dir, one level down."""
+        from ethiomart_amharic_ner_ray.state.manifest import validated_done_buckets
+
+        write_bucket_manifests(tmp_path, {1: {"rows": 5}, 2: {"rows": 5}, 3: {"rows": 0}}, "fp")
+        (tmp_path / "bucket=1").mkdir()  # exists but EMPTY
+        (tmp_path / "bucket=2").mkdir()
+        (tmp_path / "bucket=2" / "part-0.parquet").write_bytes(b"x")
+        # bucket 3 has rows=0: no data dir required
+        assert validated_done_buckets(tmp_path, "fp") == {2, 3}
+        # the stale manifest was dropped so bucket 1 rebuilds
+        assert done_buckets(tmp_path, "fp") == {2, 3}
+
 
 @pytest.fixture(scope="module")
 def kg_run(ray_session, tiny_transcripts_dir, tmp_path_factory):
@@ -191,3 +206,28 @@ class TestInputMutation:
         stats2 = run_kg_pipeline(str(src), out, n_buckets=6, concurrency=2)
         assert stats2["mentions_buckets_skipped"] == 0  # fingerprint changed
         assert stats2["triples_rows"] > n1  # new conversations included
+
+    def test_same_size_inplace_edit_invalidates(
+        self, ray_session, tiny_transcripts_dir, tmp_path_factory
+    ):
+        """An in-place edit that keeps file size (mtime changes) must
+        invalidate checkpoints — name+size alone would miss it."""
+        import os
+
+        src = tmp_path_factory.mktemp("kg") / "edited_input"
+        shutil.copytree(tiny_transcripts_dir, src)
+        out = str(tmp_path_factory.mktemp("kg") / "out")
+        run_kg_pipeline(str(src), out, n_buckets=6, concurrency=2)
+        f = sorted(src.glob("*.parquet"))[0]
+        st = f.stat()
+        os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+        stats2 = run_kg_pipeline(str(src), out, n_buckets=6, concurrency=2)
+        assert stats2["mentions_buckets_skipped"] == 0
+
+    def test_unsignable_uri_refuses(self, ray_session, tmp_path_factory):
+        """A remote scheme pyarrow.fs can't stat must REFUSE resumable
+        runs instead of silently degrading the fingerprint to path-only
+        (which would drop appended turns on resume)."""
+        out = str(tmp_path_factory.mktemp("kg") / "out")
+        with pytest.raises(ValueError, match="content-sign"):
+            run_kg_pipeline("fake-scheme://bucket/prefix", out, n_buckets=4, concurrency=2)

@@ -191,3 +191,25 @@ class TestScorecardSummary:
         assert rep.index.str.startswith("top1_seller").any()
         top1 = rep["top1_seller"].split(":")[0]
         assert top1 == df.sort_values(["total_products", "seller"], ascending=[False, True]).iloc[0]["seller"]
+
+
+class TestBroadcastCache:
+    def test_lru_bounded(self, ray_session):
+        """The per-worker broadcast cache must not grow without bound in a
+        long session: distinct refs beyond the slot count evict oldest."""
+        import ray
+
+        from ethiomart_amharic_ner_ray.pipelines import common
+
+        common._BROADCAST_CACHE.clear()
+        refs = [ray.put({"i": i}) for i in range(common._BROADCAST_CACHE_SLOTS + 4)]
+        for r in refs:
+            assert common.get_broadcast(r)["i"] is not None
+        assert len(common._BROADCAST_CACHE) <= common._BROADCAST_CACHE_SLOTS
+        # hot entry stays cached and identical across gets
+        obj1 = common.get_broadcast(refs[-1])
+        obj2 = common.get_broadcast(refs[-1])
+        assert obj1 is obj2
+        # evicted entry still retrievable (re-fetch, not an error)
+        assert common.get_broadcast(refs[0]) == {"i": 0}
+        common._BROADCAST_CACHE.clear()
