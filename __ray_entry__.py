@@ -179,31 +179,66 @@ def _kg_extractor_disagreement(sf_dir: str):
     per-predicate agreement between the regex and NER extraction paths on
     the same input — n_both / n_regex_only / n_ner_only / jaccard. The NER
     path legitimately diverges where IOB2 repair (SKU demotion) splits
-    spans; this report quantifies exactly where."""
-    import pandas as pd
+    spans; this report quantifies exactly where.
 
-    from ethiomart_amharic_ner_ray.pipelines.common import round_away
+    Fully distributed (no driver set comparison, no input cap): each
+    side's triple set is tagged with presence flags, both ride ONE
+    bucketed shuffle on (pred, subj, obj), presence is merged per triple
+    inside its bucket and pre-aggregated to per-(bucket, pred) counts —
+    the driver only ever sees <= n_buckets x n_preds partial count rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg, round_away
     from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
 
-    ds = _transcripts_ds(sf_dir).limit(20000)
-    rx = kg_triples(ds, extractor="regex", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False).to_pandas()
-    nr = kg_triples(ds, extractor="ner", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False).to_pandas()
-    rows = []
-    for pred in sorted(set(rx["pred"]) | set(nr["pred"])):
-        a = set(map(tuple, rx.loc[rx["pred"] == pred, ["subj", "obj"]].itertuples(index=False)))
-        b = set(map(tuple, nr.loc[nr["pred"] == pred, ["subj", "obj"]].itertuples(index=False)))
-        both = len(a & b)
-        union = len(a | b)
-        rows.append(
-            {
-                "pred": pred,
-                "n_both": both,
-                "n_regex_only": len(a - b),
-                "n_ner_only": len(b - a),
-                "jaccard": round_away(both / union, 4) if union else 1.0,
-            }
-        )
-    return pd.DataFrame(rows)
+    ds = _transcripts_ds(sf_dir)
+    rx = kg_triples(ds, extractor="regex", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False)
+    nr = kg_triples(ds, extractor="ner", link=False, n_buckets=16, concurrency=(1, 8), with_provenance_struct=False)
+
+    def tag(in_rx: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "pred": t.column("pred"),
+                    "subj": t.column("subj"),
+                    "obj": t.column("obj"),
+                    "in_rx": pa.array(np.full(n, in_rx, np.int8)),
+                    "in_ner": pa.array(np.full(n, 1 - in_rx, np.int8)),
+                }
+            )
+
+        return f
+
+    # materialize each tagged side before the union: one streaming job
+    # double-driving two lazy actor-pool chains off the same scan can
+    # deadlock at low CPU counts (and re-extracts the corpus twice). The
+    # cluster path Parquet-checkpoints each side like run_kg_pipeline.
+    u = (
+        rx.map_batches(tag(1), batch_format="pyarrow")
+        .materialize()
+        .union(nr.map_batches(tag(0), batch_format="pyarrow").materialize())
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pred", "subj", "obj"], as_index=False)[["in_rx", "in_ner"]].max()
+        g["n_both"] = ((g["in_rx"] == 1) & (g["in_ner"] == 1)).astype("int64")
+        g["n_regex_only"] = ((g["in_rx"] == 1) & (g["in_ner"] == 0)).astype("int64")
+        g["n_ner_only"] = ((g["in_rx"] == 0) & (g["in_ner"] == 1)).astype("int64")
+        return g.groupby("pred", as_index=False)[["n_both", "n_regex_only", "n_ner_only"]].sum()
+
+    partials = bucketed_group_agg(u, ["pred", "subj", "obj"], per_bucket, n_buckets=32)
+    out = partials.to_pandas()  # aggregate-sized: <= n_buckets x n_preds rows
+    out = out.groupby("pred", as_index=False)[["n_both", "n_regex_only", "n_ner_only"]].sum()
+    union = out["n_both"] + out["n_regex_only"] + out["n_ner_only"]
+    out["jaccard"] = [
+        round_away(b / u, 4) if u else 1.0 for b, u in zip(out["n_both"], union)
+    ]
+    return out.sort_values("pred").reset_index(drop=True)[
+        ["pred", "n_both", "n_regex_only", "n_ner_only", "jaccard"]
+    ]
 
 
 def _kg_pr_report(sf_dir: str):

@@ -283,15 +283,27 @@ def minhash_lsh_pairs(
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def minhash_dedup(sf_dir: str, seed: int = 42, jaccard_threshold: float = 0.7) -> pd.DataFrame:
+def minhash_dedup(
+    sf_dir: str,
+    seed: int = 42,
+    jaccard_threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
+) -> pd.DataFrame:
     """Near-dup clusters: verified pairs → connected components via
     distributed min-label propagation (pipelines/graph.py) — cluster_rep is
     the component's minimum doc_id, exactly what the old driver-side
-    union-find-with-min-root produced, now with no driver graph state."""
+    union-find-with-min-root produced, now with no driver graph state.
+    ``checkpoint_dir`` Parquet-checkpoints the label rounds (resumable; the
+    cluster deployment path), keyed by the dedup parameters."""
     from .graph import connected_components_minlabel
 
     pairs = minhash_lsh_pairs_ds(sf_dir, seed, jaccard_threshold)
-    out = connected_components_minlabel(pairs, n_buckets=32).to_pandas()
+    out = connected_components_minlabel(
+        pairs,
+        n_buckets=32,
+        checkpoint_dir=checkpoint_dir,
+        fingerprint=f"minhash|{sf_dir}|{seed}|{jaccard_threshold}",
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"doc_id": pd.array([], dtype="int64"), "cluster_rep": pd.array([], dtype="int64")}

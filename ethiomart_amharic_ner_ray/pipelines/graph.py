@@ -42,57 +42,189 @@ def _edges_both_directions(pairs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return pairs_ds.map_batches(f, batch_format="pyarrow")
 
 
-def connected_components_minlabel(
-    pairs_ds: "ray.data.Dataset",
-    n_buckets: int = 32,
-    max_rounds: int = 50,
-) -> "ray.data.Dataset":
-    """(a, b) pair Dataset → (doc_id, cluster_rep) with cluster_rep = the
-    minimum doc_id of the connected component. Fixpoint detected by the
-    (strictly decreasing while unconverged) global label sum."""
-    edges = _edges_both_directions(pairs_ds).materialize()
+def _warn_unconverged(max_rounds: int) -> None:
+    # a component with diameter > max_rounds would silently carry MULTIPLE
+    # cluster_rep values (one true cluster split in two) — surface it
+    # instead of returning partial labels as if final
+    import warnings
 
+    warnings.warn(
+        f"connected_components_minlabel: label propagation did not "
+        f"converge within max_rounds={max_rounds}; labels are partial "
+        f"(some components may be split). Raise max_rounds.",
+        RuntimeWarning,
+    )
+
+
+def _cc_round_step(
+    edges: "ray.data.Dataset", labels: "ray.data.Dataset", n_buckets: int
+) -> "ray.data.Dataset":
+    """One propagation round: forward label(src) along every edge, keep the
+    per-node minimum of (old label, incoming labels)."""
+    msgs = bucketed_join(
+        edges, rename_cols(labels, {"node": "src"}), on="src", n_buckets=n_buckets
+    ).select_columns(["dst", "label"])
+    msgs = rename_cols(msgs, {"dst": "node"})
+
+    def take_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["label"].min()
+
+    return bucketed_group_agg(labels.union(msgs), ["node"], take_min, n_buckets=n_buckets)
+
+
+def _cc_init_labels(edges: "ray.data.Dataset", n_buckets: int) -> "ray.data.Dataset":
     # init: label(x) = x, one row per distinct node
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates("src")[["src"]].rename(columns={"src": "node"})
         return out.assign(label=out["node"])
 
-    labels = bucketed_group_agg(edges, ["src"], init_labels, n_buckets=n_buckets).materialize()
-    prev_sum = labels.sum(on="label")
+    return bucketed_group_agg(edges, ["src"], init_labels, n_buckets=n_buckets)
 
-    converged = False
-    for _ in range(max_rounds):
-        # messages: every edge forwards label(src) to dst
-        msgs = bucketed_join(
-            edges, rename_cols(labels, {"node": "src"}), on="src", n_buckets=n_buckets
-        ).select_columns(["dst", "label"])
-        msgs = rename_cols(msgs, {"dst": "node"})
 
-        def take_min(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("node", as_index=False)["label"].min()
+def connected_components_minlabel(
+    pairs_ds: "ray.data.Dataset",
+    n_buckets: int = 32,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+    fingerprint: str = "cc-v1",
+) -> "ray.data.Dataset":
+    """(a, b) pair Dataset → (doc_id, cluster_rep) with cluster_rep = the
+    minimum doc_id of the connected component. Fixpoint detected by the
+    (strictly decreasing while unconverged) global label sum.
 
-        labels = bucketed_group_agg(
-            labels.union(msgs), ["node"], take_min, n_buckets=n_buckets
-        ).materialize()
-        new_sum = labels.sum(on="label")
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
+    ``checkpoint_dir=None`` (default) materializes labels per round in the
+    object store — fine at fixture scale. With a ``checkpoint_dir``, edges
+    and every round's labels are Parquet-checkpointed with per-round
+    commit markers (run_kg_pipeline-style barrier): a crashed clustering
+    job resumes from its last COMMITTED round instead of restarting, and
+    no label set is ever pinned in the object store across rounds. Pass a
+    content-derived ``fingerprint`` (e.g. the pair set's input signature)
+    so stale checkpoints from a different pair set can never be resumed."""
+    if checkpoint_dir is None:
+        edges = _edges_both_directions(pairs_ds).materialize()
+        labels = _cc_init_labels(edges, n_buckets).materialize()
+        prev_sum = labels.sum(on="label")
+        converged = False
+        for _ in range(max_rounds):
+            labels = _cc_round_step(edges, labels, n_buckets).materialize()
+            new_sum = labels.sum(on="label")
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+        if not converged:
+            _warn_unconverged(max_rounds)
+        return rename_cols(labels, {"node": "doc_id", "label": "cluster_rep"})
 
-    if not converged:
-        # a component with diameter > max_rounds would silently carry
-        # MULTIPLE cluster_rep values (one true cluster split in two) —
-        # surface it instead of returning partial labels as if final
-        import warnings
+    return _cc_checkpointed(pairs_ds, n_buckets, max_rounds, checkpoint_dir, fingerprint)
 
-        warnings.warn(
-            f"connected_components_minlabel: label propagation did not "
-            f"converge within max_rounds={max_rounds}; labels are partial "
-            f"(some components may be split). Raise max_rounds.",
-            RuntimeWarning,
+
+def _cc_marker(path, meta=None):
+    """Read (meta=None) or atomically write a stage commit marker."""
+    import json
+    import os
+
+    if meta is None:
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+    tmp = str(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, path)
+    return meta
+
+
+def _cc_checkpointed(
+    pairs_ds: "ray.data.Dataset",
+    n_buckets: int,
+    max_rounds: int,
+    checkpoint_dir: str,
+    fingerprint: str,
+) -> "ray.data.Dataset":
+    import os
+    import shutil
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def stage_dir(name: str) -> str:
+        return os.path.join(checkpoint_dir, name)
+
+    def valid(name: str, extra: dict | None = None) -> dict | None:
+        meta = _cc_marker(os.path.join(checkpoint_dir, f"{name}.json"))
+        if not meta or meta.get("fingerprint") != fingerprint:
+            return None
+        if not any(f.endswith(".parquet") for f in _ls(stage_dir(name))):
+            return None
+        if extra and any(meta.get(k) != v for k, v in extra.items()):
+            return None
+        return meta
+
+    def _ls(d: str) -> list[str]:
+        try:
+            return os.listdir(d)
+        except OSError:
+            return []
+
+    def write_stage(name: str, ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        # data first, marker second (with whatever meta the caller computed
+        # AFTER the write): a marker can never vouch for absent/partial data
+        d = stage_dir(name)
+        shutil.rmtree(d, ignore_errors=True)
+        ds.write_parquet(d)
+        return ray.data.read_parquet(d)
+
+    def mark(name: str, **meta) -> None:
+        _cc_marker(
+            os.path.join(checkpoint_dir, f"{name}.json"), dict(meta, fingerprint=fingerprint)
         )
 
+    # ---- edges (written once per fingerprint) ----------------------------
+    if valid("edges"):
+        edges = ray.data.read_parquet(stage_dir("edges"))
+    else:
+        edges = write_stage("edges", _edges_both_directions(pairs_ds))
+        mark("edges")
+
+    # ---- find last committed round ---------------------------------------
+    start_round, labels, prev_sum, converged = 0, None, None, False
+    rounds = sorted(
+        int(f[len("round_") : -len(".json")])
+        for f in _ls(checkpoint_dir)
+        if f.startswith("round_") and f.endswith(".json")
+    )
+    for r in reversed(rounds):
+        meta = valid(f"round_{r}")
+        if meta:
+            start_round = r
+            labels = ray.data.read_parquet(stage_dir(f"round_{r}"))
+            prev_sum = meta["label_sum"]
+            converged = bool(meta.get("converged"))
+            break
+    if labels is None:
+        labels = write_stage("round_0", _cc_init_labels(edges, n_buckets))
+        prev_sum = labels.sum(on="label")
+        mark("round_0", label_sum=prev_sum, converged=False)
+
+    for r in range(start_round + 1, max_rounds + 1):
+        if converged:
+            break
+        labels = write_stage(f"round_{r}", _cc_round_step(edges, labels, n_buckets))
+        new_sum = labels.sum(on="label")
+        converged = new_sum == prev_sum
+        mark(f"round_{r}", label_sum=new_sum, converged=converged)
+        prev_sum = new_sum
+        # bound storage: only the latest committed round is needed to resume
+        shutil.rmtree(stage_dir(f"round_{r - 1}"), ignore_errors=True)
+        try:
+            os.unlink(os.path.join(checkpoint_dir, f"round_{r - 1}.json"))
+        except OSError:
+            pass
+
+    if not converged:
+        _warn_unconverged(max_rounds)
     return rename_cols(labels, {"node": "doc_id", "label": "cluster_rep"})
 
 

@@ -256,3 +256,139 @@ class TestConnectedComponentsConvergence:
             out = connected_components_minlabel(rd.from_pandas(chain), n_buckets=4).to_pandas()
         assert not [w for w in caught if "converge" in str(w.message)]
         assert (out["cluster_rep"] == 0).all() and len(out) == 10
+
+
+class TestConnectedComponentsCheckpoint:
+    def _pairs(self):
+        import pandas as pd
+
+        # two components: a 6-chain (diameter needs a few rounds) + a pair
+        return pd.DataFrame({"a": [0, 1, 2, 3, 4, 10], "b": [1, 2, 3, 4, 5, 11]})
+
+    def test_checkpointed_equals_in_memory(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.graph import connected_components_minlabel
+
+        want = (
+            connected_components_minlabel(rd.from_pandas(self._pairs()), n_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            connected_components_minlabel(
+                rd.from_pandas(self._pairs()),
+                n_buckets=4,
+                checkpoint_dir=str(tmp_path / "cc"),
+                fingerprint="t1",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_resume_after_midround_crash(self, ray_session, tmp_path, monkeypatch):
+        """Kill the loop mid-round; the rerun must resume from the last
+        COMMITTED round (edges + earlier rounds not recomputed) and land on
+        the same clusters as an uninterrupted run."""
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        import ethiomart_amharic_ner_ray.pipelines.graph as G
+
+        ckpt = str(tmp_path / "cc_crash")
+        want = (
+            G.connected_components_minlabel(rd.from_pandas(self._pairs()), n_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        real_step = G._cc_round_step
+        calls = {"n": 0}
+
+        def crashing_step(*a, **k):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated mid-round crash")
+            return real_step(*a, **k)
+
+        monkeypatch.setattr(G, "_cc_round_step", crashing_step)
+        with pytest.raises(RuntimeError, match="mid-round crash"):
+            G.connected_components_minlabel(
+                rd.from_pandas(self._pairs()), n_buckets=4, checkpoint_dir=ckpt, fingerprint="t2"
+            )
+        monkeypatch.undo()
+
+        # round 1 committed before the crash; edges + round_1 must be reused
+        import json
+        from pathlib import Path
+
+        assert json.loads((Path(ckpt) / "round_1.json").read_text())["fingerprint"] == "t2"
+        edge_calls = {"n": 0}
+        real_edges = G._edges_both_directions
+
+        def counting_edges(*a, **k):
+            edge_calls["n"] += 1
+            return real_edges(*a, **k)
+
+        monkeypatch.setattr(G, "_edges_both_directions", counting_edges)
+        got = (
+            G.connected_components_minlabel(
+                rd.from_pandas(self._pairs()), n_buckets=4, checkpoint_dir=ckpt, fingerprint="t2"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        monkeypatch.undo()
+        assert edge_calls["n"] == 0, "edges must come from the checkpoint"
+        pd.testing.assert_frame_equal(got, want)
+
+        # a completed checkpoint short-circuits: rerun does zero new rounds
+        step_calls = {"n": 0}
+
+        def counting_step(*a, **k):
+            step_calls["n"] += 1
+            return real_step(*a, **k)
+
+        monkeypatch.setattr(G, "_cc_round_step", counting_step)
+        again = (
+            G.connected_components_minlabel(
+                rd.from_pandas(self._pairs()), n_buckets=4, checkpoint_dir=ckpt, fingerprint="t2"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        monkeypatch.undo()
+        assert step_calls["n"] == 0
+        pd.testing.assert_frame_equal(again, want)
+
+    def test_fingerprint_mismatch_rebuilds(self, ray_session, tmp_path):
+        """A checkpoint from a DIFFERENT pair set must not be resumed."""
+        import pandas as pd
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.graph import connected_components_minlabel
+
+        ckpt = str(tmp_path / "cc_fp")
+        connected_components_minlabel(
+            rd.from_pandas(pd.DataFrame({"a": [0], "b": [1]})),
+            n_buckets=4,
+            checkpoint_dir=ckpt,
+            fingerprint="old-input",
+        )
+        got = (
+            connected_components_minlabel(
+                rd.from_pandas(self._pairs()), n_buckets=4, checkpoint_dir=ckpt, fingerprint="new-input"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 8  # nodes 0..5 + 10,11 — not the stale 2-node set
