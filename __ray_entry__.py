@@ -115,6 +115,31 @@ def _kg_mentions_exploded(sf_dir: str):
     )
 
 
+def _kg_clean_text(sf_dir: str):
+    """M1 normalize, hash-checked corpus-wide: the engine's clean_text_v1
+    output per turn vs a DuckDB regexp chain reproducing the exact order of
+    operations (price sub → URL strip → non-word strip → ws collapse).
+    RE2's \\w is ASCII-only, so the oracle uses [\\p{L}\\p{N}_] — verified
+    equal to Python's unicode \\w over this corpus's alphabet."""
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+
+    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
+    return ds.select_columns(["conv_id", "turn_idx", "clean_text"])
+
+
+def _kg_mention_flags(sf_dir: str):
+    """M4 flag semantics, hash-checked: per-turn has_price / has_phone from
+    the exploded mention lists vs DuckDB regexp existence over the SQL
+    clean_text (the phone oracle rewrites the v2 lookarounds — RE2 has
+    none — as the equivalent bounded-context alternation)."""
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+    from ethiomart_amharic_ner_ray.stages.extract import explode_entities
+
+    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
+    ds = ds.map_batches(explode_entities, batch_format="pyarrow")
+    return ds.select_columns(["conv_id", "turn_idx", "has_price", "has_phone"])
+
+
 def _kg_text_equality(sf_dir: str):
     """North-rule invariant, driver-hash-checked: per-turn text survives the
     normalize + extract stages byte-for-byte (the oracle reads the raw
@@ -340,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _kg_mentions,
         # transcript-derived, SQL-checked via read_parquet on the cached
         # deterministic fixture (oracle_sql ensures generation)
+        "kg_clean_text": _kg_clean_text,
+        "kg_mention_flags": _kg_mention_flags,
         "kg_text_equality": _kg_text_equality,
         "kg_turns_per_conv": _kg_turns_per_conv,
         "kg_seller_turncounts": _kg_seller_turncounts,
@@ -365,9 +392,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).read_table(sf_dir, "events", columns=["value"]),
             "value",
         ),
-        # ANN / batched retrieval (rows-only)
+        # ANN / batched retrieval (knn_self_join + the exact-probe IVF
+        # variant are SQL-checked; the pruned variants stay rows-only)
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivf_exact_topk": lambda sf_dir: similarity.ann_ivf_topk(sf_dir, nprobe=16),
         "kmeans_assign": lambda sf_dir: similarity.kmeans_embeddings(sf_dir)[1],
         "knn_self_join": similarity.knn_self_join,
         # multimodal plumbing (rows-only; decode stubbed per environment).
@@ -394,7 +423,56 @@ def oracle_sql() -> dict[str, str]:
     # generating here is safe whichever side the driver runs first.
     tx = transcripts_dir_for("/root/testdata/sf0.01")
     tx_glob = f"{tx}/*.parquet"
+    # clean_text_v1 as a DuckDB expression (exact order of operations;
+    # [\p{L}\p{N}_] stands in for Python's unicode \w — RE2's \w is
+    # ASCII-only; verified equal over the corpus alphabet)
+    clean_expr = r"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        CASE WHEN text IS NULL OR text = '[no text]' THEN '' ELSE text END,
+        '(\d{1,3}(?:,\d{3})*(?:\.\d+)?)\s*(?:ብር|birr|br|ዶላር|dollar)', '\1 ብር', 'gi'),
+        'https?://\S+|www\.\S+', '', 'g'),
+        '[^\p{L}\p{N}_\sሀ-፿.,!?]', '', 'g'),
+        '\s+', ' ', 'g'))"""
     return {
+        "kg_clean_text": f"""
+            SELECT conv_id, turn_idx, {clean_expr} AS clean_text
+            FROM read_parquet('{tx_glob}')
+        """,
+        "kg_mention_flags": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}'))
+            SELECT conv_id, turn_idx,
+                   regexp_matches(clean,
+                       '(?i)\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d+)?\\s*(?:ብር|birr|br|ዶላር|dollar)')
+                       AS has_price,
+                   regexp_matches(clean,
+                       '(?:^|[^0-9])(?:09[0-9]{{8}}|9[0-9]{{8}})(?:[^0-9]|$)') AS has_phone
+            FROM c
+        """,
+        "knn_self_join": """
+            WITH qs AS (SELECT vec_id AS query_id, embedding
+                        FROM embeddings ORDER BY vec_id LIMIT 50),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+                FROM embeddings e, qs q
+                WHERE e.vec_id <> q.query_id),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, vec_id) AS rn
+                FROM scored)
+            SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= 5
+        """,
+        "ann_ivf_exact_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings e, q
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        """,
         "kg_text_equality": f"""
             SELECT conv_id, turn_idx, text
             FROM read_parquet('{tx_glob}')

@@ -88,6 +88,8 @@ SQL_CHECKED = [
     "q31_region_nation_rollup",
     "q32_event_type_pivot",
     "q33_top3_events_per_user",
+    "knn_self_join",
+    "ann_ivf_exact_topk",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
@@ -97,6 +99,8 @@ SQL_CHECKED_TX = [
     "kg_text_equality",
     "kg_turns_per_conv",
     "kg_seller_turncounts",
+    "kg_clean_text",
+    "kg_mention_flags",
 ]
 
 
