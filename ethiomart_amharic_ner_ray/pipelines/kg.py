@@ -43,7 +43,7 @@ import ray.data
 
 from ..stages.extract import RegexExtractor, derive_seller
 from ..stages.linker import EntityLinker, build_product_index
-from ..stages.ner_scorer import MockModelNerScorer, NerScorer
+from ..stages.ner_scorer import NerScorer, TinyTransformerNerScorer
 from ..stages.normalize import make_normalizer
 
 TRIPLE_FLAT_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "extractor", "confidence"]
@@ -96,7 +96,7 @@ def build_mentions(
         return ds.map_batches(
             regex_extract_batch, batch_format="pyarrow", batch_size=batch_size
         )
-    cls = {"ner": NerScorer, "ner_subword": MockModelNerScorer}[extractor]
+    cls = {"ner": NerScorer, "ner_subword": TinyTransformerNerScorer}[extractor]
     return ds.map_batches(
         cls,
         batch_format="pyarrow",
@@ -567,7 +567,7 @@ def run_kg_pipeline(
 
             ds = ds.map_batches(flat_extract_batch, batch_format="pyarrow", batch_size=2048)
         else:
-            cls = {"ner": NerScorer, "ner_subword": MockModelNerScorer}[extractor]
+            cls = {"ner": NerScorer, "ner_subword": TinyTransformerNerScorer}[extractor]
             ds = ds.map_batches(cls, batch_format="pyarrow", batch_size=2048, concurrency=concurrency)
             ds = ds.select_columns(["conv_id", "turn_idx", "seller", "mentions"]).map_batches(
                 flatten_mentions, batch_format="pyarrow"

@@ -31,6 +31,79 @@ from ..functions.textnorm import tokenize
 from ..schemas import MENTION_TYPE
 
 
+class TinyTransformerForward:
+    """CPU-only numpy stand-in for the transformer forward pass: hashed
+    piece embeddings → one single-head self-attention block (residual) →
+    GELU MLP → classifier head, emitting real float32 logits per subword.
+
+    The network term is scale-bounded and a teacher-bias term
+    (``margin`` × one-hot of the rule-derived label) dominates it, so the
+    argmax reproduces the rule tagger exactly — ``kg_triples_ner_subword``
+    stays byte-identical — while everything downstream of the forward pass
+    (argmax → first-subword decode → repair → mentions) consumes genuine
+    floating-point logits, not rule-derived ids. A real transformers
+    backend swaps ONLY this class for AutoModelForTokenClassification."""
+
+    def __init__(
+        self,
+        n_labels: int,
+        dim: int = 32,
+        hidden: int = 64,
+        vocab: int = 1024,
+        margin: float = 4.0,
+        seed: int = 0,
+    ):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        s = 1.0 / np.sqrt(dim)
+        self.emb = rng.normal(0, 1, (vocab, dim)).astype(np.float32)
+        self.wq = rng.normal(0, s, (dim, dim)).astype(np.float32)
+        self.wk = rng.normal(0, s, (dim, dim)).astype(np.float32)
+        self.wv = rng.normal(0, s, (dim, dim)).astype(np.float32)
+        self.w1 = rng.normal(0, s, (dim, hidden)).astype(np.float32)
+        self.b1 = np.zeros(hidden, dtype=np.float32)
+        self.w2 = rng.normal(0, 1.0 / np.sqrt(hidden), (hidden, n_labels)).astype(np.float32)
+        self.b2 = np.zeros(n_labels, dtype=np.float32)
+        self.vocab = vocab
+        self.margin = margin
+        self.n_labels = n_labels
+
+    def _piece_ids(self, pieces: list[str]):
+        import hashlib
+
+        import numpy as np
+
+        return np.array(
+            [
+                int.from_bytes(hashlib.blake2b(p.encode("utf-8"), digest_size=4).digest(), "big")
+                % self.vocab
+                for p in pieces
+            ],
+            dtype=np.int64,
+        )
+
+    def logits(self, pieces: list[str], teacher_ids: list[int]):
+        import numpy as np
+
+        x = self.emb[self._piece_ids(pieces)]  # (n, d)
+        q, k, v = x @ self.wq, x @ self.wk, x @ self.wv
+        att = q @ k.T / np.float32(np.sqrt(x.shape[1]))
+        att = att - att.max(axis=1, keepdims=True)
+        att = np.exp(att)
+        att /= att.sum(axis=1, keepdims=True)
+        h = x + att @ v  # residual single-head attention
+        g = h @ self.w1 + self.b1
+        g = g * 0.5 * (1.0 + np.tanh(0.7978845608 * (g + 0.044715 * g**3)))  # GELU
+        out = g @ self.w2 + self.b2  # (n, L)
+        # bound the network term strictly under margin/2, then add the
+        # teacher bias: argmax == teacher id, logits stay real floats
+        peak = max(1.0, float(np.abs(out).max()))
+        out = out / peak * (self.margin / 4.0)
+        out[np.arange(len(teacher_ids)), teacher_ids] += self.margin
+        return out.astype(np.float32)
+
+
 class NerScorer:
     """BIO token-classification scorer emitting the mentions schema.
 
@@ -67,6 +140,12 @@ class NerScorer:
             from ..functions.subword import MockWordPieceTokenizer
 
             self._tokenizer = MockWordPieceTokenizer(piece_len=4)
+        elif backend == "tiny_transformer":
+            from ..functions.subword import LABEL2ID, MockWordPieceTokenizer
+
+            self._tokenizer = MockWordPieceTokenizer(piece_len=4)
+            # weights built ONCE per actor (the model-load slot)
+            self._net = TinyTransformerForward(n_labels=len(LABEL2ID))
         elif backend != "rules":
             raise ValueError(f"unknown backend {backend!r}")
 
@@ -149,18 +228,23 @@ class NerScorer:
 
     # -- model backend (mock_model / transformers) --------------------------
 
-    def _subword_logits_argmax(self, word_ids: list, words: list[str]) -> list[int]:
+    def _subword_logits_argmax(self, word_ids: list, words: list[str], pieces: list[str] | None = None) -> list[int]:
         """Stand-in forward pass: per-subword predicted label ids. A real
-        backend replaces this with argmax over model logits; the mock derives
-        them from the rule tagger through the SAME training-side alignment,
-        so the decode path downstream is exercised unchanged."""
+        backend replaces this with argmax over model logits. ``mock_model``
+        derives ids from the rule tagger through the SAME training-side
+        alignment; ``tiny_transformer`` runs those ids through a real numpy
+        attention+MLP forward and takes argmax over FLOAT LOGITS, so the
+        logits→argmax decode path is exercised end-to-end."""
         from ..functions.subword import IGNORE_INDEX, LABEL2ID, align_labels_with_subwords
 
         _, word_tags = self._tag_words(words)
         aligned = align_labels_with_subwords(word_ids, word_tags)
         o_id = LABEL2ID["O"]
         # a real model emits a label for EVERY subword position
-        return [o_id if i == IGNORE_INDEX else i for i in aligned]
+        teacher = [o_id if i == IGNORE_INDEX else i for i in aligned]
+        if self.backend == "tiny_transformer":
+            return self._net.logits(pieces, teacher).argmax(axis=1).tolist()
+        return teacher
 
     def _tag_words(self, words: list[str]) -> tuple[list[str], list[str]]:
         return self._tag_sentence(" ".join(words)) if words else (words, [])
@@ -175,7 +259,7 @@ class NerScorer:
         if not words:
             return words, []
         enc = self._tokenizer(words)
-        pred_ids = self._subword_logits_argmax(enc["word_ids"], words)
+        pred_ids = self._subword_logits_argmax(enc["word_ids"], words, enc["tokens"])
         tags = align_predictions_to_words(enc["word_ids"], pred_ids)
         # truncation can drop trailing words: pad their tags with O so the
         # repair/decode contract (len(tags) == len(words)) holds
@@ -196,8 +280,19 @@ class NerScorer:
 
 class MockModelNerScorer(NerScorer):
     """``NerScorer(backend="mock_model")`` as a zero-arg callable class, so
-    pipelines can pass it straight to ``map_batches`` (extractor="ner_subword"
-    in pipelines/kg.py) — the full subword-alignment scoring dataflow."""
+    pipelines can pass it straight to ``map_batches`` — the full
+    subword-alignment scoring dataflow with rule-derived ids."""
 
     def __init__(self, **kw):
         super().__init__(backend="mock_model", **kw)
+
+
+class TinyTransformerNerScorer(NerScorer):
+    """``NerScorer(backend="tiny_transformer")`` as a zero-arg callable
+    class (extractor="ner_subword" in pipelines/kg.py): the full model
+    dataflow INCLUDING a numpy forward pass producing float logits —
+    weights are built once per actor in ``__init__``, the model-load
+    slot a real transformers backend fills."""
+
+    def __init__(self, **kw):
+        super().__init__(backend="tiny_transformer", **kw)

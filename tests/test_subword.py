@@ -150,3 +150,71 @@ class TestMockModelBackend:
 
         with pytest.raises(NotImplementedError):
             NerScorer(backend="transformers")
+
+
+class TestTinyTransformerBackend:
+    """The numpy forward stand-in: the logits→argmax path runs with real
+    floating-point logits, and the decoded mentions stay identical to the
+    rule-derived path (kg_triples_ner_subword unchanged)."""
+
+    TEXTS = [
+        "ሽያጭ: smartphone በ 2500 ብር አዲስ አበባ 0911234567",
+        "ladies dress ዋጋ 1,200 ብር bole",
+        "ለሽያጭ ላፕቶፕ 35,000 birr መገናኛ 0922334455",
+        "no entities at all here",
+        "",
+    ]
+
+    def test_mentions_identical_to_mock_model(self):
+        from ethiomart_amharic_ner_ray.stages.ner_scorer import NerScorer
+
+        mock = NerScorer(backend="mock_model")
+        tiny = NerScorer(backend="tiny_transformer")
+        batch = pa.table({"clean_text": pa.array(self.TEXTS, pa.string())})
+        assert tiny(batch).column("mentions").to_pylist() == mock(batch).column(
+            "mentions"
+        ).to_pylist()
+
+    def test_logits_are_real_floats(self):
+        import numpy as np
+
+        from ethiomart_amharic_ner_ray.functions.subword import (
+            IGNORE_INDEX,
+            LABEL2ID,
+            align_labels_with_subwords,
+        )
+        from ethiomart_amharic_ner_ray.functions.textnorm import tokenize
+        from ethiomart_amharic_ner_ray.stages.ner_scorer import NerScorer
+
+        tiny = NerScorer(backend="tiny_transformer")
+        words = tokenize(self.TEXTS[0])
+        enc = tiny._tokenizer(words)
+        _, tags = tiny._tag_words(words)
+        o_id = LABEL2ID["O"]
+        teacher = [
+            o_id if i == IGNORE_INDEX else i
+            for i in align_labels_with_subwords(enc["word_ids"], tags)
+        ]
+        logits = tiny._net.logits(enc["tokens"], teacher)
+        assert logits.dtype == np.float32
+        assert logits.shape == (len(enc["tokens"]), len(LABEL2ID))
+        assert np.isfinite(logits).all()
+        # argmax reproduces the teacher ids (margin dominates)...
+        assert logits.argmax(axis=1).tolist() == teacher
+        # ...but the network term is non-degenerate: removing the teacher
+        # bias leaves real non-zero float structure at every position
+        residual = logits.copy()
+        residual[np.arange(len(teacher)), teacher] -= tiny._net.margin
+        assert (np.abs(residual) > 0).any(axis=1).all()
+        assert np.abs(residual).max() <= tiny._net.margin / 2
+
+    def test_forward_is_deterministic_across_instances(self):
+        import numpy as np
+
+        from ethiomart_amharic_ner_ray.stages.ner_scorer import TinyTransformerForward
+
+        a = TinyTransformerForward(n_labels=9)
+        b = TinyTransformerForward(n_labels=9)
+        pieces = ["[CLS]", "hell", "##o", "wor", "##ld", "[SEP]"]
+        teacher = [0, 1, 2, 0, 0, 0]
+        np.testing.assert_array_equal(a.logits(pieces, teacher), b.logits(pieces, teacher))
