@@ -138,12 +138,16 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
 
-    # The scaling run uses a larger input (default 4× the headline turns,
-    # GRAFT_SCALING_MULT to change): fixed per-job overheads (pipeline
-    # startup, shuffle waves, broadcast) amortize with input size, and the
-    # design point is 100 TB — at 600k rows a 32-core run is overhead-bound.
-    # Both parallelism levels read the SAME pre-generated input.
-    mult = int(os.environ.get("GRAFT_SCALING_MULT", "12"))
+    # The scaling run uses a larger input (default 24× the headline turns =
+    # 14.4M at sf0.1; GRAFT_SCALING_MULT to change): fixed per-job overheads
+    # (pipeline startup, shuffle waves, broadcast) amortize with input size,
+    # and the design point is 100 TB — at 600k rows a 32-core run is
+    # overhead-bound. Round-2 data: after the emit/flatten vectorizations
+    # the 7.2M-turn job got fast enough that fixed overhead was again a
+    # visible share of the hi leg (efficiency samples 0.77-1.095); 14.4M
+    # amortizes it back out (0.817 measured). Both parallelism levels read
+    # the SAME pre-generated input.
+    mult = int(os.environ.get("GRAFT_SCALING_MULT", "24"))
     n_turns = max(1000, int(6_000_000 * _sf_of(sf_dir))) * mult
     tx_dir = f"/tmp/graft_transcripts/scaling_{n_turns}"
     import ray
