@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also compute per-seller scorecards + run summary here "
         "(reference generate_scorecards parity)",
     )
+    p.add_argument(
+        "--report-html",
+        default=None,
+        help="write a self-contained HTML run report (charts as inline SVG "
+        "from the aggregate frames; reference visualization.py parity at "
+        "engine scale). Requires --scorecards-out for the seller sections.",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -128,10 +135,31 @@ def main(argv: list[str] | None = None) -> int:
         cards = seller_scorecards(mentions).materialize()
         os.makedirs(args.scorecards_out, exist_ok=True)
         cards.write_parquet(os.path.join(args.scorecards_out, "scorecards"))
-        scorecard_summary(cards).to_json(
+        summary = scorecard_summary(cards)
+        summary.to_json(
             os.path.join(args.scorecards_out, "summary.json"), orient="records"
         )
         stats["scorecards"] = cards.count()
+        if args.report_html:
+            from .pipelines.report import render_html_report, write_html_report
+
+            write_html_report(
+                args.report_html,
+                render_html_report(
+                    cards.to_pandas(), summary, stats.get("pred_counts")
+                ),
+            )
+            stats["report_html"] = args.report_html
+    elif args.report_html:
+        from .pipelines.report import render_html_report, write_html_report
+
+        import pandas as pd
+
+        write_html_report(
+            args.report_html,
+            render_html_report(pd.DataFrame(), None, stats.get("pred_counts")),
+        )
+        stats["report_html"] = args.report_html
 
     print(json.dumps(stats))
     if owns_session:  # never tear down a caller's (or test fixture's) session
