@@ -140,6 +140,53 @@ def _kg_mention_flags(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "has_price", "has_phone"])
 
 
+def _kg_seller_price_stats(sf_dir: str):
+    """Extraction → canonicalization → two-phase aggregation, hash-checked:
+    per-seller PRICE mention count + mean amount over the flat mention rows
+    (per-batch partial sums, one bucketed reduce). The oracle re-extracts
+    amounts with the same regex over the SQL clean_text and averages in
+    DuckDB — a 4-decimal round on both sides absorbs summation order."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg, round_away
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_flat
+
+    flat = build_flat(_transcripts_ds(sf_dir), concurrency=(1, 8))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("etype"), "PRICE"))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "seller": pa.array([], pa.string()),
+                    "s": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # norm is the canonical "<amount> ብር"; the numeric value is the
+        # prefix (canon_price is lossless for regex-matched amounts)
+        vals = pc.cast(
+            pc.replace_substring_regex(t.column("norm"), pattern=r" ብር$", replacement=""),
+            pa.float64(),
+        )
+        df = pd.DataFrame({"seller": t.column("seller").to_pylist(), "v": vals.to_numpy()})
+        g = df.groupby("seller", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        return pa.Table.from_pandas(g.astype({"n": "int64"}), preserve_index=False)
+
+    partials = flat.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seller", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+        g["avg_price"] = round_away((g["s"] / g["n"]).to_numpy(), 4)
+        return g.rename(columns={"n": "n_prices"})[["seller", "n_prices", "avg_price"]].astype(
+            {"n_prices": "int64"}
+        )
+
+    return bucketed_group_agg(partials, ["seller"], final, n_buckets=32)
+
+
 def _kg_text_equality(sf_dir: str):
     """North-rule invariant, driver-hash-checked: per-turn text survives the
     normalize + extract stages byte-for-byte (the oracle reads the raw
@@ -367,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic fixture (oracle_sql ensures generation)
         "kg_clean_text": _kg_clean_text,
         "kg_mention_flags": _kg_mention_flags,
+        "kg_seller_price_stats": _kg_seller_price_stats,
         "kg_text_equality": _kg_text_equality,
         "kg_turns_per_conv": _kg_turns_per_conv,
         "kg_seller_turncounts": _kg_seller_turncounts,
@@ -472,6 +520,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "kg_seller_price_stats": f"""
+            WITH c AS (
+                SELECT conv_id, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            p AS (
+                SELECT split_part(conv_id, '-', 1) AS seller,
+                       CAST(replace(m, ',', '') AS DOUBLE) AS price
+                FROM (
+                    SELECT conv_id,
+                           unnest(regexp_extract_all(clean,
+                               '(?i)(\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d+)?)\\s*(?:ብር|birr|br|ዶላር|dollar)',
+                               1)) AS m
+                    FROM c))
+            SELECT seller, count(*) AS n_prices, round(avg(price), 4) AS avg_price
+            FROM p GROUP BY seller
         """,
         "kg_text_equality": f"""
             SELECT conv_id, turn_idx, text

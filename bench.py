@@ -176,8 +176,24 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # same-window hardware calibration: this VM is CPU-overcommitted and
+    # its raw multiprocessing ceiling for the lo→hi pair drifts with
+    # neighbor load (measured 0.93 in a quiet window and 0.74 during a
+    # noisy one ON THE SAME DAY). An engine efficiency number is only
+    # interpretable against the ceiling measured around the same runs, so
+    # it is embedded in the record: engine_over_hw ≈ 1.0 means the engine
+    # scales as well as this box physically allows.
+    from tools.cpu_ceiling import rate as _hw_rate
+
+    def _ceiling() -> float:
+        r_l, r_h = _hw_rate(lo, seconds=8.0), _hw_rate(hi, seconds=8.0)
+        return round((r_h / r_l) / (hi / lo), 3)
+
+    hw_before = _ceiling()
     r_lo, r_hi = run(lo), run(hi)
+    hw_after = _ceiling()
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    hw = (hw_before + hw_after) / 2
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -188,6 +204,9 @@ def run_scaling() -> dict:
         f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
         f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         "num_cpus": [lo, hi],
+        "hw_ceiling_before": hw_before,
+        "hw_ceiling_after": hw_after,
+        "engine_over_hw": round(eff / hw, 3),
     }
 
 

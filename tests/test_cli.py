@@ -42,6 +42,7 @@ class TestCli:
                 "--buckets", "4",
                 "--labeling-out", str(tmp_path / "labeling"),
                 "--scorecards-out", str(tmp_path / "cards"),
+                "--report-html", str(tmp_path / "report.html"),
             ]
         )
         assert rc == 0
@@ -52,6 +53,9 @@ class TestCli:
         assert cards
         summary = json.loads(open(tmp_path / "cards" / "summary.json").read())
         assert any(r["metric"] == "n_sellers" for r in summary)
+        report = open(tmp_path / "report.html", encoding="utf-8").read()
+        assert report.startswith("<!doctype html>") and "<svg" in report
+        assert "Seller scorecards" in report and "priced_at" in report
 
     def test_run_with_csv_export(self, ray_session, tiny_transcripts_dir, tmp_path):
         from ethiomart_amharic_ner_ray.run import main

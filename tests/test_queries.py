@@ -101,6 +101,7 @@ SQL_CHECKED_TX = [
     "kg_seller_turncounts",
     "kg_clean_text",
     "kg_mention_flags",
+    "kg_seller_price_stats",
 ]
 
 
