@@ -246,6 +246,21 @@ def _kg_product_price_paths(sf_dir: str):
     return two_hop(triples, "sells", "priced_at")
 
 
+def _kg_product_price_paths_capped(sf_dir: str):
+    """Skew-bounded variant of the two-hop traversal: max_paths_per_mid
+    caps a super-connected product's join group at 100 deterministic
+    min-k paths (per-batch partial thinning before the shuffle, trim in
+    the group). Output is a rerun-stable subset of the uncapped paths;
+    this entry keeps the cap on the driver's sampled surface."""
+    from ethiomart_amharic_ner_ray.pipelines.graph import two_hop
+    from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+    triples = kg_triples(
+        _transcripts_ds(sf_dir), n_buckets=32, concurrency=(1, 8), with_provenance_struct=False
+    ).materialize()
+    return two_hop(triples, "sells", "priced_at", max_paths_per_mid=100)
+
+
 def _kg_extractor_disagreement(sf_dir: str):
     """T3-adjacent diagnostics (reference interpret failure-case analysis):
     per-predicate agreement between the regex and NER extraction paths on
@@ -399,6 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_customers_without_orders": relational.q22_customers_without_orders,
         "q29_deterministic_sample": relational.q29_deterministic_sample,
         "q30_distinct_pairs": relational.q30_distinct_pairs,
+        "q34_stratified_sample": relational.q34_stratified_sample,
+        "q35_vocab_topk": textstats.q35_vocab_topk,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -422,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
         "kg_product_price_paths": _kg_product_price_paths,
+        "kg_product_price_paths_capped": _kg_product_price_paths_capped,
         "kg_scorecard_summary": lambda sf_dir: __import__(
             "ethiomart_amharic_ner_ray.pipelines.scorecard", fromlist=["scorecard_summary"]
         ).scorecard_summary(_kg_scorecards(sf_dir)),
@@ -741,6 +759,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q30_distinct_pairs": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q34_stratified_sample": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ) AS rn
+                FROM events)
+            WHERE rn <= 50
+        """,
+        "q35_vocab_topk": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(n) AS BIGINT) AS tf FROM (
+                SELECT doc_id, t AS token, count(*) AS n FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''
+                GROUP BY doc_id, t)
+            GROUP BY token
+            ORDER BY tf DESC, token
+            LIMIT 100
         """,
         "q31_region_nation_rollup": """
             SELECT coalesce(r_name, '') AS r_name,

@@ -393,6 +393,42 @@ def q32_event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
     return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
 
 
+def q34_stratified_sample(sf_dir: str, n_per_stratum: int = 50) -> "ray.data.Dataset":
+    """Deterministic stratified sampling (§2.6): EXACTLY n rows per stratum
+    (event_type), chosen as the n smallest (md5(event_id), event_id) ranks —
+    content-addressed like q29, so the sample is stable under resharding,
+    resume and reruns (no RNG state to lose), but with a per-stratum count
+    guarantee q29's global-rate filter can't give. Min-k per stratum is a
+    semilattice: per-batch partials bound each stratum's shuffle volume to
+    n x n_blocks rows regardless of stratum skew; the per-bucket final
+    re-ranks the partials. Oracle is the row_number-over-hash-order window."""
+    import hashlib
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(i).encode("ascii")).hexdigest() for i in df["event_id"]]
+        return (
+            df.assign(_h=h)
+            .sort_values(["event_type", "_h", "event_id"], kind="mergesort")
+            .groupby("event_type", as_index=False)
+            .head(n_per_stratum)
+        )
+
+    # partials drop the hash column — the final pass recomputes it over the
+    # (tiny) surviving n x n_blocks rows, keeping the shuffle payload slim
+    partials = ds.map_batches(
+        lambda df: topn(df)[["event_id", "event_type"]],
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return topn(df)[["event_id", "event_type"]]
+
+    return bucketed_group_agg(partials, ["event_type"], final, n_buckets=8)
+
+
 def q33_top3_events_per_user(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Grouped top-k (top-3 events by value per user, deterministic
     event_id tie-break): per-batch per-user top-k partials bound a hot

@@ -163,3 +163,48 @@ def q26_bpe_token_estimate(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pc.cast(n, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q35_vocab_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
+    """Corpus vocabulary statistics (the wordcount shape every training-data
+    pipeline needs): per token, document frequency (docs containing it) and
+    total term frequency, top-k by (tf desc, token asc).
+
+    Tokenization is Arrow-vectorized (trim → regex split → list_flatten with
+    list_parent_indices carrying doc ids); per-batch (doc, token) counts
+    collapse to per-token partials BEFORE the shuffle, so the exchange ships
+    one row per distinct token per batch — never raw tokens. The per-bucket
+    final pre-top-ks to k rows, bounding the driver collect to k × buckets.
+    df partials sum exactly because a document never spans batches."""
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        doc = pc.take(t.column("doc_id"), pc.list_parent_indices(toks))
+        d = pd.DataFrame(
+            {"doc_id": doc.to_numpy(zero_copy_only=False), "token": flat.to_pylist()}
+        )
+        d = d[d["token"] != ""]
+        per_doc = d.groupby(["doc_id", "token"], as_index=False).size()
+        g = per_doc.groupby("token", as_index=False).agg(df=("doc_id", "size"), tf=("size", "sum"))
+        return pa.Table.from_pandas(g.astype({"df": "int64", "tf": "int64"}), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("token", as_index=False).agg(df=("df", "sum"), tf=("tf", "sum"))
+        return g.sort_values(["tf", "token"], ascending=[False, True]).head(k)
+
+    cand = bucketed_group_agg(partials, ["token"], final, n_buckets=16).to_pandas()
+    return (
+        cand.sort_values(["tf", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[["token", "df", "tf"]]
+        .astype({"df": "int64", "tf": "int64"})
+    )

@@ -232,6 +232,19 @@ class TestTwoHop:
             capped2.sort_values(key).reset_index(drop=True)[key],
         )
 
+    def test_capped_query_entry_is_subset_of_uncapped(self, ray_session):
+        """Driver-surface wiring: kg_product_price_paths_capped emits a
+        nonempty subset of kg_product_price_paths on the sf0.001 fixture."""
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        full = e.queries()["kg_product_price_paths"](sf).to_pandas()
+        capped = e.queries()["kg_product_price_paths_capped"](sf).to_pandas()
+        assert 0 < len(capped) <= len(full)
+        cols = ["src", "mid", "dst"]
+        fset = set(map(tuple, full[cols].itertuples(index=False)))
+        assert set(map(tuple, capped[cols].itertuples(index=False))) <= fset
+
 
 class TestConnectedComponentsConvergence:
     def test_warns_when_max_rounds_too_small(self, ray_session):

@@ -90,6 +90,8 @@ SQL_CHECKED = [
     "q33_top3_events_per_user",
     "knn_self_join",
     "ann_ivf_exact_topk",
+    "q34_stratified_sample",
+    "q35_vocab_topk",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
