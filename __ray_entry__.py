@@ -115,6 +115,55 @@ def _kg_mentions_exploded(sf_dir: str):
     )
 
 
+
+def _kg_entity_values_exploded(sf_dir: str, col: str, out_name: str):
+    """Exploded canonical mention VALUES as one row per mention — the
+    hash-checkable complement of _kg_mention_flags (flags prove existence;
+    this proves the extracted/canonicalized values themselves). Flatten is
+    a zero-copy Arrow list_flatten + parent-index gather per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+    from ethiomart_amharic_ner_ray.stages.extract import explode_entities
+
+    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
+    ds = ds.map_batches(explode_entities, batch_format="pyarrow")
+    ds = ds.select_columns(["conv_id", "turn_idx", col])
+
+    def flatten(t: pa.Table) -> pa.Table:
+        lst = t.column(col)
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        vals = pc.list_flatten(lst)
+        parents = pc.list_parent_indices(lst)
+        return pa.table(
+            {
+                "conv_id": pc.take(t.column("conv_id"), parents),
+                "turn_idx": pc.take(t.column("turn_idx"), parents),
+                out_name: vals,
+            }
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def _kg_prices_exploded(sf_dir: str):
+    """Canonical PRICE mention values ('<number> \u1265\u122d', integral floats
+    collapsed), one row per extracted mention. Oracle: regexp_extract_all
+    over the SQL clean_text + the same comma-strip/collapse/%.10g rules."""
+    return _kg_entity_values_exploded(sf_dir, "prices", "price")
+
+
+def _kg_phones_exploded(sf_dir: str):
+    """Canonical PHONE mention values (09-prefixed national form), one row
+    per extracted mention. The v2 lookaround pattern (no digit on either
+    side) is EXACTLY 'a maximal digit run of the right shape', so the
+    RE2-safe oracle extracts maximal [0-9]+ runs and full-matches them —
+    equivalent by construction, no lookarounds needed."""
+    return _kg_entity_values_exploded(sf_dir, "phones", "phone")
+
+
 def _kg_clean_text(sf_dir: str):
     """M1 normalize, hash-checked corpus-wide: the engine's clean_text_v1
     output per turn vs a DuckDB regexp chain reproducing the exact order of
@@ -415,6 +464,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q29_deterministic_sample": relational.q29_deterministic_sample,
         "q30_distinct_pairs": relational.q30_distinct_pairs,
         "q34_stratified_sample": relational.q34_stratified_sample,
+        "q36_event_lag_stats": windows.q36_event_lag_stats,
+        "q37_cumulative_spend": windows.q37_cumulative_spend,
+        "q38_brand_price_rank": relational.q38_brand_price_rank,
+        "q39_order_size_corr": relational.q39_order_size_corr,
+        "q40_brand_median_price": relational.q40_brand_median_price,
+        "q41_user_modal_event": relational.q41_user_modal_event,
+        "q42_weekly_active_users": relational.q42_weekly_active_users,
         "q35_vocab_topk": textstats.q35_vocab_topk,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
@@ -430,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcript-derived, SQL-checked via read_parquet on the cached
         # deterministic fixture (oracle_sql ensures generation)
         "kg_clean_text": _kg_clean_text,
+        "kg_prices_exploded": _kg_prices_exploded,
+        "kg_phones_exploded": _kg_phones_exploded,
         "kg_mention_flags": _kg_mention_flags,
         "kg_seller_price_stats": _kg_seller_price_stats,
         "kg_text_equality": _kg_text_equality,
@@ -514,6 +572,37 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(clean,
                        '(?:^|[^0-9])(?:09[0-9]{{8}}|9[0-9]{{8}})(?:[^0-9]|$)') AS has_phone
             FROM c
+        """,
+        "kg_prices_exploded": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            r AS (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(clean,
+                           '(?i)([0-9]{{1,3}}(?:,[0-9]{{3}})*(?:\\.[0-9]+)?)\\s*(?:ብር|birr|br|ዶላር|dollar)',
+                           1)) AS raw
+                FROM c),
+            v AS (SELECT conv_id, turn_idx,
+                         CAST(replace(raw, ',', '') AS DOUBLE) AS val FROM r)
+            SELECT conv_id, turn_idx,
+                   CASE WHEN val = floor(val)
+                        THEN CAST(CAST(val AS BIGINT) AS VARCHAR)
+                        ELSE printf('%.10g', val) END || ' ብር' AS price
+            FROM v
+        """,
+        "kg_phones_exploded": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            r AS (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(clean, '[0-9]+')) AS run
+                FROM c)
+            SELECT conv_id, turn_idx,
+                   CASE WHEN length(run) = 9 THEN '0' || run ELSE run END AS phone
+            FROM r
+            WHERE regexp_full_match(run, '09[0-9]{{8}}|9[0-9]{{8}}')
         """,
         "knn_self_join": """
             WITH qs AS (SELECT vec_id AS query_id, embedding
@@ -759,6 +848,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q30_distinct_pairs": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q36_event_lag_stats": """
+            SELECT user_id, count(gap) AS n_gaps,
+                   round(avg(gap), 4) AS avg_gap_s,
+                   round(max(gap), 4) AS max_gap_s
+            FROM (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) / 1e6 AS gap
+                FROM events)
+            GROUP BY user_id
+        """,
+        "q37_cumulative_spend": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
+            FROM orders
+        """,
+        "q38_brand_price_rank": """
+            SELECT p_brand, p_partkey, p_retailprice, price_rank FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       CAST(dense_rank() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank
+                FROM part)
+            WHERE price_rank <= 3
+        """,
+        "q39_order_size_corr": """
+            SELECT round(corr(o_totalprice, n), 6) AS corr_price_nitems
+            FROM orders JOIN (
+                SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS n
+                FROM lineitem GROUP BY l_orderkey) li
+            ON o_orderkey = l_orderkey
+        """,
+        "q40_brand_median_price": """
+            SELECT p_brand, round(median(p_retailprice), 4) AS median_price,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "q41_user_modal_event": """
+            SELECT user_id, event_type AS modal_event, n_events FROM (
+                SELECT user_id, event_type, n_events,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n_events DESC, event_type) AS rn
+                FROM (SELECT user_id, event_type,
+                             CAST(count(*) AS BIGINT) AS n_events
+                      FROM events GROUP BY user_id, event_type))
+            WHERE rn = 1
+        """,
+        "q42_weekly_active_users": """
+            SELECT CAST(isoyear(ts) AS BIGINT) AS iso_year,
+                   CAST(week(ts) AS BIGINT) AS iso_week,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+            FROM events GROUP BY 1, 2
         """,
         "q34_stratified_sample": """
             SELECT event_id, event_type FROM (

@@ -27,7 +27,14 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .common import bucketed_group_agg, get_broadcast, read_small, read_table, round_away
+from .common import (
+    bucketed_group_agg,
+    bucketed_join,
+    get_broadcast,
+    read_small,
+    read_table,
+    round_away,
+)
 
 
 def q01_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
@@ -453,3 +460,175 @@ def q33_top3_events_per_user(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         return out
 
     return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
+
+
+def q38_brand_price_rank(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Windowed ranking (dense_rank per partition, §2.6): the k cheapest-to-
+    priciest DISTINCT price levels per brand. Per-batch partials keep only
+    each brand's top-k distinct prices (a semilattice — merging partial
+    top-k sets and re-ranking gives the global answer), so a mega-brand's
+    shuffle volume is bounded by k × n_blocks price levels, never its row
+    count; the per-bucket final re-ranks and re-joins the surviving rows.
+    Oracle: dense_rank() OVER (PARTITION BY brand ORDER BY price DESC)."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def rank_and_trim(df: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            df.groupby("p_brand")["p_retailprice"]
+            .rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        return df.assign(price_rank=r)[r <= k]
+
+    partials = ds.map_batches(
+        lambda df: rank_and_trim(df)[["p_partkey", "p_brand", "p_retailprice"]],
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = rank_and_trim(df)
+        return out[["p_brand", "p_partkey", "p_retailprice", "price_rank"]]
+
+    return bucketed_group_agg(partials, ["p_brand"], final, n_buckets=16)
+
+
+def q39_order_size_corr(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation (one scalar over a joined fact pair):
+    corr(o_totalprice, lineitems-per-order). Shape: per-batch lineitem
+    partial counts → bucketed per-order counts → ONE bucketed shuffle join
+    with orders on o_orderkey → per-batch sufficient statistics
+    (n, Σx, Σy, Σxx, Σyy, Σxy) → a 6-number driver reduce. Nothing wide
+    ever leaves the workers except the per-batch 6-tuples; the join is the
+    engine's standard bucketed exchange. Matches SQL corr() to ~1e-10 at
+    this value range (doubles; |x|≲1e6)."""
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def pcount(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(p_n=("l_orderkey", "size"))
+
+    def fcount(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(n=("p_n", "sum"))
+        g = g.rename(columns={"l_orderkey": "o_orderkey"})
+        g["n"] = g["n"].astype("float64")
+        return g
+
+    per_order = bucketed_group_agg(
+        li.map_batches(pcount, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        fcount,
+        n_buckets=32,
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    joined = bucketed_join(orders, per_order, on="o_orderkey", n_buckets=32)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_totalprice"].to_numpy(dtype=np.float64)
+        y = df["n"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "cnt": [float(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    parts = joined.map_batches(stats, batch_format="pandas").to_pandas()
+    t = parts.sum()
+    cov = t.cnt * t.sxy - t.sx * t.sy
+    vx = t.cnt * t.sxx - t.sx * t.sx
+    vy = t.cnt * t.syy - t.sy * t.sy
+    corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+    return pd.DataFrame({"corr_price_nitems": [round_away(corr, 6)]})
+
+
+def q40_brand_median_price(sf_dir: str) -> "ray.data.Dataset":
+    """Exact grouped median (a holistic aggregate — NOT decomposable into
+    bounded partials, unlike sum/min-k): the group's values must co-locate,
+    so this is the one aggregate shape that ships raw values through the
+    bucket shuffle. The shuffle moves only the two needed columns, and each
+    group's values are median'd vectorized inside its bucket. For groups
+    too big for one task at cluster scale, the documented fallback is the
+    approx t-digest/quantile sketch in pipelines/sketches.py — exact median
+    per group is inherently a co-location aggregate. Interpolation (even
+    counts) matches DuckDB's quantile_cont(0.5)."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).agg(
+            median_price=("p_retailprice", "median"),
+            n_parts=("p_retailprice", "size"),
+        )
+        g["median_price"] = round_away(g["median_price"].to_numpy(), 4)
+        g["n_parts"] = g["n_parts"].astype("int64")
+        return g
+
+    return bucketed_group_agg(ds, ["p_brand"], final, n_buckets=16)
+
+
+def q41_user_modal_event(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped mode with deterministic tie-break (most frequent event_type
+    per user; ties → lexicographically smallest type). Two-phase: per-batch
+    (user, type) partial counts collapse the raw rows before the shuffle —
+    the exchange carries at most users × |type vocabulary| partial rows per
+    block; the per-bucket final sums partials and picks the argmax row
+    vectorized (sort by n desc, type asc → first per user)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False).agg(
+            p_n=("event_type", "size")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(n_events=("p_n", "sum"))
+        g = g.sort_values(
+            ["user_id", "n_events", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("user_id", as_index=False).head(1)
+        out = out.rename(columns={"event_type": "modal_event"})
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "modal_event", "n_events"]]
+
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
+
+
+def q42_weekly_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT) per group (ISO week → distinct active users).
+    Two-phase distinct: per-batch (week, user) dedup shrinks the exchange
+    to unique pairs per block; bucketing on the week co-locates each week's
+    surviving pairs, and the final pass counts uniques vectorized. The
+    approximate cousin (HLL, pipelines/sketches.py) avoids even this
+    shuffle when ±2% suffices; this is the exact path."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        iso = df["ts"].dt.isocalendar()
+        out = pd.DataFrame(
+            {
+                "iso_year": iso["year"].astype("int64"),
+                "iso_week": iso["week"].astype("int64"),
+                "user_id": df["user_id"],
+            }
+        )
+        return out.drop_duplicates()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["iso_year", "iso_week"], as_index=False).agg(
+            n_active_users=("user_id", "nunique")
+        )
+        g["n_active_users"] = g["n_active_users"].astype("int64")
+        return g
+
+    return bucketed_group_agg(partials, ["iso_year", "iso_week"], final, n_buckets=8)

@@ -197,3 +197,65 @@ def q28_sliding_windows(sf_dir: str, window_s: int = 3600, slide_s: int = 900) -
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["user_id", "window_start"], final, n_buckets=64)
+
+
+def q36_event_lag_stats(sf_dir: str) -> "ray.data.Dataset":
+    """LAG-window analytics: per-user inter-event gap statistics (count /
+    mean / max of the seconds between consecutive events, ordered by
+    ts then event_id). Distributed shape: the user is the window partition
+    key, so ONE bucket shuffle on user_id co-locates each user's events;
+    inside a bucket the lag is a vectorized grouped shift-and-diff — no
+    per-row Python, no global sort. Gap arithmetic is exact (microsecond
+    int64 diff / 1e6), matching the SQL date_diff formulation bit-for-bit.
+    Single-event users emit n_gaps=0 with NULL stats, as SQL does."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id")["ts"].shift()
+        gap = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            - prev.astype("datetime64[us]").astype("int64")
+        ) / 1e6
+        gap[prev.isna()] = np.nan
+        out = (
+            pd.DataFrame({"user_id": df["user_id"], "gap": gap})
+            .groupby("user_id", as_index=False)
+            .agg(
+                n_gaps=("gap", "count"),
+                avg_gap_s=("gap", "mean"),
+                max_gap_s=("gap", "max"),
+            )
+        )
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        mask = out["n_gaps"] > 0
+        out.loc[mask, "avg_gap_s"] = round_away(out.loc[mask, "avg_gap_s"].to_numpy(), 4)
+        out.loc[mask, "max_gap_s"] = round_away(out.loc[mask, "max_gap_s"].to_numpy(), 4)
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q37_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
+    """Running-total window (SUM OVER ... ROWS UNBOUNDED PRECEDING): each
+    order's cumulative customer spend, ordered by (o_orderdate, o_orderkey)
+    within the customer. Same partition-key discipline as q36: one bucket
+    shuffle on o_custkey, then a vectorized grouped cumsum per bucket. The
+    output is row-per-order (as wide as the input) — it streams back out of
+    the buckets block-by-block, never concentrating on the driver."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        cum = df.groupby("o_custkey")["o_totalprice"].cumsum()
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "o_orderkey": df["o_orderkey"],
+                "cum_spend": round_away(cum.to_numpy(), 4),
+            }
+        )
+
+    return bucketed_group_agg(ds, ["o_custkey"], final, n_buckets=64)

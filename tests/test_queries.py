@@ -92,6 +92,13 @@ SQL_CHECKED = [
     "ann_ivf_exact_topk",
     "q34_stratified_sample",
     "q35_vocab_topk",
+    "q36_event_lag_stats",
+    "q37_cumulative_spend",
+    "q38_brand_price_rank",
+    "q39_order_size_corr",
+    "q40_brand_median_price",
+    "q41_user_modal_event",
+    "q42_weekly_active_users",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
@@ -104,6 +111,8 @@ SQL_CHECKED_TX = [
     "kg_clean_text",
     "kg_mention_flags",
     "kg_seller_price_stats",
+    "kg_prices_exploded",
+    "kg_phones_exploded",
 ]
 
 
