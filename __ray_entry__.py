@@ -471,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_brand_median_price": relational.q40_brand_median_price,
         "q41_user_modal_event": relational.q41_user_modal_event,
         "q42_weekly_active_users": relational.q42_weekly_active_users,
+        "q43_bloom_semi_join": relational.q43_bloom_semi_join,
+        "q44_region_rollup_totals": relational.q44_region_rollup_totals,
+        "q45_json_props_stats": relational.q45_json_props_stats,
         "q35_vocab_topk": textstats.q35_vocab_topk,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
@@ -848,6 +851,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q30_distinct_pairs": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q43_bloom_semi_join": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice), 4) AS revenue
+            FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey
+                            AND o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "q44_region_rollup_totals": """
+            SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(c_acctbal), 4) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "q45_json_props_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(k), 4) AS avg_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            WHERE k IS NOT NULL
+            GROUP BY event_type
         """,
         "q36_event_lag_stats": """
             SELECT user_id, count(gap) AS n_gaps,

@@ -31,6 +31,7 @@ from .common import (
     bucketed_group_agg,
     bucketed_join,
     get_broadcast,
+    rename_cols,
     read_small,
     read_table,
     round_away,
@@ -632,3 +633,160 @@ def q42_weekly_active_users(sf_dir: str) -> "ray.data.Dataset":
         return g
 
     return bucketed_group_agg(partials, ["iso_year", "iso_week"], final, n_buckets=8)
+
+
+def q43_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT distributed semi-join with a Bloom prune (lineitem ⋉ urgent
+    orders → per-returnflag revenue). The scale shape when the inner key
+    set is too big to broadcast exactly:
+      1. build-side: per-batch partial Bloom filters over qualifying
+         o_orderkey (sketches.BloomFilter — fixed 128 KiB bitset each),
+         OR-merged on the driver (n_blocks × 128 KiB, bounded) and
+         broadcast once;
+      2. probe-side: vectorized Bloom membership inside map_batches drops
+         ~all non-matching lineitem rows at the scan (no false negatives);
+      3. exactness: survivors (now small) go through ONE bucketed join
+         against the real key set, discarding Bloom false positives.
+    The oracle is the plain EXISTS subquery."""
+    from .sketches import BloomFilter
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def qualifying(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["o_orderpriority"] == "1-URGENT"][["o_orderkey"]]
+
+    keys_ds = orders.map_batches(qualifying, batch_format="pandas", batch_size=65536)
+
+    def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter()
+        bf.add(df["o_orderkey"])
+        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    bloom = BloomFilter()
+    for b in keys_ds.map_batches(partial_bloom, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        for raw in b["bits"]:
+            bloom.bits |= np.frombuffer(raw, dtype=np.uint8)
+    ref = ray.put(bloom)
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice"]
+    )
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bf = get_broadcast(ref)
+        return df[bf.contains(df["l_orderkey"])]
+
+    survivors = li.map_batches(probe, batch_format="pandas", batch_size=65536)
+    exact = bucketed_join(
+        survivors,
+        rename_cols(keys_ds, {"o_orderkey": "l_orderkey"}),
+        on="l_orderkey",
+        n_buckets=32,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n_items=("l_extendedprice", "size"), revenue=("l_extendedprice", "sum")
+        )
+        g["n_items"] = g["n_items"].astype("int64")
+        g["revenue"] = round_away(g["revenue"].to_numpy(), 4)
+        return g
+
+    return bucketed_group_agg(exact, ["l_returnflag"], final, n_buckets=4)
+
+
+def q44_region_rollup_totals(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (region, nation) over customers: detail rows +
+    per-region subtotals + a grand total, NULL-marking grouped-out levels
+    exactly like SQL ROLLUP. The fact-table pass is the ordinary
+    distributed two-phase aggregate to the FINEST level (region × nation —
+    bounded by the dimension catalog, ~dozens of rows); the coarser rollup
+    levels are re-aggregations of that bounded result, done driver-side
+    the same way SQL engines re-aggregate the lowest grouping set."""
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = read_small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    nmap = {
+        k: (nm, rmap[rk])
+        for k, nm, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+    ref = ray.put(nmap)
+
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = get_broadcast(ref)
+        pairs = df["c_nationkey"].map(m)
+        df = pd.DataFrame(
+            {
+                "n_name": pairs.str[0],
+                "r_name": pairs.str[1],
+                "c_acctbal": df["c_acctbal"],
+            }
+        )
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            p_n=("c_acctbal", "size"), p_sum=("c_acctbal", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            n_customers=("p_n", "sum"), sum_acctbal=("p_sum", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    finest = bucketed_group_agg(partials, ["r_name", "n_name"], final, n_buckets=4).to_pandas()
+
+    levels = [finest]
+    sub = finest.groupby("r_name", as_index=False).agg(
+        n_customers=("n_customers", "sum"), sum_acctbal=("sum_acctbal", "sum")
+    )
+    sub["n_name"] = None
+    levels.append(sub)
+    tot = pd.DataFrame(
+        {
+            "r_name": [None],
+            "n_name": [None],
+            "n_customers": [finest["n_customers"].sum()],
+            "sum_acctbal": [finest["sum_acctbal"].sum()],
+        }
+    )
+    levels.append(tot)
+    out = pd.concat(levels, ignore_index=True)[["r_name", "n_name", "n_customers", "sum_acctbal"]]
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["sum_acctbal"] = round_away(out["sum_acctbal"].to_numpy(), 4)
+    return out
+
+
+def q45_json_props_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured extraction (§2.8's JSON slot): pull the integer 'k'
+    out of the props JSON string column, aggregate avg/max per event_type.
+    The extraction is a VECTORIZED regex over the known single-key schema
+    (pandas str.extract — one C pass per batch); a general nested-JSON
+    stage would instead be an actor-pool map_batches with a compiled JSON
+    parser, same dataflow. Oracle: DuckDB json_extract."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False).astype("float64")
+        d = pd.DataFrame({"event_type": df["event_type"], "k": k}).dropna()
+        return d.groupby("event_type", as_index=False).agg(
+            p_n=("k", "size"), p_sum=("k", "sum"), p_max=("k", "max")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("p_n", "sum"), s=("p_sum", "sum"), max_k=("p_max", "max")
+        )
+        g["avg_k"] = round_away((g["s"] / g["n"]).to_numpy(), 4)
+        g["max_k"] = g["max_k"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g.rename(columns={"n": "n_events"})[["event_type", "n_events", "avg_k", "max_k"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["event_type"], final, n_buckets=4)

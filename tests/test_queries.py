@@ -99,6 +99,9 @@ SQL_CHECKED = [
     "q40_brand_median_price",
     "q41_user_modal_event",
     "q42_weekly_active_users",
+    "q43_bloom_semi_join",
+    "q44_region_rollup_totals",
+    "q45_json_props_stats",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
