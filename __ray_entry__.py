@@ -164,6 +164,24 @@ def _kg_phones_exploded(sf_dir: str):
     return _kg_entity_values_exploded(sf_dir, "phones", "phone")
 
 
+
+def _ann_ivf_partitioned(sf_dir: str):
+    """Partition-pruned IVF: build the list_id-partitioned index once per
+    fixture under /tmp (idempotent rebuild), then query reading ONLY the
+    probed partitions. Rows-only (ANN semantics; exactness at
+    nprobe=n_lists is pinned by tests against q16)."""
+    import os
+    import shutil
+
+    from ethiomart_amharic_ner_ray.pipelines import similarity
+
+    idx = f"/tmp/graft_ivf_index/{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(idx, "_centroids.parquet")):
+        shutil.rmtree(idx, ignore_errors=True)
+        similarity.ivf_build_index(sf_dir, idx, n_lists=16, iters=5, seed=42)
+    return similarity.ann_ivf_partitioned_topk(sf_dir, idx, query_id=0, k=10, nprobe=4)
+
+
 def _kg_clean_text(sf_dir: str):
     """M1 normalize, hash-checked corpus-wide: the engine's clean_text_v1
     output per turn vs a DuckDB regexp chain reproducing the exact order of
@@ -523,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variant are SQL-checked; the pruned variants stay rows-only)
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivf_partitioned_topk": _ann_ivf_partitioned,
         "ann_ivf_exact_topk": lambda sf_dir: similarity.ann_ivf_topk(sf_dir, nprobe=16),
         "kmeans_assign": lambda sf_dir: similarity.kmeans_embeddings(sf_dir)[1],
         "knn_self_join": similarity.knn_self_join,

@@ -97,6 +97,9 @@ def run_bench() -> dict:
         "q25_embedding_neardup",
         "q27_range_join_count",
         "q28_sliding_windows",
+        # round-3 additions (keys absent from BENCH_r01/r02)
+        "q36_event_lag_stats",
+        "q43_bloom_semi_join",
     ]
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         picks = []

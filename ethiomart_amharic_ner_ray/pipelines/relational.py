@@ -635,7 +635,7 @@ def q42_weekly_active_users(sf_dir: str) -> "ray.data.Dataset":
     return bucketed_group_agg(partials, ["iso_year", "iso_week"], final, n_buckets=8)
 
 
-def q43_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
+def q43_bloom_semi_join(sf_dir: str, bloom_bits: int = 1 << 20) -> "ray.data.Dataset":
     """EXACT distributed semi-join with a Bloom prune (lineitem ⋉ urgent
     orders → per-returnflag revenue). The scale shape when the inner key
     set is too big to broadcast exactly:
@@ -647,7 +647,9 @@ def q43_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
          ~all non-matching lineitem rows at the scan (no false negatives);
       3. exactness: survivors (now small) go through ONE bucketed join
          against the real key set, discarding Bloom false positives.
-    The oracle is the plain EXISTS subquery."""
+    The oracle is the plain EXISTS subquery. ``bloom_bits`` sizes the
+    filter; tests shrink it to force false positives and prove step 3
+    keeps the result exact regardless of FP rate."""
     from .sketches import BloomFilter
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
@@ -658,11 +660,11 @@ def q43_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
     keys_ds = orders.map_batches(qualifying, batch_format="pandas", batch_size=65536)
 
     def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
-        bf = BloomFilter()
+        bf = BloomFilter(n_bits=bloom_bits)
         bf.add(df["o_orderkey"])
         return pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
-    bloom = BloomFilter()
+    bloom = BloomFilter(n_bits=bloom_bits)
     for b in keys_ds.map_batches(partial_bloom, batch_format="pandas").iter_batches(
         batch_format="pandas"
     ):

@@ -501,3 +501,109 @@ def ann_ivf_topk(
     return (
         cand.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
     )
+
+
+def ivf_build_index(
+    sf_dir: str,
+    index_dir: str,
+    n_lists: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF index as LIST-PARTITIONED Parquet — the cluster
+    storage layout ann_ivf_topk's docstring promises: one hive partition
+    per inverted list (``list_id=N/``), embeddings stored WITH their list
+    assignment, centroids in a sidecar. Built once, queried many times;
+    a query then touches only its nprobe partition directories — the
+    pruning happens at the filesystem listing, before any byte is read.
+
+    Write is streaming (assignment map_batches → write_parquet with
+    partition_cols); nothing materializes on the driver but the k×dim
+    centroid matrix."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    centroids, _ = kmeans_embeddings(sf_dir, k=n_lists, iters=iters, seed=seed)
+    ref = ray.put(centroids)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        from .common import get_broadcast
+
+        cc = get_broadcast(ref)
+        m = _embedding_matrix(t)
+        n = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        a = np.argmax((m / n) @ cc.T, axis=1)
+        return t.append_column("list_id", pa.array(a.astype(np.int64)))
+
+    ds.map_batches(tag, batch_format="pyarrow", batch_size=4096).write_parquet(
+        index_dir, partition_cols=["list_id"]
+    )
+    dim = centroids.shape[1]
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(np.arange(n_lists, dtype=np.int64)),
+                "centroid": pa.array(centroids.tolist(), pa.list_(pa.float64(), dim)),
+            }
+        ),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    return centroids
+
+
+def ann_ivf_partitioned_topk(
+    sf_dir: str,
+    index_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """IVF query against a prebuilt partition-pruned index
+    (ivf_build_index): rank centroids from the sidecar, list ONLY the
+    nprobe matching ``list_id=N/`` partition directories, and read just
+    those files — the other partitions never leave storage. Inside the
+    probed partitions it's the ordinary per-batch cosine top-k. With
+    nprobe == n_lists this is exact brute force (pinned by test against
+    q16)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    side = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    centroids = np.asarray(side.column("centroid").to_pylist(), dtype=np.float64)
+    q = _query_vector(sf_dir, query_id)
+    qn = q / np.maximum(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+
+    files: list[str] = []
+    for lid in probe:
+        files.extend(sorted(glob.glob(os.path.join(index_dir, f"list_id={lid}", "*.parquet"))))
+    if not files:
+        return pd.DataFrame({"vec_id": pd.array([], dtype="int64"), "cos_sim": []})
+
+    ref = ray.put(qn)
+    ds = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        from .common import get_broadcast
+
+        qv = get_broadcast(ref)
+        m = _embedding_matrix(t)
+        n = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = (m / n) @ qv
+        df = pd.DataFrame(
+            {"vec_id": t.column("vec_id").to_numpy(), "cos_sim": round_away(cos, 4)}
+        )
+        df = df.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(scan, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return (
+        cand.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

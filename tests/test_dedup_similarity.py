@@ -409,3 +409,53 @@ class TestBloom:
         merged = BloomFilter().add(a).merge(BloomFilter().add(b))
         union = BloomFilter().add(pd.concat([a, b], ignore_index=True))
         assert np.array_equal(merged.bits, union.bits)
+
+
+class TestIvfPartitioned:
+    SF = "/root/testdata/sf0.001"
+
+    def _build(self, tmp_path, n_lists=8):
+        from ethiomart_amharic_ner_ray.pipelines.similarity import ivf_build_index
+
+        idx = str(tmp_path / "ivf_idx")
+        ivf_build_index(self.SF, idx, n_lists=n_lists, iters=4)
+        return idx
+
+    def test_layout_is_partition_pruned(self, ray_session, tmp_path):
+        """One hive dir per non-empty list; a query touches only nprobe of
+        them — the pruning is visible at the filesystem level."""
+        import glob
+        import os
+
+        idx = self._build(tmp_path)
+        parts = sorted(glob.glob(os.path.join(idx, "list_id=*")))
+        assert 2 <= len(parts) <= 8
+        assert os.path.exists(os.path.join(idx, "_centroids.parquet"))
+
+    def test_full_probe_equals_bruteforce(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import (
+            ann_ivf_partitioned_topk,
+            q16_knn_cosine,
+        )
+
+        idx = self._build(tmp_path)
+        exact = q16_knn_cosine(self.SF)
+        got = ann_ivf_partitioned_topk(self.SF, idx, nprobe=8)
+        pd.testing.assert_frame_equal(got.astype(exact.dtypes.to_dict()), exact)
+
+    def test_matches_inmemory_ivf(self, ray_session, tmp_path):
+        """Same quantizer params → the prebuilt-index query returns exactly
+        what the scan-and-filter variant returns."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import (
+            ann_ivf_partitioned_topk,
+            ann_ivf_topk,
+        )
+
+        idx = self._build(tmp_path)
+        inmem = ann_ivf_topk(self.SF, n_lists=8, nprobe=4, iters=4)
+        got = ann_ivf_partitioned_topk(self.SF, idx, nprobe=4)
+        pd.testing.assert_frame_equal(got.astype(inmem.dtypes.to_dict()), inmem)

@@ -187,3 +187,14 @@ class TestSaltedAgg:
         # the hot key really was split in round 1: >1 partial row for it
         # (indirect check: partial count per salt < total)
         assert ref.loc[ref["k"] == "hot", "n"].iloc[0] > 40_000
+
+
+def test_q43_exact_under_bloom_false_positives(entrymod, con, ray_session):
+    """Shrinking the Bloom filter to 256 bits makes nearly every probe a
+    false positive; the bucketed recheck must still produce the exact
+    semi-join result."""
+    from ethiomart_amharic_ner_ray.pipelines.relational import q43_bloom_semi_join
+
+    got = _canon(_to_pandas(q43_bloom_semi_join(SF_DIR, bloom_bits=256)))
+    want = _canon(con.sql(entrymod.oracle_sql()["q43_bloom_semi_join"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-9)
