@@ -493,6 +493,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_region_rollup_totals": relational.q44_region_rollup_totals,
         "q45_json_props_stats": relational.q45_json_props_stats,
         "q35_vocab_topk": textstats.q35_vocab_topk,
+        "q46_brand_type_concat": relational.q46_brand_type_concat,
+        "q47_users_both_events": relational.q47_users_both_events,
+        "q48_brand_price_quantiles": relational.q48_brand_price_quantiles,
+        "q49_above_avg_orders": relational.q49_above_avg_orders,
+        "q50_region_priority_grid": relational.q50_region_priority_grid,
+        "q51_first_last_event": relational.q51_first_last_event,
+        "q52_bigram_topk": textstats.q52_bigram_topk,
+        "q53_tfidf_topk": textstats.q53_tfidf_topk,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -976,6 +984,82 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id, t)
             GROUP BY token
             ORDER BY tf DESC, token
+            LIMIT 100
+        """,
+        "q46_brand_type_concat": """
+            SELECT p_brand,
+                   string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types,
+                   CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+            FROM part GROUP BY p_brand
+        """,
+        "q47_users_both_events": """
+            SELECT user_id FROM events GROUP BY user_id
+            HAVING bool_or(event_type = 'click') AND bool_or(event_type = 'purchase')
+        """,
+        "q48_brand_price_quantiles": """
+            SELECT p_brand,
+                   ROUND(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(p_retailprice, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(p_retailprice, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(p_retailprice, 0.90), 4) AS p90
+            FROM part GROUP BY p_brand
+        """,
+        "q49_above_avg_orders": """
+            SELECT o_custkey,
+                   CAST(count(*) FILTER (WHERE o_totalprice > avg_p + 1e-6) AS BIGINT) AS n_above,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM (SELECT o_custkey, o_totalprice,
+                         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS avg_p
+                  FROM orders)
+            GROUP BY o_custkey
+        """,
+        "q50_region_priority_grid": """
+            SELECT r_name, o_orderpriority, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+            FROM (SELECT r_name FROM region)
+            CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+            LEFT JOIN (
+                SELECT r.r_name AS rn, o.o_orderpriority AS op, count(*) AS n
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation na ON c.c_nationkey = na.n_nationkey
+                JOIN region r ON na.n_regionkey = r.r_regionkey
+                GROUP BY 1, 2
+            ) ON rn = r_name AND op = o_orderpriority
+        """,
+        "q51_first_last_event": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_f,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_l
+                FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn_f = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn_l = 1 THEN event_type END) AS last_type
+            FROM ranked GROUP BY user_id
+        """,
+        "q52_bigram_topk": r"""
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT arr[i] || ' ' || arr[i+1] AS bigram, arr[i] AS w1, arr[i+1] AS w2
+                FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+                     unnest(generate_series(1, len(arr) - 1)) AS t(i))
+            WHERE w1 <> '' AND w2 <> ''
+            GROUP BY bigram
+            ORDER BY n DESC, bigram
+            LIMIT 100
+        """,
+        "q53_tfidf_topk": r"""
+            WITH tok AS (
+                SELECT doc_id, t AS token, count(*) AS n FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> '' GROUP BY doc_id, t),
+            agg AS (SELECT token, count(*) AS df, sum(n) AS tf FROM tok GROUP BY token),
+            nd AS (SELECT count(*) AS n FROM documents)
+            SELECT token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+                   ROUND(tf * ln(nd.n / df), 4) AS tfidf
+            FROM agg, nd
+            ORDER BY ROUND(tf * ln(nd.n / df), 4) DESC, token
             LIMIT 100
         """,
         "q31_region_nation_rollup": """

@@ -88,6 +88,11 @@ def bucketed_group_agg(
         df = t.select(keys).to_pandas()
         h = pd.util.hash_pandas_object(df, index=False).to_numpy()
         b = (h % np.uint64(n_buckets)).astype(np.int32)
+        # drop schema metadata (parquet/pandas provenance blobs): pyarrow
+        # schemas carrying ANY metadata are unhashable, which defeats Ray's
+        # schema-dedup fast path in every shuffle reduce (and spams a
+        # warning per reduce task); the metadata carries no data
+        t = t.replace_schema_metadata(None)
         return t.append_column("_bkt", pa.array(b, pa.int32()))
 
     def per_bucket(df):

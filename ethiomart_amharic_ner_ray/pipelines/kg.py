@@ -59,6 +59,9 @@ def _hash_bucket(df: "pd.DataFrame", n_buckets: int) -> np.ndarray:
 
 def add_conv_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     b = _hash_bucket(batch.select(["conv_id"]).to_pandas(), n_buckets)
+    # strip schema metadata: metadata-carrying schemas are unhashable and
+    # defeat Ray's schema-dedup fast path in the downstream shuffle reduce
+    batch = batch.replace_schema_metadata(None)
     return batch.append_column("cbucket", pa.array(b, pa.int32()))
 
 
@@ -254,6 +257,7 @@ def _bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
 
 def add_spo_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
     b = _hash_bucket(batch.select(["subj", "pred", "obj"]).to_pandas(), n_buckets)
+    batch = batch.replace_schema_metadata(None)  # see add_conv_bucket
     return batch.append_column("bucket", pa.array(b, pa.int32()))
 
 

@@ -792,3 +792,211 @@ def q45_json_props_stats(sf_dir: str) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["event_type"], final, n_buckets=4)
+
+
+def q46_brand_type_concat(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped ordered string aggregation (SQL string_agg(DISTINCT ..
+    ORDER BY ..)): the sorted, comma-joined set of part types per brand.
+    Per-batch dedup of (brand, type) pairs bounds the shuffle to distinct
+    pairs per block — the exchange never carries more rows per brand than
+    |type vocabulary| x n_blocks regardless of the brand's row count; the
+    per-bucket final re-dedups, sorts, and joins."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["p_brand", "p_type"])
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["p_brand", "p_type"]).sort_values(
+            ["p_brand", "p_type"], kind="mergesort"
+        )
+        out = g.groupby("p_brand", as_index=False).agg(
+            types=("p_type", ",".join), n_types=("p_type", "size")
+        )
+        out["n_types"] = out["n_types"].astype("int64")
+        return out
+
+    return bucketed_group_agg(partials, ["p_brand"], final, n_buckets=8)
+
+
+def q47_users_both_events(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase"
+) -> "ray.data.Dataset":
+    """Conjunctive membership (INTERSECT of two semi-joins): users that did
+    BOTH event types. Per-batch boolean partials (any-a, any-b per user)
+    collapse the fact rows before the shuffle; the per-bucket final ORs the
+    partials — an idempotent semilattice, so duplicate partial rows from
+    resharding can never change the answer."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(
+            p_a=df["event_type"].eq(type_a), p_b=df["event_type"].eq(type_b)
+        )
+        return d.groupby("user_id", as_index=False).agg(p_a=("p_a", "any"), p_b=("p_b", "any"))
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(a=("p_a", "any"), b=("p_b", "any"))
+        return g.loc[g["a"] & g["b"], ["user_id"]]
+
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
+
+
+def q48_brand_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Exact grouped multi-quantile (p25/p50/p75/p90 of price per brand) —
+    the multi-point extension of q40's holistic-median shape: group values
+    must co-locate, so raw (brand, price) pairs ride the bucket shuffle
+    (two short columns), and each bucket computes all four interpolated
+    quantiles in one vectorized pass. Interpolation is linear, matching
+    DuckDB's quantile_cont. The sketch-based approximate path for groups
+    too large for one task is pipelines/sketches.py (documented fallback,
+    same as q40)."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        q = (
+            df.groupby("p_brand")["p_retailprice"]
+            .quantile([0.25, 0.5, 0.75, 0.9])
+            .unstack()
+        )
+        q.columns = ["p25", "p50", "p75", "p90"]
+        q = q.reset_index()
+        for c in ("p25", "p50", "p75", "p90"):
+            q[c] = round_away(q[c].to_numpy(), 4)
+        return q
+
+    return bucketed_group_agg(ds, ["p_brand"], final, n_buckets=16)
+
+
+def q49_above_avg_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Correlated subquery, decorrelated (orders priced above their own
+    customer's average): the classic rewrite is a window aggregate compared
+    back to each row, which needs the customer's rows co-located — ONE
+    bucket shuffle of the two needed columns, then a vectorized
+    transform-mean + comparison per bucket. (The broadcast alternative —
+    two-phase per-customer averages shipped back to a second fact scan —
+    trades a second full pass of the fact table for not shuffling it; with
+    only 16 bytes/row shuffled, the one-pass form wins.) The +1e-6 epsilon
+    on the comparison is applied identically in the SQL oracle so float
+    summation-order noise at the avg boundary can never flip a count."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        avg = df.groupby("o_custkey")["o_totalprice"].transform("mean")
+        above = df["o_totalprice"] > avg + 1e-6
+        out = df.assign(above=above).groupby("o_custkey", as_index=False).agg(
+            n_above=("above", "sum"), n_orders=("above", "size")
+        )
+        out["n_above"] = out["n_above"].astype("int64")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    return bucketed_group_agg(ds, ["o_custkey"], final, n_buckets=32)
+
+
+def _custkey_region_join_batch(t: pa.Table, ref) -> pa.Table:
+    keys, rnames = get_broadcast(ref)
+    ck = t.column("o_custkey").to_numpy()
+    idx = np.searchsorted(keys, ck)
+    idx_c = np.clip(idx, 0, len(keys) - 1)
+    hit = keys[idx_c] == ck
+    t = t.filter(pa.array(hit))
+    return t.append_column("r_name", pa.array(rnames[idx_c[hit]], pa.string()))
+
+
+def q50_region_priority_grid(sf_dir: str) -> pd.DataFrame:
+    """Cross-join grid with zero-fill (every region x every order priority,
+    including pairs with no orders): the snowflake chain orders → customer
+    → nation → region is ONE composed broadcast map (custkey → r_name,
+    sorted-key searchsorted); counts come back through the standard
+    two-phase aggregate, and the zero-fill is a driver-side reindex over
+    the |regions| x |priorities| grid — a few dozen rows by construction,
+    never data-sized."""
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = read_small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    r_map = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    n_map = {
+        nk: r_map[rk]
+        for nk, rk in zip(
+            nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist()
+        )
+    }
+    order_ck = np.argsort(cust.column("c_custkey").to_numpy())
+    keys = cust.column("c_custkey").to_numpy()[order_ck]
+    rnames = np.asarray(
+        [n_map[nk] for nk in cust.column("c_nationkey").to_pylist()], dtype=object
+    )[order_ck]
+    ref = ray.put((keys, rnames))
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    joined = ds.map_batches(
+        _custkey_region_join_batch, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["r_name", "o_orderpriority"], as_index=False).agg(
+            p_n=("o_orderpriority", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["r_name", "o_orderpriority"], as_index=False).agg(n=("p_n", "sum"))
+
+    partials = joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+    counts = bucketed_group_agg(partials, ["r_name", "o_orderpriority"], final, n_buckets=4).to_pandas()
+    all_regions = sorted(r_map.values())
+    all_prios = sorted(counts["o_orderpriority"].unique())
+    grid = pd.MultiIndex.from_product(
+        [all_regions, all_prios], names=["r_name", "o_orderpriority"]
+    ).to_frame(index=False)
+    out = grid.merge(counts, on=["r_name", "o_orderpriority"], how="left")
+    out["n_orders"] = out["n"].fillna(0).astype("int64")
+    return out[["r_name", "o_orderpriority", "n_orders"]].sort_values(
+        ["r_name", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+def q51_first_last_event(sf_dir: str) -> "ray.data.Dataset":
+    """arg_min / arg_max by a composite ordering (each user's first and
+    last event type by (ts, event_id)): per-batch partials keep ONE
+    first-candidate and ONE last-candidate row per user — min/max under a
+    total order is a semilattice, so partials merge associatively and a
+    hot user ships 2 x n_blocks candidate rows through the shuffle, never
+    its row count. The SQL oracle is the row_number()=1 window
+    formulation."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = s.groupby("user_id", as_index=False)
+        first = g.first().rename(
+            columns={"ts": "p_fts", "event_id": "p_fid", "event_type": "p_ftype"}
+        )
+        last = g.last().rename(
+            columns={"ts": "p_lts", "event_id": "p_lid", "event_type": "p_ltype"}
+        )
+        return first.merge(last, on="user_id")
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        f = (
+            df.sort_values(["user_id", "p_fts", "p_fid"], kind="mergesort")
+            .groupby("user_id", as_index=False)
+            .first()[["user_id", "p_ftype"]]
+        )
+        l = (
+            df.sort_values(
+                ["user_id", "p_lts", "p_lid"], ascending=[True, False, False], kind="mergesort"
+            )
+            .groupby("user_id", as_index=False)
+            .first()[["user_id", "p_ltype"]]
+        )
+        out = f.merge(l, on="user_id")
+        return out.rename(columns={"p_ftype": "first_type", "p_ltype": "last_type"})
+
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)

@@ -180,7 +180,27 @@ def q35_vocab_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
 
     from .common import bucketed_group_agg
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = _token_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def final(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("token", as_index=False).agg(df=("df", "sum"), tf=("tf", "sum"))
+        return g.sort_values(["tf", "token"], ascending=[False, True]).head(k)
+
+    cand = bucketed_group_agg(partials, ["token"], final, n_buckets=16).to_pandas()
+    return (
+        cand.sort_values(["tf", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[["token", "df", "tf"]]
+        .astype({"df": "int64", "tf": "int64"})
+    )
+
+
+def _token_partials(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Shared per-batch (token → df, tf) partials for the vocabulary family
+    (q35 / q53): Arrow-vectorized tokenize, per-doc counts collapsed to
+    per-token partials BEFORE the shuffle. df partials sum exactly because
+    a document never spans batches."""
+    import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(t.column("text"))
@@ -195,16 +215,88 @@ def q35_vocab_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
         g = per_doc.groupby("token", as_index=False).agg(df=("doc_id", "size"), tf=("size", "sum"))
         return pa.Table.from_pandas(g.astype({"df": "int64", "tf": "int64"}), preserve_index=False)
 
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def q52_bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
+    """Top-k token bigrams over the corpus (the n-gram statistics pass of a
+    training-data pipeline). Bigrams are formed positionally inside each
+    document — vectorized over the whole batch via list_flatten +
+    list_parent_indices (adjacent flat slots with the same parent are a
+    bigram; no per-document Python loop) — then per-batch counts collapse
+    to per-bigram partials before the shuffle, exactly the q35 vocabulary
+    shape. The per-bucket final pre-top-ks, bounding the driver collect to
+    k x buckets rows."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        empty = pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        same = par[:-1] == par[1:]
+        w1, w2 = flat[:-1][same], flat[1:][same]
+        keep = (w1 != "") & (w2 != "")
+        if not keep.any():
+            return empty
+        big = pd.Series(w1[keep]) + " " + pd.Series(w2[keep])
+        g = big.value_counts().rename_axis("bigram").reset_index(name="n")
+        return pa.Table.from_pandas(g.astype({"n": "int64"}), preserve_index=False)
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(d: pd.DataFrame) -> pd.DataFrame:
+    def final(d: "pd.DataFrame") -> "pd.DataFrame":
+        g = d.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        return g.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+
+    cand = bucketed_group_agg(partials, ["bigram"], final, n_buckets=16).to_pandas()
+    out = (
+        cand.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[["bigram", "n"]]
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q53_tfidf_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
+    """Corpus-level TF-IDF (weight = tf x ln(N/df)) top-k — the salience
+    ranking every corpus-analysis pipeline wants next to raw counts (q35).
+    N comes from Parquet metadata (Dataset.count() reads footers, not
+    rows); the rest reuses the q35 partial shape. Ranking uses the ROUNDED
+    weight (desc, then token asc) on BOTH sides of the oracle so a 1-ulp
+    libm difference between numpy log and DuckDB ln can never flip the
+    top-k boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg, round_away
+
+    n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    partials = _token_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def final(d: "pd.DataFrame") -> "pd.DataFrame":
         g = d.groupby("token", as_index=False).agg(df=("df", "sum"), tf=("tf", "sum"))
-        return g.sort_values(["tf", "token"], ascending=[False, True]).head(k)
+        g["tfidf"] = round_away(
+            g["tf"].to_numpy(dtype=np.float64) * np.log(n_docs / g["df"].to_numpy(dtype=np.float64)),
+            4,
+        )
+        return g.sort_values(["tfidf", "token"], ascending=[False, True]).head(k)
 
     cand = bucketed_group_agg(partials, ["token"], final, n_buckets=16).to_pandas()
-    return (
-        cand.sort_values(["tf", "token"], ascending=[False, True])
+    out = (
+        cand.sort_values(["tfidf", "token"], ascending=[False, True])
         .head(k)
-        .reset_index(drop=True)[["token", "df", "tf"]]
-        .astype({"df": "int64", "tf": "int64"})
+        .reset_index(drop=True)[["token", "df", "tf", "tfidf"]]
     )
+    out["df"] = out["df"].astype("int64")
+    out["tf"] = out["tf"].astype("int64")
+    return out

@@ -102,6 +102,14 @@ SQL_CHECKED = [
     "q43_bloom_semi_join",
     "q44_region_rollup_totals",
     "q45_json_props_stats",
+    "q46_brand_type_concat",
+    "q47_users_both_events",
+    "q48_brand_price_quantiles",
+    "q49_above_avg_orders",
+    "q50_region_priority_grid",
+    "q51_first_last_event",
+    "q52_bigram_topk",
+    "q53_tfidf_topk",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
