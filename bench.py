@@ -69,6 +69,22 @@ def run_bench() -> dict:
             while fh.read(1 << 24):
                 pass
 
+    # same-window hardware calibration for the HEADLINE too (the --scaling
+    # path has had this since round 3): this VM's effective CPU drifts
+    # hour-to-hour with neighbor load — measured same-code headline swings
+    # of 8 s ↔ 79 s inside one hour. units/s of the deterministic
+    # tools/cpu_ceiling burn at this run's parallelism makes any recorded
+    # wall time interpretable: compare hw_units_per_sec / hw_membw_gbps
+    # across records before comparing the engine numbers. The two probes
+    # are independent axes — one observed window had full ALU rate
+    # (~45 units/s/proc) while memory reads ran at 0.6 GB/s (≈10x down),
+    # which slows shuffles without touching the arithmetic probe.
+    from tools.cpu_ceiling import membw_gbps as _hw_membw
+    from tools.cpu_ceiling import rate as _hw_rate
+
+    hw_before = round(_hw_rate(num_cpus, seconds=4.0), 1)
+    membw_before = round(_hw_membw(8, seconds=3.0), 1)
+
     pool = (1, num_cpus)
     t0 = time.perf_counter()
     triples = kg_triples(
@@ -113,6 +129,9 @@ def run_bench() -> dict:
         query_secs[name] = round(time.perf_counter() - t0, 3)
     query_secs["kg_triples"] = round(headline, 3)
 
+    hw_after = round(_hw_rate(num_cpus, seconds=4.0), 1)
+    membw_after = round(_hw_membw(8, seconds=3.0), 1)
+
     result = {
         "metric": "kg_triples_end_to_end",
         "value": round(headline, 3),
@@ -124,6 +143,10 @@ def run_bench() -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / headline, 1),
         "turns_per_sec": round(n_turns / headline, 1),
+        "hw_units_per_sec_before": hw_before,
+        "hw_units_per_sec_after": hw_after,
+        "hw_membw_gbps_before": membw_before,
+        "hw_membw_gbps_after": membw_after,
     }
     ray.shutdown()
     return result

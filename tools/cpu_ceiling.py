@@ -41,6 +41,33 @@ def rate(n_procs: int, seconds: float = 12.0) -> float:
     return sum(counts) / wall
 
 
+def _mem_burn(args) -> float:
+    """Memory-bound unit: repeatedly reduce a 100 MB array. Returns GB
+    touched. Complements _burn: the hypervisor can throttle memory
+    bandwidth independently of the ALUs (measured 0.6 GB/s single-thread
+    memcpy in one window and 8 GB/s minutes later on this VM), and Ray
+    shuffles are bandwidth-bound where _burn is not."""
+    import numpy as np
+
+    seconds, seed = args
+    a = np.arange(12_500_000, dtype=np.float64) + seed  # 100 MB
+    stop = time.perf_counter() + seconds
+    gb = 0.0
+    while time.perf_counter() < stop:
+        a.sum()
+        gb += 0.1
+    return gb
+
+
+def membw_gbps(n_procs: int, seconds: float = 3.0) -> float:
+    """Aggregate memory-read bandwidth (GB/s) across n_procs processes."""
+    with mp.Pool(n_procs) as pool:
+        t0 = time.perf_counter()
+        gbs = pool.map(_mem_burn, [(seconds, i) for i in range(n_procs)])
+        wall = time.perf_counter() - t0
+    return sum(gbs) / wall
+
+
 def main() -> None:
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
