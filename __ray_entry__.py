@@ -182,6 +182,17 @@ def _ann_ivf_partitioned(sf_dir: str):
     return similarity.ann_ivf_partitioned_topk(sf_dir, idx, query_id=0, k=10, nprobe=4)
 
 
+def _kg_price_redact(sf_dir: str):
+    """PII-style redaction over raw transcript turns, hash-checked: price
+    mentions → '<PRICE>' sentinel, per-turn redaction count + md5 of the
+    redacted text. Engine and oracle run the IDENTICAL RE2 pattern
+    (pyarrow's regex engine and DuckDB's are both RE2), so the check pins
+    engine-level parity of the scrubbing pass."""
+    from ethiomart_amharic_ner_ray.pipelines.textstats import price_redact_batch
+
+    return _transcripts_ds(sf_dir).map_batches(price_redact_batch, batch_format="pyarrow")
+
+
 def _kg_clean_text(sf_dir: str):
     """M1 normalize, hash-checked corpus-wide: the engine's clean_text_v1
     output per turn vs a DuckDB regexp chain reproducing the exact order of
@@ -501,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_first_last_event": relational.q51_first_last_event,
         "q52_bigram_topk": textstats.q52_bigram_topk,
         "q53_tfidf_topk": textstats.q53_tfidf_topk,
+        "q54_decontaminate": textstats.q54_decontaminate,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -515,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcript-derived, SQL-checked via read_parquet on the cached
         # deterministic fixture (oracle_sql ensures generation)
         "kg_clean_text": _kg_clean_text,
+        "kg_price_redact": _kg_price_redact,
         "kg_prices_exploded": _kg_prices_exploded,
         "kg_phones_exploded": _kg_phones_exploded,
         "kg_mention_flags": _kg_mention_flags,
@@ -589,6 +602,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_clean_text": f"""
             SELECT conv_id, turn_idx, {clean_expr} AS clean_text
+            FROM read_parquet('{tx_glob}')
+        """,
+        "kg_price_redact": f"""
+            SELECT conv_id, turn_idx,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                       '(?i)[0-9]{{1,3}}(?:,[0-9]{{3}})*(?:\\.[0-9]+)?\\s*(?:ብር|birr|br|ዶላር|dollar)'))
+                       AS BIGINT) AS n_redacted,
+                   md5(regexp_replace(coalesce(text, ''),
+                       '(?i)[0-9]{{1,3}}(?:,[0-9]{{3}})*(?:\\.[0-9]+)?\\s*(?:ብር|birr|br|ዶላር|dollar)',
+                       '<PRICE>', 'g')) AS red_md5
             FROM read_parquet('{tx_glob}')
         """,
         "kg_mention_flags": f"""
@@ -1046,6 +1069,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bigram
             ORDER BY n DESC, bigram
             LIMIT 100
+        """,
+        "q54_decontaminate": r"""
+            WITH arr AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents),
+            sh AS (
+                SELECT doc_id, source,
+                       a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' ||
+                       a[i+3] || ' ' || a[i+4] AS s
+                FROM arr, unnest(generate_series(1, len(a) - 4)) AS t(i)),
+            bl AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+            corpus AS (SELECT DISTINCT doc_id, s FROM sh WHERE source <> 'src0')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM corpus JOIN bl USING (s)
+            GROUP BY doc_id
         """,
         "q53_tfidf_topk": r"""
             WITH tok AS (

@@ -300,3 +300,103 @@ def q53_tfidf_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
     out["df"] = out["df"].astype("int64")
     out["tf"] = out["tf"].astype("int64")
     return out
+
+
+PRICE_REDACT_RE = r"(?i)[0-9]{1,3}(?:,[0-9]{3})*(?:\.[0-9]+)?\s*(?:ብር|birr|br|ዶላር|dollar)"
+
+
+def price_redact_batch(t: pa.Table) -> pa.Table:
+    """PII-style redaction (the scrubbing pass of a training-data pipeline):
+    replace every price mention in raw turn text with a '<PRICE>' sentinel.
+    Both the replace and the match count are RE2 kernels (pyarrow's regex
+    engine IS RE2, same as DuckDB's — the oracle uses the identical pattern,
+    so parity is engine-level, not coincidental). Output carries the
+    redaction count and an md5 of the redacted text per turn: the driver
+    hash-checks the full redacted corpus without shipping it."""
+    import hashlib
+
+    txt = pc.fill_null(t.column("text"), "")
+    red = pc.replace_substring_regex(txt, pattern=PRICE_REDACT_RE, replacement="<PRICE>")
+    n = pc.count_substring_regex(txt, PRICE_REDACT_RE)
+    md5 = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in red.to_pylist()]
+    return pa.table(
+        {
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "n_redacted": pc.cast(n, pa.int64()),
+            "red_md5": pa.array(md5, pa.string()),
+        }
+    )
+
+
+def _shingle_frame(t: pa.Table, k: int):
+    """(row_index, shingle) pairs for every k-token shingle in the batch's
+    ``text`` column — the bigram adjacency trick generalized to k: flat
+    token slots i..i+k-1 form a shingle iff slot i and slot i+k-1 share the
+    same parent row. Vectorized end to end (one regex split, k shifted
+    slices, one pandas string concat); no per-document loop."""
+    import numpy as np
+    import pandas as pd
+
+    trimmed = pc.utf8_trim_whitespace(t.column("text"))
+    toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat) < k:
+        return np.array([], dtype=np.int64), pd.Series([], dtype=object)
+    m = len(flat) - k + 1
+    idx = np.nonzero(par[:m] == par[k - 1 :])[0]
+    if not len(idx):
+        return np.array([], dtype=np.int64), pd.Series([], dtype=object)
+    s = pd.Series(flat[idx])
+    for j in range(1, k):
+        s = s + " " + pd.Series(flat[idx + j])
+    return par[idx], s
+
+
+def q54_decontaminate(sf_dir: str, blocklist_source: str = "src0", k: int = 5) -> "ray.data.Dataset":
+    """Test-set decontamination (the overlap scan every training corpus
+    needs before a benchmark is trusted): for each corpus document, the
+    number of DISTINCT k-token shingles it shares with a held-out blocklist
+    corpus (here: the documents of one ``source``). Only contaminated
+    documents (n_shared > 0) are emitted.
+
+    Scale shape: the blocklist is a TEST SET — small by definition — so its
+    distinct shingle set is built driver-side and broadcast once
+    (``ray.put`` + per-worker cache); the corpus side is ONE shuffle-free
+    scan, with per-document shingle sets intersected against the broadcast
+    vectorized (pandas isin). A document never spans batches, so per-batch
+    per-doc distinct counts are exact finals — no aggregation exchange at
+    all. If the blocklist ever outgrew broadcast, the fallback is the
+    bucketed join on hashed shingles (common.bucketed_join), same shape as
+    dedup's LSH band verify."""
+    import pandas as pd
+    import ray
+
+    from .common import get_broadcast, read_small, read_table
+
+    bl = read_small(sf_dir, "documents", columns=["text", "source"])
+    bl = bl.filter(pc.equal(bl.column("source"), blocklist_source))
+    _, bl_sh = _shingle_frame(bl, k)
+    ref = ray.put(pd.Index(bl_sh.unique()))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("source"), blocklist_source))
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        rows, sh = _shingle_frame(t, k)
+        if not len(rows):
+            return empty
+        d = pd.DataFrame(
+            {"doc_id": t.column("doc_id").to_numpy()[rows], "s": sh.to_numpy()}
+        ).drop_duplicates()
+        d = d[d["s"].isin(get_broadcast(ref))]
+        g = d.groupby("doc_id", as_index=False).size().rename(columns={"size": "n_shared"})
+        return pa.Table.from_pandas(g.astype({"n_shared": "int64"}), preserve_index=False)
+
+    return ds.map_batches(f, batch_format="pyarrow")

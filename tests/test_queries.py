@@ -110,6 +110,7 @@ SQL_CHECKED = [
     "q51_first_last_event",
     "q52_bigram_topk",
     "q53_tfidf_topk",
+    "q54_decontaminate",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
@@ -120,6 +121,7 @@ SQL_CHECKED_TX = [
     "kg_turns_per_conv",
     "kg_seller_turncounts",
     "kg_clean_text",
+    "kg_price_redact",
     "kg_mention_flags",
     "kg_seller_price_stats",
     "kg_prices_exploded",
