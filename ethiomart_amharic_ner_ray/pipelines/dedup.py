@@ -112,7 +112,7 @@ def q11_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
             }
         )
         g = df.groupby("h", as_index=False)["doc_id"].min()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("h", as_index=False)["doc_id"].min()[["doc_id"]]

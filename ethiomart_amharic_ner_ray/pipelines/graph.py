@@ -276,7 +276,7 @@ def two_hop(
         def f(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
             df = df.sort_values(["mid", other], kind="mergesort").groupby("mid", sort=False).head(k)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
         return f
 

@@ -204,7 +204,7 @@ def q06_events_daily(sf_dir: str) -> "ray.data.Dataset":
                 p_n=("value", "size"), p_sum=("value", "sum")
             ),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["y", "m", "d"], as_index=False).agg(

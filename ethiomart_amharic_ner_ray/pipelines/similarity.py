@@ -64,7 +64,7 @@ def q16_knn_cosine(sf_dir: str, query_id: int = 0, k: int = 10) -> pd.DataFrame:
             cos = (m @ self._q) / norms
             df = pd.DataFrame({"vec_id": t.column("vec_id").to_numpy(), "cos_sim": round_away(cos, 4)})
             df = df.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     cand = ds.map_batches(TopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)).to_pandas()
     return (
@@ -307,7 +307,7 @@ def ann_lsh_topk(sf_dir: str, query_id: int = 0, k: int = 10, n_planes: int = 8,
             cos = (sub @ self._q) / norms
             df = pd.DataFrame({"vec_id": t.column("vec_id").to_numpy()[mask], "cos_sim": round_away(cos, 4)})
             df = df.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     cand = ds.map_batches(BucketScan, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)).to_pandas()
     return (
@@ -495,7 +495,7 @@ def ann_ivf_topk(
                 {"vec_id": t.column("vec_id").to_numpy()[mask], "cos_sim": round_away(cos, 4)}
             )
             df = df.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     cand = ds.map_batches(ListScan, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)).to_pandas()
     return (
@@ -599,7 +599,7 @@ def ann_ivf_partitioned_topk(
             {"vec_id": t.column("vec_id").to_numpy(), "cos_sim": round_away(cos, 4)}
         )
         df = df.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     cand = ds.map_batches(scan, batch_format="pyarrow", batch_size=4096).to_pandas()
     return (

@@ -213,7 +213,7 @@ def _token_partials(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         d = d[d["token"] != ""]
         per_doc = d.groupby(["doc_id", "token"], as_index=False).size()
         g = per_doc.groupby("token", as_index=False).agg(df=("doc_id", "size"), tf=("size", "sum"))
-        return pa.Table.from_pandas(g.astype({"df": "int64", "tf": "int64"}), preserve_index=False)
+        return pa.Table.from_pandas(g.astype({"df": "int64", "tf": "int64"}), preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(partial, batch_format="pyarrow")
 
@@ -249,7 +249,7 @@ def q52_bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
             return empty
         big = pd.Series(w1[keep]) + " " + pd.Series(w2[keep])
         g = big.value_counts().rename_axis("bigram").reset_index(name="n")
-        return pa.Table.from_pandas(g.astype({"n": "int64"}), preserve_index=False)
+        return pa.Table.from_pandas(g.astype({"n": "int64"}), preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -397,6 +397,6 @@ def q54_decontaminate(sf_dir: str, blocklist_source: str = "src0", k: int = 5) -
         ).drop_duplicates()
         d = d[d["s"].isin(get_broadcast(ref))]
         g = d.groupby("doc_id", as_index=False).size().rename(columns={"size": "n_shared"})
-        return pa.Table.from_pandas(g.astype({"n_shared": "int64"}), preserve_index=False)
+        return pa.Table.from_pandas(g.astype({"n_shared": "int64"}), preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -169,34 +169,41 @@ def q28_sliding_windows(sf_dir: str, window_s: int = 3600, slide_s: int = 900) -
     k = window_s // slide_s
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
+    # partials aggregate per (user, SLIDE BIN) — the finest granularity —
+    # so the exchange carries each bin ONCE, not once per overlapping
+    # window: k-fold less shuffle volume than exploding windows before the
+    # shuffle. The window expansion happens inside the bucket final, where
+    # each bin's partial fans out to its k windows and re-sums. Bucketing
+    # is on user_id alone so all of a user's bins co-locate.
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         epoch = df["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
-        base = (epoch // slide_s) * slide_s
-        frames = []
-        for i in range(k):
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "user_id": df["user_id"],
-                        "window_start": base - i * slide_s,
-                        "value": df["value"],
-                    }
-                )
-            )
-        out = pd.concat(frames, ignore_index=True)
-        return out.groupby(["user_id", "window_start"], as_index=False).agg(
+        d = pd.DataFrame(
+            {"user_id": df["user_id"], "bin": (epoch // slide_s) * slide_s, "value": df["value"]}
+        )
+        return d.groupby(["user_id", "bin"], as_index=False).agg(
             p_n=("value", "size"), p_sum=("value", "sum")
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
-            n_events=("p_n", "sum"), sum_value=("p_sum", "sum")
+        b = df.groupby(["user_id", "bin"], as_index=False).agg(
+            p_n=("p_n", "sum"), p_sum=("p_sum", "sum")
+        )
+        frames = [
+            b.assign(window_start=b["bin"] - i * slide_s)[
+                ["user_id", "window_start", "p_n", "p_sum"]
+            ]
+            for i in range(k)
+        ]
+        g = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["user_id", "window_start"], as_index=False)
+            .agg(n_events=("p_n", "sum"), sum_value=("p_sum", "sum"))
         )
         g["sum_value"] = round_away(g["sum_value"].to_numpy(), 4)
         return g.astype({"window_start": "int64", "n_events": "int64"})
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    return bucketed_group_agg(partials, ["user_id", "window_start"], final, n_buckets=64)
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=64)
 
 
 def q36_event_lag_stats(sf_dir: str) -> "ray.data.Dataset":
