@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q52_bigram_topk": textstats.q52_bigram_topk,
         "q53_tfidf_topk": textstats.q53_tfidf_topk,
         "q54_decontaminate": textstats.q54_decontaminate,
+        "q55_value_histogram": relational.q55_value_histogram,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -1069,6 +1070,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bigram
             ORDER BY n DESC, bigram
             LIMIT 100
+        """,
+        "q55_value_histogram": """
+            WITH b AS (SELECT min(value) AS lo, max(value) AS hi
+                       FROM events WHERE value IS NOT NULL)
+            SELECT CAST(least(floor((value - lo) * 10 / (hi - lo)), 9) + 1 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(min(value), 4) AS lo_val,
+                   ROUND(max(value), 4) AS hi_val
+            FROM events, b WHERE value IS NOT NULL
+            GROUP BY 1
         """,
         "q54_decontaminate": r"""
             WITH arr AS (

@@ -233,6 +233,24 @@ def run_scaling() -> dict:
         "hw_ceiling_before": hw_before,
         "hw_ceiling_after": hw_after,
         "engine_over_hw": round(eff / hw, 3),
+        # per-leg probes from the child runs: the 8 s ceiling probes around
+        # the PAIR can miss a throttle window that opens inside one
+        # minutes-long leg (observed: hi leg slower than lo leg in absolute
+        # time under healthy-looking pair probes). A leg whose own
+        # before/after probes collapsed identifies the record as a
+        # box-degradation sample, not an engine-scaling sample.
+        "leg_probes": {
+            str(n): {
+                k: r.get(k)
+                for k in (
+                    "hw_units_per_sec_before",
+                    "hw_units_per_sec_after",
+                    "hw_membw_gbps_before",
+                    "hw_membw_gbps_after",
+                )
+            }
+            for n, r in ((lo, r_lo), (hi, r_hi))
+        },
     }
 
 

@@ -1000,3 +1000,46 @@ def q51_first_last_event(sf_dir: str) -> "ray.data.Dataset":
         return out.rename(columns={"p_ftype": "first_type", "p_ltype": "last_type"})
 
     return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
+
+
+def q55_value_histogram(sf_dir: str, n_bins: int = 10) -> "ray.data.Dataset":
+    """Equal-width histogram over a global [min, max] range — the
+    two-pass global-statistic-then-transform shape (normalization,
+    binning, z-scoring all look like this at scale): pass 1 reduces
+    per-batch min/max partials to two exact scalars on the driver (no
+    shuffle — a 2-number reduce); pass 2 re-scans with the bounds closed
+    over, assigns bins vectorized, and two-phase-aggregates per-bin
+    count + value range. Bin arithmetic is the IDENTICAL float expression
+    on both oracle sides (floor((v - lo) * n / (hi - lo)) capped into the
+    top bin), so IEEE evaluation matches bit-for-bit; min/max are exact
+    (order-free) statistics, immune to the summation-order caveats of
+    mean-based bounds."""
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].dropna()
+        if not len(v):
+            return pd.DataFrame({"p_lo": [], "p_hi": []})
+        return pd.DataFrame({"p_lo": [v.min()], "p_hi": [v.max()]})
+
+    parts = ds.map_batches(mm, batch_format="pandas", batch_size=65536).to_pandas()
+    lo, hi = float(parts["p_lo"].min()), float(parts["p_hi"].max())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].dropna().to_numpy(dtype=np.float64)
+        b = np.minimum(np.floor((v - lo) * n_bins / (hi - lo)), n_bins - 1) + 1
+        d = pd.DataFrame({"bin": b.astype("int64"), "value": v})
+        return d.groupby("bin", as_index=False).agg(
+            p_n=("value", "size"), p_lo=("value", "min"), p_hi=("value", "max")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", as_index=False).agg(
+            n=("p_n", "sum"), lo_val=("p_lo", "min"), hi_val=("p_hi", "max")
+        )
+        g["lo_val"] = round_away(g["lo_val"].to_numpy(), 4)
+        g["hi_val"] = round_away(g["hi_val"].to_numpy(), 4)
+        return g.astype({"bin": "int64", "n": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["bin"], final, n_buckets=4)

@@ -111,6 +111,7 @@ SQL_CHECKED = [
     "q52_bigram_topk",
     "q53_tfidf_topk",
     "q54_decontaminate",
+    "q55_value_histogram",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
