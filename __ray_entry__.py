@@ -514,6 +514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_tfidf_topk": textstats.q53_tfidf_topk,
         "q54_decontaminate": textstats.q54_decontaminate,
         "q55_value_histogram": relational.q55_value_histogram,
+        "q56_customer_bigorder_stats": relational.q56_customer_bigorder_stats,
+        "q57_segment_lineitem_revenue": relational.q57_segment_lineitem_revenue,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -1070,6 +1072,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bigram
             ORDER BY n DESC, bigram
             LIMIT 100
+        """,
+        "q56_customer_bigorder_stats": """
+            SELECT c_custkey,
+                   CAST(COALESCE(n, 0) AS BIGINT) AS n_big_orders,
+                   ROUND(COALESCE(s, 0.0), 4) AS big_spend
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS s
+                FROM orders WHERE o_totalprice > 300000
+                GROUP BY 1
+            ) ON c_custkey = o_custkey
+        """,
+        "q57_segment_lineitem_revenue": """
+            SELECT c_mktsegment,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "q55_value_histogram": """
             WITH b AS (SELECT min(value) AS lo, max(value) AS hi

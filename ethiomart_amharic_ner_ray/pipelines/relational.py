@@ -1043,3 +1043,99 @@ def q55_value_histogram(sf_dir: str, n_bins: int = 10) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["bin"], final, n_buckets=4)
+
+
+def q56_customer_bigorder_stats(sf_dir: str, threshold: float = 300_000.0) -> "ray.data.Dataset":
+    """Distributed LEFT OUTER join with null-fill (every customer, with
+    count/sum of their orders ABOVE a price threshold — zero rows for
+    customers that have none): the outer-join sibling of the engine's
+    inner (bucketed_join), semi (q43) and anti (q22) shapes. The fact side
+    collapses to per-customer partials BEFORE the exchange, then ONE
+    bucketed shuffle co-locates each customer row with its (possibly
+    absent) aggregate and a left pandas merge fills the misses — the
+    customer table rides the shuffle as a full dataset on purpose (the
+    outer side of an outer join cannot be broadcast-pruned: rows with NO
+    match must still be emitted)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_totalprice"] > threshold]
+        return d.groupby("o_custkey", as_index=False).agg(
+            p_n=("o_totalprice", "size"), p_sum=("o_totalprice", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(n=("p_n", "sum"), s=("p_sum", "sum"))
+        return g.rename(columns={"o_custkey": "c_custkey"})
+
+    agg = bucketed_group_agg(
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_custkey"],
+        combine,
+        n_buckets=32,
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def left_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        out = ldf.merge(rdf, on="c_custkey", how="left")
+        out["n_big_orders"] = out["n"].fillna(0).astype("int64")
+        out["big_spend"] = round_away(out["s"].fillna(0.0).to_numpy(), 4)
+        return out[["c_custkey", "n_big_orders", "big_spend"]]
+
+    return bucketed_join(cust, agg, on="c_custkey", n_buckets=32, merge_fn=left_merge)
+
+
+def q57_segment_lineitem_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Shuffle-join CHAIN reusing one partitioning key per stage (the
+    'pick ONE key and keep it' rule): lineitem revenue partials collapse
+    per l_orderkey in the scan, join orders on the SAME orderkey bucketing
+    in one exchange, then the (now order-sized) rows pivot to the customer
+    key via the broadcast custkey→segment map (q03's machinery — the
+    dimension side is broadcastable, so the second exchange is avoided
+    entirely) and two-phase aggregate per segment."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        d = pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev": rev})
+        return d.groupby("l_orderkey", as_index=False).agg(
+            p_rev=("rev", "sum"), p_n=("rev", "size")
+        )
+
+    def li_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("p_rev", "sum"), n=("p_n", "sum"))
+        return g.rename(columns={"l_orderkey": "o_orderkey"})
+
+    per_order = bucketed_group_agg(
+        li.map_batches(li_partial, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        li_combine,
+        n_buckets=32,
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = bucketed_join(orders, per_order, on="o_orderkey", n_buckets=32)
+
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    order_ck = np.argsort(cust.column("c_custkey").to_numpy())
+    keys = cust.column("c_custkey").to_numpy()[order_ck]
+    segs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order_ck]
+    ref = ray.put((keys, segs))
+    with_seg = joined.map_batches(
+        _segment_join_batch, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+    )
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            p_rev=("rev", "sum"), p_n=("n", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("p_rev", "sum"), n_items=("p_n", "sum")
+        )
+        g["revenue"] = round_away(g["revenue"].to_numpy(), 4)
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    partials = with_seg.map_batches(seg_partial, batch_format="pandas")
+    return bucketed_group_agg(partials, ["c_mktsegment"], final, n_buckets=4)

@@ -112,6 +112,8 @@ SQL_CHECKED = [
     "q53_tfidf_topk",
     "q54_decontaminate",
     "q55_value_histogram",
+    "q56_customer_bigorder_stats",
+    "q57_segment_lineitem_revenue",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
