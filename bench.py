@@ -224,11 +224,24 @@ def run_scaling() -> dict:
     # probes collapsing mid-leg). Alternating the order across attempts
     # separates "engine doesn't scale" from "first leg drained the box".
     order = os.environ.get("GRAFT_SCALING_ORDER", "hi_first")
+    # GRAFT_SCALING_REPS=k runs each leg k times INTERLEAVED (hi,lo,hi,lo)
+    # and scores each parallelism by its best (minimum) wall time. On a
+    # box whose capacity oscillates on minute timescales, a single-shot
+    # ratio is window luck in both directions (observed 0.878 and 0.671
+    # within two hours on identical code — once a degraded hi leg, once a
+    # quiet-window lo leg deflating the ratio). Per-leg best-of across
+    # interleaved reps estimates the CAPABILITY ratio: each parallelism is
+    # scored in the best window it saw, which is the number a real
+    # (unthrottled) cluster would produce.
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
     hw_before = _ceiling()
-    if order == "hi_first":
-        r_hi, r_lo = run(hi), run(lo)
-    else:
-        r_lo, r_hi = run(lo), run(hi)
+    legs = [hi, lo] if order == "hi_first" else [lo, hi]
+    samples: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(reps):
+        for n in legs:
+            samples[n].append(run(n))
+    r_lo = min(samples[lo], key=lambda r: r["value"])
+    r_hi = min(samples[hi], key=lambda r: r["value"])
     hw_after = _ceiling()
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     hw = (hw_before + hw_after) / 2
@@ -251,6 +264,7 @@ def run_scaling() -> dict:
         # time under healthy-looking pair probes). A leg whose own
         # before/after probes collapsed identifies the record as a
         # box-degradation sample, not an engine-scaling sample.
+        "leg_walls_all": {str(n): [r["value"] for r in samples[n]] for n in (lo, hi)},
         "leg_probes": {
             str(n): {
                 k: r.get(k)
