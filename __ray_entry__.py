@@ -516,6 +516,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_value_histogram": relational.q55_value_histogram,
         "q56_customer_bigorder_stats": relational.q56_customer_bigorder_stats,
         "q57_segment_lineitem_revenue": relational.q57_segment_lineitem_revenue,
+        "q58_funnel_stages": relational.q58_funnel_stages,
+        "q59_cohort_retention": relational.q59_cohort_retention,
+        "q60_spend_deciles": relational.q60_spend_deciles,
+        "q61_weighted_sample": relational.q61_weighted_sample,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -1082,6 +1086,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_totalprice > 300000
                 GROUP BY 1
             ) ON c_custkey = o_custkey
+        """,
+        "q58_funnel_stages": """
+            WITH s AS (SELECT user_id, min(ts) AS signup_ts
+                       FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS click_ts
+                  FROM events e JOIN s USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+                  GROUP BY e.user_id)
+            SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts
+            FROM s LEFT JOIN c ON s.user_id = c.user_id
+                   LEFT JOIN p ON s.user_id = p.user_id
+        """,
+        "q59_cohort_retention": """
+            WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+                         CAST(date_diff('week', f.cohort_week,
+                                        date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+                  FROM events e JOIN f USING (user_id))
+            SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY 1, 2
+        """,
+        "q60_spend_deciles": """
+            WITH t AS (SELECT user_id, round(sum(value), 4) AS total_spend
+                       FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+            SELECT user_id, total_spend,
+                   CAST(least(9, floor(10 * percent_rank() OVER (ORDER BY total_spend)))
+                        AS BIGINT) AS decile
+            FROM t
+        """,
+        "q61_weighted_sample": """
+            WITH pr AS (
+                SELECT o_orderkey, o_totalprice,
+                       round(o_totalprice / (1.0 + CAST(
+                           (CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296
+                           AS DOUBLE)), 8) AS priority
+                FROM orders)
+            SELECT o_orderkey, o_totalprice, priority
+            FROM pr ORDER BY priority DESC, o_orderkey LIMIT 100
         """,
         "q57_segment_lineitem_revenue": """
             SELECT c_mktsegment,

@@ -34,8 +34,20 @@ def round_away(values, digits: int = ROUND_DIGITS):
     return out
 
 
+def strip_schema_meta(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (parquet writers embed a pandas-provenance
+    blob). pyarrow Schemas carrying ANY metadata are unhashable in this
+    version, which defeats Ray's schema-dedup fast path on every batch
+    build / shuffle reduce and logs a warning per task. Zero-copy."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    # the driver-generated testdata files carry pandas metadata; strip it at
+    # the read so every downstream stage sees hashable schemas. This map
+    # fuses with the read task (no extra stage, no copy).
+    return ds.map_batches(strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def read_small(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:

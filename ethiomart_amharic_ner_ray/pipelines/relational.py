@@ -1139,3 +1139,168 @@ def q57_segment_lineitem_revenue(sf_dir: str) -> "ray.data.Dataset":
 
     partials = with_seg.map_batches(seg_partial, batch_format="pandas")
     return bucketed_group_agg(partials, ["c_mktsegment"], final, n_buckets=4)
+
+
+def q58_funnel_stages(sf_dir: str) -> "ray.data.Dataset":
+    """Three-stage ordered funnel (signup → click → purchase) — the event-
+    sequence operator a training-data pipeline uses for behavioral cohort
+    selection. Per user: t1 = first signup, t2 = first click AFTER t1,
+    t3 = first purchase AFTER t2. The conditional mins are not decomposable
+    into per-batch partials (t2 depends on the user-global t1), so this is
+    the sessionize shape: project + filter to the three stage types
+    (shrinks the exchange ~40%), bucket on user_id, and run the sequence
+    logic vectorized once per bucket. Skewed users cost one group, never a
+    driver hotspot; at 10^12 turns the per-user event count — not the user
+    count — bounds the group, same invariant q21_sessionize documents."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def keep_stages(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"), value_set=pa.array(["signup", "click", "purchase"]))
+        return t.filter(m)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized stage cascade: three grouped mins, each conditioned on
+        # the previous stage's per-user timestamp via a merge — no per-user
+        # Python loop even inside the bucket
+        sig = (
+            df[df["event_type"] == "signup"]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "signup_ts"})
+        )
+        d1 = df.merge(sig, on="user_id")
+        clk = (
+            d1[(d1["event_type"] == "click") & (d1["ts"] > d1["signup_ts"])]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "click_ts"})
+        )
+        d2 = d1.merge(clk, on="user_id")
+        pur = (
+            d2[(d2["event_type"] == "purchase") & (d2["ts"] > d2["click_ts"])]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "purchase_ts"})
+        )
+        return sig.merge(clk, on="user_id", how="left").merge(pur, on="user_id", how="left")
+
+    filtered = ds.map_batches(keep_stages, batch_format="pyarrow")
+    return bucketed_group_agg(filtered, ["user_id"], per_user, n_buckets=16)
+
+
+def q59_cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Weekly cohort retention matrix: cohort = Monday-truncated week of a
+    user's FIRST event; n_users = distinct users from that cohort active in
+    cohort_week + week_offset. Two wide passes, both pre-shrunk map-side:
+      1. per-user first-event ts — per-batch min partials → bucketed min
+        (the aggregate is user-dimension-sized, read back driver-side and
+        broadcast via ray.put; the 10^12-turn path swaps the broadcast for
+        the existing bucketed_join on user_id when the user dimension
+        outgrows worker heaps — same access pattern, one more shuffle);
+      2. events → (cohort_week, week_offset, user_id) deduped per batch →
+        bucketed distinct-count (the q42 exact-COUNT-DISTINCT shape)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(first_ts=("ts", "min"))
+
+    def min_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(first_ts=("first_ts", "min"))
+
+    firsts = bucketed_group_agg(
+        ds.map_batches(min_partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        min_final,
+        n_buckets=16,
+    ).to_pandas()
+    firsts = firsts.sort_values("user_id")  # searchsorted below needs sorted keys
+    fw = firsts["first_ts"].dt.normalize() - pd.to_timedelta(
+        firsts["first_ts"].dt.weekday, unit="D"
+    )
+    ref = ray.put((firsts["user_id"].to_numpy(), fw.to_numpy()))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        uids, cweeks = get_broadcast(ref)
+        idx = np.searchsorted(uids, df["user_id"].to_numpy())
+        cw = cweeks[idx]
+        ew = (df["ts"].dt.normalize() - pd.to_timedelta(df["ts"].dt.weekday, unit="D")).to_numpy()
+        off = ((ew - cw) / np.timedelta64(7, "D")).astype("int64")
+        out = pd.DataFrame({"cohort_week": cw, "week_offset": off, "user_id": df["user_id"]})
+        return out.drop_duplicates()
+
+    pairs = ds.map_batches(expand, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("user_id", "nunique")
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return bucketed_group_agg(pairs, ["cohort_week", "week_offset"], final, n_buckets=8)
+
+
+def q60_spend_deciles(sf_dir: str) -> "pd.DataFrame":
+    """Global-rank bucketing: decile of each user by total purchase spend,
+    decile = least(9, floor(10 · percent_rank)), percent_rank = (rank−1)/(n−1)
+    with min-rank ties — deterministic, unlike ntile's row_number ties. The
+    wide work (per-user sums) is the standard two-phase bucketed aggregate;
+    the rank runs on the aggregate-sized result driver-side (users ≪ events).
+    When even the user dimension is too big, the cluster path broadcasts
+    approx_quantiles boundaries (pipelines/sketches.py) and buckets map-side
+    — same output within sketch error, no global sort either way."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        return df.groupby("user_id", as_index=False).agg(p_sum=("value", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(total_spend=("p_sum", "sum"))
+        g["total_spend"] = round_away(g["total_spend"].to_numpy(), 4)
+        return g
+
+    totals = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        final,
+        n_buckets=16,
+    ).to_pandas()
+    n = len(totals)
+    rank = totals["total_spend"].rank(method="min").to_numpy()
+    pr = (rank - 1.0) / max(n - 1, 1)
+    totals["decile"] = np.minimum(9, np.floor(10.0 * pr)).astype("int64")
+    return totals.sort_values("user_id").reset_index(drop=True)
+
+
+def q61_weighted_sample(sf_dir: str, k: int = 100) -> "pd.DataFrame":
+    """Deterministic weight-proportional priority sample: top-k orders by
+    priority = o_totalprice / (1 + knuth32(o_orderkey)) — a content-hash
+    priority (never RNG state, same invariance story as q29), so the sample
+    is stable under resharding, resume and reruns, and heavier rows win
+    proportionally more often. knuth32(x) = (x · 2654435761) mod 2^32 in
+    exact integer arithmetic, bit-identical in numpy uint64 and DuckDB
+    HUGEINT. Per-batch top-k partials → one tiny final merge (q05's shape:
+    no global sort, shuffle carries ≤ k rows per block)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.uint64)
+        h = ((key % np.uint64(1 << 32)) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        pri = round_away(t.column("o_totalprice").to_numpy() / (1.0 + h.astype(np.float64)), 8)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t.column("o_orderkey").to_numpy(),
+                "o_totalprice": t.column("o_totalprice").to_numpy(),
+                "priority": pri,
+            }
+        )
+        df = df.sort_values(["priority", "o_orderkey"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    cand = ds.map_batches(topk, batch_format="pyarrow", batch_size=65536).to_pandas()
+    return (
+        cand.sort_values(["priority", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

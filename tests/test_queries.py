@@ -114,6 +114,10 @@ SQL_CHECKED = [
     "q55_value_histogram",
     "q56_customer_bigorder_stats",
     "q57_segment_lineitem_revenue",
+    "q58_funnel_stages",
+    "q59_cohort_retention",
+    "q60_spend_deciles",
+    "q61_weighted_sample",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
