@@ -63,6 +63,18 @@ def _kg_triples(sf_dir: str):
     return kg_triples(_transcripts_ds(sf_dir), n_buckets=32, concurrency=(1, 8), with_provenance_struct=False)
 
 
+def _kg_seller_pagerank(sf_dir: str):
+    """Entity importance over the seller↔product 'sells' projection of the
+    triple graph — 5 power-iteration rounds of distributed PageRank
+    (pipelines/graph.py), each round one bucketed join + one bucketed sum."""
+    from ethiomart_amharic_ner_ray.pipelines.graph import pagerank_from_triples
+
+    # 3 rounds keeps the driver sample cheap; the operator itself is
+    # round-count-agnostic (tests run it to 12 rounds against the dense
+    # reference)
+    return pagerank_from_triples(_kg_triples(sf_dir), pred="sells", n_iters=3, n_buckets=8)
+
+
 def _kg_mentions(sf_dir: str):
     from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
 
@@ -550,7 +562,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scorecard_summary": lambda sf_dir: __import__(
             "ethiomart_amharic_ner_ray.pipelines.scorecard", fromlist=["scorecard_summary"]
         ).scorecard_summary(_kg_scorecards(sf_dir)),
+        # entity importance over the triple graph (rows-only: iterative)
+        "kg_seller_pagerank": _kg_seller_pagerank,
         # near-dup / sketch family (rows-only)
+        "cms_vocab_topk": sketches.cms_vocab_topk,
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_clusters": dedup.minhash_dedup,
         "dedup_simhash": dedup.simhash_signatures,

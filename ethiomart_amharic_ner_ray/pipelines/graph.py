@@ -296,3 +296,131 @@ def two_hop(
         )
 
     return bucketed_join(left, right, on="mid", n_buckets=n_buckets, merge_fn=capped_merge)
+
+
+def pagerank(
+    edges_ds: "ray.data.Dataset",
+    n_buckets: int = 32,
+    n_iters: int = 10,
+    damping: float = 0.85,
+) -> pd.DataFrame:
+    """Distributed PageRank over a (src, dst) edge Dataset — the entity-
+    importance signal a KG pipeline ranks sellers/products by once triples
+    exist. Same shuffle diet as connected components: each iteration is ONE
+    bucketed join (ranks onto edge sources) plus ONE bucketed sum-groupby,
+    both B-bucket exchanges; no adjacency ever lives on the driver.
+
+    Per iteration: contrib(dst) = Σ_src rank(src)/outdeg(src) over in-edges;
+    rank'(v) = (1−d)/N + d·(contrib(v) + dangling/N), where the dangling
+    mass (rank parked on out-degree-0 nodes) is the scalar
+    1 − Σ contributions — one Dataset.sum() per round, never a node scan
+    driver-side. Node/degree tables are built once with the bucketed
+    two-phase distinct/count shapes and reused every round. Rounds
+    materialize the rank vector (node-dimension-sized, like CC's labels);
+    a cluster run swaps materialize for the CC-style Parquet round
+    checkpoints (graph._cc_checkpointed is the template).
+
+    Returns the full (node, rank) frame; Σ rank = 1 up to float error."""
+    import numpy as np
+
+    def dedup_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    edges = bucketed_group_agg(
+        edges_ds, ["src", "dst"], dedup_edges, n_buckets=n_buckets
+    ).materialize()
+
+    # node universe: src ∪ dst, two-phase distinct
+    def to_nodes(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        vals = _np.concatenate(
+            [t.column("src").to_numpy(zero_copy_only=False), t.column("dst").to_numpy(zero_copy_only=False)]
+        )
+        return pa.table({"node": pa.array(pd.unique(vals))})
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    nodes = bucketed_group_agg(
+        edges.map_batches(to_nodes, batch_format="pyarrow"), ["node"], distinct, n_buckets=n_buckets
+    ).materialize()
+    n = nodes.count()
+
+    def count_out(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("src", as_index=False).agg(outdeg=("dst", "size"))
+
+    outdeg = bucketed_group_agg(edges, ["src"], count_out, n_buckets=n_buckets)
+    # attach outdeg to every edge once; each round's join then ships ranks only
+    edges_w = bucketed_join(edges, outdeg, on="src", n_buckets=n_buckets).materialize()
+
+    ranks = nodes.map_batches(
+        lambda df: df.assign(rank=1.0 / n), batch_format="pandas"
+    ).materialize()
+
+    # bucketed_join's pandas phase NaN-pads side-exclusive columns, which
+    # coerces an int64 dst to float64; cast the node key back to the edge
+    # schema's dtype or int 1 and float 1.0 hash to different buckets and
+    # split one node into two groups
+    from .common import _arrow_schema
+
+    node_type = _arrow_schema(edges).field("dst").type
+
+    for _ in range(n_iters):
+        msgs = bucketed_join(
+            edges_w, rename_cols(ranks, {"node": "src"}), on="src", n_buckets=n_buckets
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy()
+            od = t.column("outdeg").to_numpy()
+            node = t.column("dst")
+            if node.type != node_type:
+                node = node.cast(node_type)
+            return pa.table({"node": node, "c": pa.array(r / od, pa.float64())})
+
+        msgs = msgs.map_batches(contrib, batch_format="pyarrow").materialize()
+        contrib_mass = msgs.sum(on="c") or 0.0
+        dangling = max(0.0, 1.0 - contrib_mass)
+
+        zero = nodes.map_batches(lambda df: df.assign(c=0.0), batch_format="pandas")
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def sum_contrib(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", as_index=False).agg(c=("c", "sum"))
+            g["rank"] = base + damping * g["c"]
+            return g[["node", "rank"]]
+
+        ranks = bucketed_group_agg(
+            zero.union(msgs), ["node"], sum_contrib, n_buckets=n_buckets
+        ).materialize()
+
+    out = ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    return out
+
+
+def pagerank_from_triples(
+    triples_ds: "ray.data.Dataset",
+    pred: str = "sells",
+    n_iters: int = 10,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """PageRank over the undirected projection of one predicate's edge set
+    (each triple contributes src→dst and dst→src, so the bipartite
+    seller↔product walk mixes instead of parking all mass on sinks).
+    Output ranks rounded to 10 decimals for display stability."""
+    import pyarrow.compute as pc
+
+    def edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("pred"), pred))
+        s = t.column("subj").to_pylist()
+        o = t.column("obj").to_pylist()
+        return pa.table({"src": pa.array(s + o, pa.string()), "dst": pa.array(o + s, pa.string())})
+
+    pr = pagerank(
+        triples_ds.map_batches(edges, batch_format="pyarrow"),
+        n_buckets=n_buckets,
+        n_iters=n_iters,
+    )
+    pr["rank"] = pr["rank"].round(10)
+    return pr

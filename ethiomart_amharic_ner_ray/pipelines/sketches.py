@@ -164,3 +164,100 @@ class BloomFilter:
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         self.bits |= other.bits
         return self
+
+
+class CountMinSketch:
+    """Count-min sketch: depth × width counter matrix, positions from the
+    same deterministic double-hash family as BloomFilter (fixed-key
+    siphash), so every worker sketches identically and partials from any
+    sharding merge to the same state. Merge = element-wise sum (the
+    counters are linear), point query = min over rows — never an
+    underestimate, overestimate ≤ 2N/width with prob 1−2^−depth."""
+
+    def __init__(self, width: int = 1 << 14, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    def _positions(self, values: pd.Series) -> np.ndarray:
+        h1, h2 = BloomFilter._h12(values)
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.width)).astype(np.int64)
+
+    def add(self, values: pd.Series) -> "CountMinSketch":
+        pos = self._positions(values)
+        for d in range(self.depth):
+            np.add.at(self.counts[d], pos[d], 1)
+        return self
+
+    def estimate(self, values: pd.Series) -> np.ndarray:
+        pos = self._positions(values)
+        return np.min(
+            np.stack([self.counts[d][pos[d]] for d in range(self.depth)]), axis=0
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        return self
+
+
+def cms_heavy_hitters(
+    ds: "ray.data.Dataset",
+    column: str,
+    k: int = 50,
+    width: int = 1 << 14,
+    depth: int = 4,
+    candidates_per_batch: int = 512,
+) -> pd.DataFrame:
+    """Approximate top-k frequent values with O(depth·width + candidates)
+    state — the q35-exact-top-k's sub-linear cousin for when the value
+    domain (full corpus vocabulary) outgrows an exact two-phase groupby.
+    Each batch emits its CMS partial plus its local top candidates; the
+    driver sums the sketches, unions the candidate sets (any global heavy
+    hitter is a local heavy hitter in at least one batch), scores every
+    candidate against the MERGED sketch and keeps the top k. Estimates are
+    upper bounds of true counts (ties broken by value for determinism)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cms = CountMinSketch(width, depth).add(df[column])
+        vc = df[column].value_counts().head(candidates_per_batch)
+        return pd.DataFrame(
+            {
+                "sketch": [cms.counts.tobytes()],
+                "cands": [list(vc.index.astype(str))],
+            }
+        )
+
+    merged = CountMinSketch(width, depth)
+    cands: set[str] = set()
+    for b in ds.map_batches(partial, batch_format="pandas", batch_size=65536).iter_batches(
+        batch_format="pandas"
+    ):
+        for blob, cl in zip(b["sketch"], b["cands"]):
+            merged.counts += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+            cands.update(cl)
+
+    cand = pd.Series(sorted(cands), dtype=object)
+    est = merged.estimate(cand) if len(cand) else np.array([], dtype=np.int64)
+    out = pd.DataFrame({column: cand, "est_count": est.astype("int64")})
+    return (
+        out.sort_values(["est_count", column], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def cms_vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Rows-only query: approximate top-k corpus vocabulary via count-min —
+    the sketch-state path next to q35_vocab_topk's exact two-phase path.
+    Tokens are exploded per batch map-side, so the sketch sees the token
+    stream without a shuffle."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip().str.split()
+        return pd.DataFrame({"token": toks.explode().dropna()})
+
+    ds = read_table(sf_dir, "documents", columns=["text"]).map_batches(
+        explode, batch_format="pandas", batch_size=4096
+    )
+    return cms_heavy_hitters(ds, "token", k=k)
