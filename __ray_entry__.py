@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_pagerank": _kg_seller_pagerank,
         # near-dup / sketch family (rows-only)
         "cms_vocab_topk": sketches.cms_vocab_topk,
+        "approx_users_per_event_type": sketches.approx_users_per_event_type,
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_clusters": dedup.minhash_dedup,
         "dedup_simhash": dedup.simhash_signatures,

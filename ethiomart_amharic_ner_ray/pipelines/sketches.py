@@ -261,3 +261,44 @@ def cms_vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
         explode, batch_format="pandas", batch_size=4096
     )
     return cms_heavy_hitters(ds, "token", k=k)
+
+
+def approx_distinct_per_group(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    column: str,
+    p: int = 10,
+) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT column) PER GROUP — the sketch-through-
+    shuffle shape: each batch emits one 2^p-byte HLL register blob per key
+    it saw, the bucketed exchange moves those fixed-size blobs (never raw
+    values), and the per-bucket final max-merges registers per key. Exchange
+    volume is keys_per_block × blocks × 2^p bytes, independent of row count
+    — the scale path when q42-style exact two-phase distinct (which ships
+    every unique (key, value) pair) outgrows the wires. p=10 → ~3.2% SE."""
+    from .common import bucketed_group_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys)[column].apply(lambda s: _hll_registers(s, p).tobytes())
+        return g.rename("regs").reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        def merge_est(blobs: pd.Series) -> int:
+            regs = np.frombuffer(blobs.iloc[0], dtype=np.uint8).copy()
+            for b in blobs.iloc[1:]:
+                np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+            return round(_hll_estimate(regs))
+
+        g = df.groupby(keys)["regs"].apply(merge_est)
+        return g.rename("approx_distinct").reset_index().astype({"approx_distinct": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, keys, final, n_buckets=16)
+
+
+def approx_users_per_event_type(sf_dir: str) -> "ray.data.Dataset":
+    """Rows-only query: HLL distinct users per event type, next to the
+    exact per-group distinct family (q42's shape) for accuracy comparison
+    at fixture scale."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_per_group(ds, ["event_type"], "user_id")

@@ -117,3 +117,43 @@ def test_cms_heavy_hitters_match_exact_topk(ray_session):
     lookup = truth.to_dict()
     for _, row in got.iterrows():
         assert row["est_count"] >= lookup[row["v"]]
+
+
+def test_approx_distinct_per_group_accuracy_and_shard_invariance(ray_session):
+    import duckdb
+
+    from ethiomart_amharic_ner_ray.pipelines.sketches import approx_distinct_per_group
+    from ethiomart_amharic_ner_ray.pipelines.common import read_table
+
+    ds = read_table(SF_DIR, "events", columns=["event_type", "user_id"])
+    got = (
+        approx_distinct_per_group(ds, ["event_type"], "user_id")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) AS n "
+            f"FROM '{SF_DIR}/events.parquet' GROUP BY 1 ORDER BY 1"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert list(got["event_type"]) == list(want["event_type"])
+    # p=10 → ~3.2% SE; allow 4 sigma
+    for a, e in zip(got["approx_distinct"], want["n"]):
+        assert abs(a - e) <= max(3, 0.13 * e)
+
+    # registers are max-merge semilattices: resharding must not change output
+    df = read_table(SF_DIR, "events", columns=["event_type", "user_id"]).to_pandas()
+    import ray.data
+
+    resharded = ray.data.from_pandas([df.iloc[:1000], df.iloc[1000:4000], df.iloc[4000:]])
+    got2 = (
+        approx_distinct_per_group(resharded, ["event_type"], "user_id")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
