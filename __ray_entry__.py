@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sessionize": windows.q21_sessionize,
         "q27_range_join_count": windows.q27_range_join_count,
         "q28_sliding_windows": windows.q28_sliding_windows,
+        "q62_asof_join": windows.q62_asof_join,
         # joins / per-group top-k / temporal trend (SQL-checked)
         "q22_customers_without_orders": relational.q22_customers_without_orders,
         "q29_deterministic_sample": relational.q29_deterministic_sample,
@@ -1102,6 +1103,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_totalprice > 300000
                 GROUP BY 1
             ) ON c_custkey = o_custkey
+        """,
+        "q62_asof_join": """
+            SELECT p.event_id, p.user_id, v.ts AS last_view_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
         """,
         "q58_funnel_stages": """
             WITH s AS (SELECT user_id, min(ts) AS signup_ts

@@ -266,3 +266,54 @@ def q37_cumulative_spend(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(ds, ["o_custkey"], final, n_buckets=64)
+
+
+def q62_asof_join(sf_dir: str) -> "ray.data.Dataset":
+    """TWO-STREAM as-of join (q17 is the single-stream running-state
+    variant): every purchase event picks the latest view event by the same
+    user at-or-before it — the probe-stream/reference-stream shape (trade
+    vs quote). Distributed: both streams ride the engine's ONE union
+    shuffle bucketed on user_id (common.bucketed_join), then a per-bucket
+    vectorized pandas merge_asof over time-sorted frames — no row loop, no
+    global sort. Only the matched timestamp is emitted, so an equal-ts tie
+    (either side picking one of the tied rows) cannot diverge from the
+    oracle. The DuckDB oracle is a native ASOF LEFT JOIN."""
+    import pyarrow.compute as pc
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def split(kind: str, cols: dict):
+        def f(t):
+            t = t.filter(pc.equal(t.column("event_type"), kind))
+            import pyarrow as pa
+
+            return pa.table({out: t.column(src_) for out, src_ in cols.items()})
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    left = split("purchase", {"event_id": "event_id", "user_id": "user_id", "p_ts": "ts"})
+    right = split("view", {"user_id": "user_id", "v_ts": "ts"})
+
+    def asof_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        ldf = ldf.sort_values("p_ts", kind="mergesort")
+        rdf = rdf.sort_values("v_ts", kind="mergesort")
+        out = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on="p_ts",
+            right_on="v_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "last_view_ts": out["v_ts"],
+            }
+        )
+
+    from .common import bucketed_join
+
+    return bucketed_join(left, right, on="user_id", n_buckets=32, merge_fn=asof_merge)

@@ -118,6 +118,7 @@ SQL_CHECKED = [
     "q59_cohort_retention",
     "q60_spend_deciles",
     "q61_weighted_sample",
+    "q62_asof_join",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
