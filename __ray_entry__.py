@@ -533,6 +533,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q59_cohort_retention": relational.q59_cohort_retention,
         "q60_spend_deciles": relational.q60_spend_deciles,
         "q61_weighted_sample": relational.q61_weighted_sample,
+        "q63_token_repetition": textstats.q63_token_repetition,
+        "q64_order_count_histogram": relational.q64_order_count_histogram,
+        "q65_weekly_change": relational.q65_weekly_change,
+        "q66_quality_funnel": textstats.q66_quality_funnel,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -575,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "doc_rolling_fingerprints": textstats.rolling_fingerprints,
+        "doc_pack_bins": textstats.doc_pack_bins,
         "approx_distinct_report": sketches.approx_distinct_report,
         "approx_value_quantiles": lambda sf_dir: sketches.approx_quantiles(
             __import__(
@@ -849,6 +854,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "q63_token_repetition": """
+            SELECT d.doc_id,
+                   coalesce(s.n_tok, 0) AS n_tok,
+                   coalesce(s.n_distinct_tok, 0) AS n_distinct_tok,
+                   coalesce(s.rep_ratio, 0.0) AS rep_ratio
+            FROM documents d
+            LEFT JOIN (
+                SELECT doc_id,
+                       count(*) AS n_tok,
+                       count(DISTINCT tok) AS n_distinct_tok,
+                       round(1.0 - count(DISTINCT tok) * 1.0 / count(*), 4) AS rep_ratio
+                FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> ''
+                GROUP BY doc_id
+            ) s USING (doc_id)
+        """,
+        "q66_quality_funnel": """
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+                   CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len_tok,
+                   CAST(sum(CASE WHEN c1 AND c2 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+            FROM (
+                SELECT lang,
+                       length(text) >= 100 AS c1,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 20 AS c2
+                FROM documents
+            )
         """,
         "q13_quality_score": """
             SELECT doc_id,
@@ -1163,6 +1198,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "q64_order_count_histogram": """
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                  FROM orders GROUP BY o_custkey)
+            GROUP BY n_orders
+        """,
+        "q65_weekly_change": """
+            SELECT wk, n_events,
+                   round((n_events - lag(n_events) OVER (ORDER BY wk)) * 1.0
+                         / lag(n_events) OVER (ORDER BY wk), 4) AS wow_change
+            FROM (SELECT date_trunc('week', ts) AS wk,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1)
+            ORDER BY wk
         """,
         "q55_value_histogram": """
             WITH b AS (SELECT min(value) AS lo, max(value) AS hi

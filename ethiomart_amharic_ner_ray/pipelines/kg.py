@@ -199,7 +199,13 @@ def _emit_triples_bucket(df: pd.DataFrame, extractor_name: str) -> pd.DataFrame:
     PRICE/LOC subjects come from `ffill → fillna(seller)` with no Python
     row loop. Pure + deterministic; equality with the sequential scan is
     pinned by the oracle conformance tests."""
-    df = df.sort_values(["conv_id", "turn_idx", "ord"], kind="mergesort")
+    # (etype, norm) tie-breaks are no-ops for in-contract input (where
+    # (conv_id, turn_idx, ord) is unique) but make the order TOTAL, so
+    # degenerate inputs with colliding (conv_id, turn_idx) — e.g. a delta
+    # that re-uses an existing turn slot — still scan deterministically,
+    # independent of block layout (incremental update == full rebuild even
+    # then; caught by the verify drive, not producible by the fixture)
+    df = df.sort_values(["conv_id", "turn_idx", "ord", "etype", "norm"], kind="mergesort")
     df = df[df["etype"].isin(_PRED_OF.keys())]
     if df.empty:
         return pd.DataFrame(

@@ -1304,3 +1304,68 @@ def q61_weighted_sample(sf_dir: str, k: int = 100) -> "pd.DataFrame":
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def q64_order_count_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Counts-of-counts (degree distribution of the customer→order graph):
+    two chained two-phase aggregations. Phase 1 collapses the corpus to one
+    row per customer (per-batch partial counts → bucketed sum), phase 2
+    collapses THAT to one row per order-count — each exchange moves only the
+    already-shrunk previous level, never raw rows twice. The same shape
+    serves token-frequency histograms and node-degree distributions at
+    100 TB: the second shuffle's input is catalog-sized regardless of corpus
+    size."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).size().rename(columns={"size": "p_n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_customer(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(n_orders=("p_n", "sum"))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    cust = bucketed_group_agg(parts, ["o_custkey"], per_customer, n_buckets=8)
+
+    def partial2(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_orders", as_index=False).size().rename(columns={"size": "p_c"})
+
+    parts2 = cust.map_batches(partial2, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_orders", as_index=False).agg(n_customers=("p_c", "sum"))
+        g["n_customers"] = g["n_customers"].astype("int64")
+        return g
+
+    return bucketed_group_agg(parts2, ["n_orders"], final, n_buckets=4)
+
+
+def q65_weekly_change(sf_dir: str) -> "pd.DataFrame":
+    """Week-over-week relative change of the event volume: distributed
+    two-phase weekly counts (the only corpus-sized pass), then the lag/shift
+    runs on the driver over the aggregate — a series with one row per week
+    is driver-sized at any corpus scale, so the window function costs
+    nothing distributed. Week bucketing is Monday-anchored to match
+    DuckDB's date_trunc('week')."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df["ts"].dt.normalize() - pd.to_timedelta(df["ts"].dt.weekday, unit="D")
+        return pd.DataFrame({"wk": wk}).groupby("wk", as_index=False).size().rename(columns={"size": "p_n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("wk", as_index=False).agg(n_events=("p_n", "sum"))
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    weekly = bucketed_group_agg(parts, ["wk"], final, n_buckets=4).to_pandas()
+    weekly = weekly.sort_values("wk").reset_index(drop=True)
+    prev = weekly["n_events"].shift(1)
+    weekly["wow_change"] = round_away(
+        ((weekly["n_events"] - prev) / prev).to_numpy(dtype=np.float64), 4
+    )
+    return weekly

@@ -400,3 +400,144 @@ def q54_decontaminate(sf_dir: str, blocklist_source: str = "src0", k: int = 5) -
         return pa.Table.from_pandas(g.astype({"n_shared": "int64"}), preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q63_token_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Within-document token repetition (the Gopher-style duplicate-content
+    quality signal): per doc, token count, distinct-token count and
+    repetition ratio 1 − distinct/total. Fully vectorized — one regex split
+    per batch, flatten to (parent, token) pairs, one pandas groupby
+    (size, nunique) per batch; docs are never crossed, so this is
+    embarrassingly parallel with zero shuffle. Empty-string tokens (the
+    split artifact on leading/trailing whitespace and empty docs) are
+    filtered identically on both oracle sides, which also makes trim
+    semantics irrelevant."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import round_away
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()  # parent indices must not reset per chunk
+        toks = pc.split_pattern_regex(t.column("text"), pattern=r"\s+")
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"p": parents, "tok": flat})
+        d = d[d["tok"] != ""]
+        g = d.groupby("p").agg(n=("tok", "size"), nd=("tok", "nunique"))
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        nd = np.zeros(t.num_rows, dtype=np.int64)
+        n[g.index.to_numpy()] = g["n"].to_numpy()
+        nd[g.index.to_numpy()] = g["nd"].to_numpy()
+        ratio = np.zeros(t.num_rows, dtype=np.float64)
+        nz = n > 0
+        ratio[nz] = round_away(1.0 - nd[nz] / n[nz], 4)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok": pa.array(n, pa.int64()),
+                "n_distinct_tok": pa.array(nd, pa.int64()),
+                "rep_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q66_quality_funnel(sf_dir: str) -> "pd.DataFrame":
+    """Per-rule survival counts of a quality-filter chain (length ≥ 100 →
+    token count ≥ 20 → lang = 'en'): the report every corpus-filtering run
+    needs before committing to a rule set. One vectorized pass emits four
+    partial sums per batch; the driver reduce is four integers — no shuffle,
+    no second pass, corpus-size-independent output."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t.column("text"))
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        n_tok = pc.list_value_length(toks)
+        n_tok = pc.if_else(
+            pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), n_tok
+        )
+        c1 = pc.greater_equal(n_chars, 100)
+        c2 = pc.and_(c1, pc.greater_equal(n_tok, 20))
+        c3 = pc.and_(c2, pc.equal(t.column("lang"), "en"))
+
+        def s(m) -> int:
+            return pc.sum(pc.cast(m, pa.int64())).as_py() or 0
+
+        return pa.table(
+            {
+                "p_total": pa.array([t.num_rows], pa.int64()),
+                "p_len": pa.array([s(c1)], pa.int64()),
+                "p_len_tok": pa.array([s(c2)], pa.int64()),
+                "p_all": pa.array([s(c3)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_total": [int(parts["p_total"].sum())],
+            "n_pass_len": [int(parts["p_len"].sum())],
+            "n_pass_len_tok": [int(parts["p_len_tok"].sum())],
+            "n_pass_all": [int(parts["p_all"].sum())],
+        }
+    )
+
+
+def doc_pack_bins(sf_dir: str, capacity_tokens: int = 256) -> "ray.data.Dataset":
+    """Greedy sequence packing (the training-shard assembly step: fill each
+    shard up to ``capacity_tokens`` whitespace tokens, in stable doc_id
+    order, one doc never split). Packing is inherently sequential WITHIN a
+    shard stream, so the distribution unit is the ``source`` group — the
+    partitioning assumption is that one source's docs fit one task, which at
+    100 TB means packing per (source, date-bucket) with bin ids offset by
+    group; cross-group packing would serialize the corpus.
+
+    In-group the greedy cut points are found with O(bins · log n)
+    searchsorted over the token-count cumsum — no per-doc Python loop. An
+    oversize doc (> capacity) gets a bin of its own. Bin ids are
+    deterministic: dense per group, stable under resharding (order comes
+    from doc_id, not block layout)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        n = pc.list_value_length(toks)
+        n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), n)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "n_tok": pc.cast(n, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+
+    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        c = df["n_tok"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        bins = np.empty(len(df), dtype=np.int64)
+        start, b = 0, 0
+        while start < len(df):
+            base = cum[start - 1] if start else 0
+            nxt = int(np.searchsorted(cum, base + capacity_tokens, side="right"))
+            nxt = max(nxt, start + 1)  # oversize doc → its own bin
+            bins[start:nxt] = b
+            start, b = nxt, b + 1
+        df["bin_idx"] = bins
+        return df
+
+    return counted.groupby("source").map_groups(pack_group, batch_format="pandas")

@@ -26,6 +26,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--extractor", default="regex", choices=("regex", "ner", "ner_subword"))
     p.add_argument("--no-link", action="store_true")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--update-delta",
+        default=None,
+        help="incremental mode: fold this Parquet dir of NEW turns into the "
+        "completed checkpoint at --out (O(delta), not O(corpus); pipeline "
+        "params are read from the base run's fingerprint — --buckets/"
+        "--normalizer/--extractor are ignored)",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument(
         "--export-format",
@@ -70,17 +78,22 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from .pipelines.kg import run_kg_pipeline
+    if args.update_delta:
+        from .pipelines.kg_update import run_kg_update
 
-    stats = run_kg_pipeline(
-        args.input,
-        args.out,
-        n_buckets=args.buckets,
-        normalizer=args.normalizer,
-        extractor=args.extractor,
-        link=not args.no_link,
-        resume=not args.no_resume,
-    )
+        stats = run_kg_update(args.input, args.update_delta, args.out)
+    else:
+        from .pipelines.kg import run_kg_pipeline
+
+        stats = run_kg_pipeline(
+            args.input,
+            args.out,
+            n_buckets=args.buckets,
+            normalizer=args.normalizer,
+            extractor=args.extractor,
+            link=not args.no_link,
+            resume=not args.no_resume,
+        )
     if args.export_format and stats.get("triples_rows"):
         import glob
         import os

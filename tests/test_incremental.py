@@ -1,0 +1,198 @@
+"""Incremental KG update (pipelines/kg_update.py): update-equals-rebuild,
+late-arrival subject rewrite, carried buckets untouched on disk, chained
+deltas, mention-free deltas, idempotent re-apply (SURVEY.md §2.10)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ethiomart_amharic_ner_ray.pipelines.kg import run_kg_pipeline
+from ethiomart_amharic_ner_ray.pipelines.kg_update import run_kg_update
+from ethiomart_amharic_ner_ray.schemas import TRANSCRIPT_SCHEMA
+from ethiomart_amharic_ner_ray.sources.transcripts import generate_transcripts
+
+CRAFTED_CONV = "c0042-900001"
+
+
+def _tx_table(rows) -> pa.Table:
+    """rows: [(conv_id, turn_idx, text)] → schema-conformant transcript table."""
+    n = len(rows)
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["seller"] * n, pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) * 1_000_000 + 1_700_000_000_000_000,
+                pa.timestamp("us"),
+            ),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+def _read_triples(out_dir: str):
+    import pandas as pd
+
+    files = sorted(glob.glob(f"{out_dir}/triples/bucket=*/*.parquet"))
+    return pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+
+
+def _tset(df):
+    return set(zip(df["subj"], df["pred"], df["obj"], df["conv_id"], df["turn_idx"]))
+
+
+def _file_states(out_dir: str) -> dict[str, tuple]:
+    states = {}
+    for f in glob.glob(f"{out_dir}/triples/bucket=*/*.parquet"):
+        st = os.stat(f)
+        states[f] = (st.st_mtime_ns, st.st_size)
+    return states
+
+
+@pytest.fixture(scope="module")
+def incr_case(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("incr")
+    base_dir = root / "base"
+    base_dir.mkdir()
+    pq.write_table(generate_transcripts(800, seed=42), base_dir / "gen.parquet")
+    # a price turn with NO preceding product: subject falls back to the seller
+    # (turn_idx gap 0→10 leaves room for a late-arriving turn in between)
+    pq.write_table(
+        _tx_table([(CRAFTED_CONV, 0, "selam selam"), (CRAFTED_CONV, 10, "ዋጋ፦ 54321 ብር")]),
+        base_dir / "crafted.parquet",
+    )
+
+    # deltas, applied in order
+    d_noop = root / "delta_noop"
+    d_noop.mkdir()
+    pq.write_table(
+        _tx_table([("c0077-910000", 0, "selam endet nesh"), ("c0077-910000", 1, "dehna")]),
+        d_noop / "turns.parquet",
+    )
+    d_late = root / "delta_late"
+    d_late.mkdir()
+    # late-arriving turn INSIDE the crafted conversation: a product mention at
+    # turn 5 must re-subject the already-materialized turn-10 price triple
+    pq.write_table(
+        _tx_table([(CRAFTED_CONV, 5, "ሽያጭ ጫማ")]),
+        d_late / "turns.parquet",
+    )
+    d_bulk = root / "delta_bulk"
+    d_bulk.mkdir()
+    pq.write_table(
+        generate_transcripts(200, seed=7, conv_base=900100), d_bulk / "gen7.parquet"
+    )
+
+    out = str(root / "out")
+    base_stats = run_kg_pipeline(str(base_dir), out, n_buckets=8, concurrency=2)
+    base_triples = _read_triples(out)
+
+    stats_noop = run_kg_update(str(base_dir), str(d_noop), out, concurrency=2)
+    files_before_late = _file_states(out)
+    stats_late = run_kg_update(str(base_dir), str(d_late), out, concurrency=2)
+    files_after_late = _file_states(out)
+    triples_after_late = _read_triples(out)
+    stats_bulk = run_kg_update(str(base_dir), str(d_bulk), out, concurrency=2)
+    final_triples = _read_triples(out)
+
+    # from-scratch rebuild over base + all three deltas
+    combined = root / "combined"
+    combined.mkdir()
+    for src in (base_dir, d_noop, d_late, d_bulk):
+        for f in glob.glob(str(src / "*.parquet")):
+            shutil.copy(f, combined / f"{src.name}-{os.path.basename(f)}")
+    out_full = str(root / "out_full")
+    run_kg_pipeline(str(combined), out_full, n_buckets=8, concurrency=2)
+    full_triples = _read_triples(out_full)
+
+    return dict(
+        out=out,
+        base_triples=base_triples,
+        base_stats=base_stats,
+        stats_noop=stats_noop,
+        stats_late=stats_late,
+        stats_bulk=stats_bulk,
+        files_before_late=files_before_late,
+        files_after_late=files_after_late,
+        triples_after_late=triples_after_late,
+        final_triples=final_triples,
+        full_triples=full_triples,
+        d_late=str(d_late),
+        base_dir=str(base_dir),
+    )
+
+
+class TestIncrementalUpdate:
+    def test_update_equals_rebuild(self, incr_case):
+        """Chained updates == from-scratch rebuild over base+deltas, exactly."""
+        assert _tset(incr_case["final_triples"]) == _tset(incr_case["full_triples"])
+        assert len(incr_case["final_triples"]) == len(incr_case["full_triples"])
+
+    def test_late_arrival_rewrites_existing_triples(self, incr_case):
+        """The delta turn (turn_idx 5, PRODUCT) re-subjects the base run's
+        turn-10 price triple — old triples are retracted, not just appended."""
+        base = incr_case["base_triples"]
+        after = incr_case["triples_after_late"]
+        b = base[(base["conv_id"] == CRAFTED_CONV) & (base["pred"] == "priced_at")]
+        a = after[(after["conv_id"] == CRAFTED_CONV) & (after["pred"] == "priced_at")]
+        assert set(b["subj"]) == {"c0042"}  # no product yet → seller subject
+        assert set(a["subj"]) == {"ጫማ"}  # carried from the late turn
+        # the retracted triple is gone from the store entirely
+        assert (
+            "c0042",
+            "priced_at",
+            b["obj"].iloc[0],
+            CRAFTED_CONV,
+        ) not in set(zip(after["subj"], after["pred"], after["obj"], after["conv_id"]))
+
+    def test_untouched_spo_buckets_not_rewritten(self, incr_case):
+        """Buckets outside spo_buckets_touched keep their exact files (no
+        rewrite, no mtime churn) — the O(delta) cost claim, verified on disk."""
+        stats = incr_case["stats_late"]
+        assert stats["spo_buckets_carried"] >= 1
+        touched = set(stats["spo_buckets_touched"])
+        before = incr_case["files_before_late"]
+        after = incr_case["files_after_late"]
+        for f, st in before.items():
+            b = int(f.split("bucket=")[1].split("/")[0])
+            if b not in touched:
+                assert after.get(f) == st, f"untouched bucket {b} file changed: {f}"
+
+    def test_mention_free_delta_carries_everything(self, incr_case):
+        stats = incr_case["stats_noop"]
+        assert stats["spo_buckets_touched"] == []
+        assert stats["mentions_delta_rows"] == 0
+        assert stats["triples_rows"] == len(incr_case["base_triples"])
+
+    def test_lineage_stats(self, incr_case):
+        stats = incr_case["stats_late"]
+        # exactly one conversation touched → exactly one conv bucket
+        assert len(stats["conv_buckets_touched"]) == 1
+        assert stats["conv_buckets_carried"] == 8 - 1
+        assert stats["mentions_delta_rows"] >= 1
+        # sidecar pred counts stay consistent with the final store
+        final = incr_case["final_triples"]
+        assert incr_case["stats_bulk"]["pred_counts"] == dict(
+            final["pred"].value_counts().sort_index()
+        )
+
+    def test_idempotent_reapply(self, incr_case):
+        """Re-applying an already-folded delta is a no-op (would otherwise
+        duplicate its mention rows in the checkpoint)."""
+        stats = run_kg_update(
+            incr_case["base_dir"], incr_case["d_late"], incr_case["out"], concurrency=2
+        )
+        assert stats.get("update_skipped_already_applied") is True
+        assert _tset(_read_triples(incr_case["out"])) == _tset(incr_case["full_triples"])
+
+    def test_update_requires_completed_base(self, ray_session, tmp_path):
+        with pytest.raises(ValueError, match="no completed base run"):
+            run_kg_update(str(tmp_path), str(tmp_path), str(tmp_path / "nope"))

@@ -119,6 +119,10 @@ SQL_CHECKED = [
     "q60_spend_deciles",
     "q61_weighted_sample",
     "q62_asof_join",
+    "q63_token_repetition",
+    "q64_order_count_histogram",
+    "q65_weekly_change",
+    "q66_quality_funnel",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
