@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q64_order_count_histogram": relational.q64_order_count_histogram,
         "q65_weekly_change": relational.q65_weekly_change,
         "q66_quality_funnel": textstats.q66_quality_funnel,
+        "q67_shared_shingles": textstats.q67_shared_shingles,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -871,6 +872,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE tok <> ''
                 GROUP BY doc_id
             ) s USING (doc_id)
+        """,
+        "q67_shared_shingles": r"""
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents),
+            sh AS (
+                SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+                FROM arr, unnest(generate_series(1, len(a) - 2)) AS t(i))
+            SELECT sh,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
         """,
         "q66_quality_funnel": """
             SELECT CAST(count(*) AS BIGINT) AS n_total,

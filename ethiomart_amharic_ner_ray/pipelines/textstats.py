@@ -541,3 +541,49 @@ def doc_pack_bins(sf_dir: str, capacity_tokens: int = 256) -> "ray.data.Dataset"
         return df
 
     return counted.groupby("source").map_groups(pack_group, batch_format="pandas")
+
+
+def q67_shared_shingles(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Cross-document shingle duplication (the candidate list for
+    paragraph/phrase-level dedup, C4-style): every k-token shingle that
+    appears in ≥ 2 distinct documents, with its distinct-doc and total
+    occurrence counts. Per-batch (shingle, doc) partial counts shrink the
+    exchange to unique pairs per block; one bucketed groupby on the shingle
+    gives exact distinct-doc counts. Reuses the vectorized ``_shingle_frame``
+    adjacency kernel (no per-document loop)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sh": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "p_n": pa.array([], pa.int64()),
+            }
+        )
+        rows, sh = _shingle_frame(t, k)
+        if not len(rows):
+            return empty
+        d = pd.DataFrame(
+            {"sh": sh.to_numpy(), "doc_id": t.column("doc_id").to_numpy()[rows]}
+        )
+        g = d.groupby(["sh", "doc_id"], as_index=False).size().rename(columns={"size": "p_n"})
+        g["p_n"] = g["p_n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("sh", as_index=False).agg(
+            n_docs=("doc_id", "nunique"), n=("p_n", "sum")
+        )
+        g = g[g["n_docs"] >= 2]
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from .common import bucketed_group_agg
+
+    return bucketed_group_agg(parts, ["sh"], final, n_buckets=16)

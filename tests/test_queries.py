@@ -123,6 +123,7 @@ SQL_CHECKED = [
     "q64_order_count_histogram",
     "q65_weekly_change",
     "q66_quality_funnel",
+    "q67_shared_shingles",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
