@@ -80,9 +80,40 @@ TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "extractor", "confi
 
 
 def _sig(path: str) -> str:
-    """Content signature of a parquet dir/file (name+size+mtime), local-only
-    helper mirroring run_kg_pipeline's `_input_signature` semantics."""
+    """Content signature of a parquet dir/file (name+size+mtime), mirroring
+    run_kg_pipeline's `_input_signature`: remote URIs resolve through
+    pyarrow.fs, and a scheme that can't be content-signed REFUSES rather
+    than silently degrading the idempotency guard to path-only."""
     h = _hashlib.blake2b(digest_size=8)
+    if "://" in path:
+        try:
+            from pyarrow import fs as _pafs
+
+            fsys, rel = _pafs.FileSystem.from_uri(path)
+            info = fsys.get_file_info(rel)
+            if info.type == _pafs.FileType.Directory:
+                infos = [
+                    i
+                    for i in fsys.get_file_info(_pafs.FileSelector(rel, recursive=True))
+                    if i.path.endswith(".parquet")
+                ]
+                infos.sort(key=lambda i: i.path)
+            elif info.type == _pafs.FileType.File:
+                infos = [info]
+            else:
+                raise FileNotFoundError(f"{path}: {info.type}")
+            for i in infos:
+                h.update(i.base_name.encode())
+                h.update(str(i.size).encode())
+                if i.mtime_ns is not None:
+                    h.update(str(i.mtime_ns).encode())
+        except Exception as exc:
+            raise ValueError(
+                f"cannot content-sign delta {path!r} for the idempotent-"
+                f"re-apply guard ({exc}); updates require a filesystem "
+                f"pyarrow.fs can stat"
+            ) from exc
+        return h.hexdigest()
     p = Path(path)
     files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
     for f in files:

@@ -196,3 +196,29 @@ class TestIncrementalUpdate:
     def test_update_requires_completed_base(self, ray_session, tmp_path):
         with pytest.raises(ValueError, match="no completed base run"):
             run_kg_update(str(tmp_path), str(tmp_path), str(tmp_path / "nope"))
+
+
+class TestFingerprintParams:
+    def test_parse_roundtrip(self):
+        from ethiomart_amharic_ner_ray.pipelines.kg_update import _parse_fp_params
+
+        fp = "v0.3.0|/data/tx|iabc123|b4096|n2|xner_subword|lFalse"
+        assert _parse_fp_params(fp) == {
+            "n_buckets": 4096,
+            "normalizer": 2,
+            "extractor": "ner_subword",
+            "link": False,
+        }
+
+    def test_parse_update_chain(self):
+        from ethiomart_amharic_ner_ray.pipelines.kg_update import _parse_fp_params
+
+        fp = "v0.3.0|upd:deadbeef01+cafe02|b64|n1|xregex|lTrue"
+        p = _parse_fp_params(fp)
+        assert p["n_buckets"] == 64 and p["extractor"] == "regex" and p["link"] is True
+
+    def test_remote_sig_refuses_unsignable(self):
+        from ethiomart_amharic_ner_ray.pipelines.kg_update import _sig
+
+        with pytest.raises(ValueError, match="content-sign"):
+            _sig("notascheme://bucket/delta")
