@@ -287,6 +287,15 @@ def _kg_text_equality(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "text"])
 
 
+def _kg_turn_context(sf_dir: str):
+    """Per-turn context window (2 preceding turns + own text, per conv) —
+    the model-input assembly stage, hash-checked against a DuckDB window
+    string_agg over the same transcript parquet."""
+    from ethiomart_amharic_ner_ray.pipelines.windows import conv_context
+
+    return conv_context(_transcripts_ds(sf_dir), k=2)
+
+
 def _kg_turns_per_conv(sf_dir: str):
     """Conversation grouping check: per-conv turn count + max turn_idx
     (SQL-checked over the same cached transcript parquet)."""
@@ -559,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_price_stats": _kg_seller_price_stats,
         "kg_text_equality": _kg_text_equality,
         "kg_turns_per_conv": _kg_turns_per_conv,
+        "kg_turn_context": _kg_turn_context,
         "kg_seller_turncounts": _kg_seller_turncounts,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
@@ -736,6 +746,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(turn_idx) AS BIGINT) AS max_turn
             FROM read_parquet('{tx_glob}')
             GROUP BY conv_id
+        """,
+        "kg_turn_context": f"""
+            SELECT conv_id, turn_idx,
+                   string_agg(text, ' ') OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
+            FROM read_parquet('{tx_glob}')
         """,
         "kg_seller_turncounts": f"""
             SELECT split_part(conv_id, '-', 1) AS seller, count(*) AS n_turns

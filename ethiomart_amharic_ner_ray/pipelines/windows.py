@@ -317,3 +317,35 @@ def q62_asof_join(sf_dir: str) -> "ray.data.Dataset":
     from .common import bucketed_join
 
     return bucketed_join(left, right, on="user_id", n_buckets=32, merge_fn=asof_merge)
+
+
+def conv_context(tx_ds: "ray.data.Dataset", k: int = 2, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-turn conversation context: each turn's text prefixed by its k
+    preceding turns (the context window an NER/model-scoring stage consumes —
+    the engine-scale form of the reference's per-conversation message
+    assembly). One conv-hash-bucket shuffle co-locates conversations; inside
+    a bucket the window is a sorted vectorized shift-prepend per group — no
+    per-turn Python, no per-conversation task."""
+    import numpy as np
+
+    from .kg import add_conv_bucket
+
+    ds = tx_ds.select_columns(["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow")
+
+    def ctx(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        res = df["text"].astype(object).copy()
+        grp = df.groupby("conv_id", sort=False)["text"]
+        for j in range(1, k + 1):
+            sh = grp.shift(j)
+            has = sh.notna().to_numpy()
+            res = pd.Series(
+                np.where(has, sh.fillna("").to_numpy(dtype=object) + " " + res.to_numpy(dtype=object), res.to_numpy(dtype=object)),
+                index=res.index,
+            )
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"], "turn_idx": df["turn_idx"].astype("int32"), "ctx": res}
+        )
+
+    return ds.groupby("cbucket").map_groups(ctx, batch_format="pandas")

@@ -222,3 +222,32 @@ class TestFingerprintParams:
 
         with pytest.raises(ValueError, match="content-sign"):
             _sig("notascheme://bucket/delta")
+
+
+class TestUpdateNerExtractor:
+    def test_ner_subword_update_equals_rebuild(self, ray_session, tmp_path):
+        """The update's stage-1 dispatch honours the base run's extractor
+        (read from the fingerprint): a ner_subword base folds a delta through
+        the tiny-transformer scorer, and still equals the rebuild."""
+        base = tmp_path / "base"
+        base.mkdir()
+        pq.write_table(generate_transcripts(300, seed=42), base / "gen.parquet")
+        delta = tmp_path / "delta"
+        delta.mkdir()
+        pq.write_table(generate_transcripts(120, seed=7, conv_base=900100), delta / "d.parquet")
+        out = str(tmp_path / "out")
+        run_kg_pipeline(str(base), out, n_buckets=4, extractor="ner_subword", concurrency=2)
+        stats = run_kg_update(str(base), str(delta), out, concurrency=2)
+        assert stats["mentions_delta_rows"] >= 1
+
+        combined = tmp_path / "combined"
+        combined.mkdir()
+        for src in (base, delta):
+            for f in glob.glob(str(src / "*.parquet")):
+                shutil.copy(f, combined / f"{src.name}-{os.path.basename(f)}")
+        out_full = str(tmp_path / "out_full")
+        run_kg_pipeline(str(combined), out_full, n_buckets=4, extractor="ner_subword", concurrency=2)
+        assert _tset(_read_triples(out)) == _tset(_read_triples(out_full))
+        # provenance extractor name flows through the update path too
+        upd = _read_triples(out)
+        assert set(p["extractor"] for p in upd["provenance"]) == {"ner_subword"}

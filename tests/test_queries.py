@@ -132,6 +132,7 @@ SQL_CHECKED = [
 SQL_CHECKED_TX = [
     "kg_text_equality",
     "kg_turns_per_conv",
+    "kg_turn_context",
     "kg_seller_turncounts",
     "kg_clean_text",
     "kg_price_redact",
