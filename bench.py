@@ -280,8 +280,197 @@ def run_scaling() -> dict:
     }
 
 
+def _upd_conc_delta(base: str, path: str, n_convs: int = 16) -> int:
+    """Write a concentrated correction delta: 4 late turns in each of
+    ``n_convs`` conversations that already exist in ``base``. Returns rows."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.schemas import TRANSCRIPT_SCHEMA
+
+    first = sorted(glob.glob(base + "/*.parquet"))[0]
+    convs = pq.read_table(first, columns=["conv_id"]).column("conv_id").to_pylist()
+    convs = sorted(set(convs))[:n_convs]
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    rows = [(c, 1000 + j, f"ሽያጭ ጫማ ዋጋ፦ {700 + j} ብር") for c in convs for j in range(4)]
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["seller"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([""] * len(rows), pa.string()),
+                "ts": pa.array(
+                    [1_800_000_000_000_000 + i for i in range(len(rows))], pa.timestamp("us")
+                ),
+            },
+            schema=TRANSCRIPT_SCHEMA,
+        ),
+        path + "/d.parquet",
+    )
+    return len(rows)
+
+
+def run_update_bench() -> dict:
+    """O(delta) evidence for run_kg_update, measured two ways in one window
+    (so ratios are throttle-invariant):
+
+    Regimes at the default base — (1) the one-time candidates backfill over
+    a pre-update checkpoint, (2) a BROAD append (10% new conversations —
+    sprays every conv bucket, so the saving is extraction-only), (3) a
+    CONCENTRATED correction (late turns in 16 existing conversations — the
+    carried-bucket fast path). Rebuild-equality on the final state.
+
+    Size invariance — the SAME concentrated delta applied to a 4× base:
+    `conc_growth_4x` should stay near 1 (update cost tracks the delta and
+    the touched buckets, plus fixed per-run overhead that dominates at
+    fixture scale) while `rebuild_growth_4x` tracks the corpus (~4×). This
+    pair, not the fixture-scale speedup, is the 100 TB claim."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_turns = int(6_000_000 * sf)
+    n_delta = max(1000, n_turns // 10)
+
+    import glob
+    import shutil
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.kg import run_kg_pipeline
+    from ethiomart_amharic_ner_ray.pipelines.kg_update import ensure_candidates, run_kg_update
+    from ethiomart_amharic_ner_ray.sources.transcripts import (
+        ensure_transcripts_parallel,
+        generate_transcripts,
+    )
+
+    base_buckets = max(64, num_cpus * 8)
+
+    def leg(turns: int, tag: str) -> dict:
+        # bucket count scales with the corpus (constant per-bucket size) —
+        # the documented deployment rule; holding it fixed while the corpus
+        # grows would grow every touched-bucket phase with the corpus and
+        # misattribute that to the update design
+        n_buckets = max(64, base_buckets * max(1, turns // n_turns))
+        base = ensure_transcripts_parallel(f"/tmp/graft_transcripts/upd_base_{turns}", turns)
+        conc = f"/tmp/graft_transcripts/upd_conc_{tag}"
+        conc_rows = _upd_conc_delta(base, conc)
+        out = f"/tmp/graft_upd_out_{tag}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_kg_pipeline(base, out, n_buckets=n_buckets)
+        sec_base = round(time.perf_counter() - t0, 3)
+        fp = json.loads(open(out + "/run_metrics.json").read())["fingerprint"]
+        t0 = time.perf_counter()
+        ensure_candidates(out, n_buckets, "regex", fp)
+        sec_backfill = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        uc = run_kg_update(base, conc, out)
+        sec_conc = round(time.perf_counter() - t0, 3)
+        comb = f"/tmp/graft_transcripts/upd_comb_{tag}"
+        shutil.rmtree(comb, ignore_errors=True)
+        os.makedirs(comb)
+        for src in (base, conc):
+            for f in glob.glob(src + "/*.parquet"):
+                shutil.copy(f, comb + "/" + os.path.basename(src) + "-" + os.path.basename(f))
+        out2 = f"/tmp/graft_upd_rebuild_{tag}"
+        shutil.rmtree(out2, ignore_errors=True)
+        t0 = time.perf_counter()
+        r = run_kg_pipeline(comb, out2, n_buckets=n_buckets)
+        sec_rebuild = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(out2, ignore_errors=True)
+        shutil.rmtree(comb, ignore_errors=True)
+        return {
+            "base": base,
+            "out": out,
+            "turns": turns,
+            "conc_rows": conc_rows,
+            "sec_base_build": sec_base,
+            "sec_candidates_backfill": sec_backfill,
+            "sec_update_concentrated": sec_conc,
+            "sec_rebuild": sec_rebuild,
+            "conv_buckets_touched": len(uc["conv_buckets_touched"]),
+            "spo_buckets_touched": len(uc["spo_buckets_touched"]),
+            "triples_update": uc["triples_rows"],
+            "triples_rebuild": r["triples_rows"],
+            "triples_match": uc["triples_rows"] == r["triples_rows"],
+        }
+
+    l1 = leg(n_turns, "1x")
+
+    # broad-append regime on top of the 1x checkpoint (new convs, every
+    # bucket touched — the saving is extraction-only by design)
+    broad = f"/tmp/graft_transcripts/upd_broad_{n_delta}"
+    if not os.path.isdir(broad):
+        os.makedirs(broad)
+        pq.write_table(
+            generate_transcripts(n_delta, seed=4242, conv_base=5_000_000), broad + "/d.parquet"
+        )
+    t0 = time.perf_counter()
+    ub = run_kg_update(l1["base"], broad, l1["out"])
+    sec_broad = round(time.perf_counter() - t0, 3)
+
+    l4 = leg(n_turns * 4, "4x")
+
+    return {
+        "metric": "kg_update_vs_rebuild",
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_buckets": base_buckets,
+        "n_buckets_4x": base_buckets * 4,
+        "turns_base": n_turns,
+        "turns_delta_broad": n_delta,
+        "turns_delta_conc": l1["conc_rows"],
+        "sec_base_build": l1["sec_base_build"],
+        "sec_candidates_backfill": l1["sec_candidates_backfill"],
+        "sec_update_broad": sec_broad,
+        "sec_update_concentrated": l1["sec_update_concentrated"],
+        "sec_rebuild": l1["sec_rebuild"],
+        "speedup_broad": round(l1["sec_rebuild"] / sec_broad, 2) if sec_broad else None,
+        "speedup_concentrated": (
+            round(l1["sec_rebuild"] / l1["sec_update_concentrated"], 2)
+            if l1["sec_update_concentrated"]
+            else None
+        ),
+        "broad_conv_buckets_touched": len(ub["conv_buckets_touched"]),
+        "conc_conv_buckets_touched": l1["conv_buckets_touched"],
+        "conc_spo_buckets_touched": l1["spo_buckets_touched"],
+        "triples_match": l1["triples_match"],
+        # size-invariance leg: same delta, 4× base
+        "turns_base_4x": l4["turns"],
+        "sec_base_build_4x": l4["sec_base_build"],
+        "sec_update_concentrated_4x": l4["sec_update_concentrated"],
+        "sec_rebuild_4x": l4["sec_rebuild"],
+        "conc_growth_4x": (
+            round(l4["sec_update_concentrated"] / l1["sec_update_concentrated"], 2)
+            if l1["sec_update_concentrated"]
+            else None
+        ),
+        "rebuild_growth_4x": (
+            round(l4["sec_rebuild"] / l1["sec_rebuild"], 2) if l1["sec_rebuild"] else None
+        ),
+        "triples_match_4x": l4["triples_match"],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--update" in sys.argv:
+        print(json.dumps(run_update_bench()))
     else:
         print(json.dumps(run_bench()))

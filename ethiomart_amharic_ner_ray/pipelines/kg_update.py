@@ -21,10 +21,15 @@ for the global keep-first dedup). With it, an update costs:
   extract(delta turns)                         — the only expensive stage
   + re-emit candidates for TOUCHED conv buckets — numpy scan over those
                                                   buckets' mention rows only
-  + re-dedup TOUCHED spo buckets                — one shuffle over the
-                                                  combiner-shrunk candidate
-                                                  store, filtered to the
-                                                  touched buckets pre-shuffle
+  + re-dedup TOUCHED spo buckets                — a FILTERED read of the
+                                                  candidate store on its
+                                                  stored ``sbucket`` stamp
+                                                  (files are sbucket-sorted,
+                                                  so row-group stats prune
+                                                  untouched buckets at the
+                                                  parquet footer) + one
+                                                  shuffle over the surviving
+                                                  rows
 
 Untouched conv buckets' candidates are byte-identical by construction. The
 rewritten spo set is computed as a per-spo-bucket multiset DIFF between the
@@ -69,14 +74,18 @@ from ..state.manifest import (
 from .kg import (
     _bucket_dedup,
     _emit_triples_bucket,
+    _hash_bucket,
     _partial_dedup,
     add_conv_bucket,
     add_provenance,
-    add_spo_bucket,
-    drop_buckets,
 )
 
 TRIPLE_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "extractor", "confidence"]
+
+# row-group size of the candidates store: small enough that a touched-spo
+# filtered read prunes most of a production-sized bucket file at the footer,
+# large enough that the footer/stats overhead stays negligible
+CAND_ROW_GROUP = 8192
 
 
 def _sig(path: str) -> str:
@@ -155,18 +164,20 @@ def _count_rows(files: list[str]) -> int:
     return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
-def _changed_spo_buckets(old_files: list[str], new_files: list[str], n_buckets: int) -> set[int]:
+def _changed_spo_buckets(old_files: list[str], new_files: list[str]) -> set[int]:
     """spo buckets whose candidate multiset DIFFERS between the old and new
     candidate sets of the touched conv buckets. Only these buckets can have a
     different dedup output — a conv bucket holds many unchanged conversations,
     and their identical candidate rows must not drag every spo bucket they
     feed into the rewrite. One shuffle over the (combiner-shrunk, touched-
-    buckets-only) candidates; per-group equality is a sort + frame compare."""
+    buckets-only) candidates; per-group equality is a sort + frame compare.
+    The spo bucket id is read straight off the stored ``sbucket`` column —
+    never recomputed, so it cannot drift from the write-time stamping."""
     sides = []
     for side, files in ((0, old_files), (1, new_files)):
         if not files:
             continue
-        ds = ray.data.read_parquet(files, columns=TRIPLE_COLS)
+        ds = ray.data.read_parquet(files, columns=TRIPLE_COLS + ["sbucket"])
         ds = ds.map_batches(
             lambda t, s=side: t.append_column("side", pa.array(np.full(t.num_rows, s, np.int8))),
             batch_format="pyarrow",
@@ -175,7 +186,7 @@ def _changed_spo_buckets(old_files: list[str], new_files: list[str], n_buckets: 
     if not sides:
         return set()
     ds = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
-    ds = ds.map_batches(add_spo_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow")
+    ds = ds.rename_columns({"sbucket": "bucket"})
 
     def diff(df: pd.DataFrame) -> pd.DataFrame:
         changed = pd.DataFrame({"bucket": pd.array([int(df["bucket"].iloc[0])], dtype="int32")})
@@ -193,13 +204,21 @@ def _changed_spo_buckets(old_files: list[str], new_files: list[str], n_buckets: 
     return set(int(b) for b in out["bucket"])
 
 
-def _emit_candidates_group(df: pd.DataFrame, extractor_name: str) -> pd.DataFrame:
+def _emit_candidates_group(df: pd.DataFrame, extractor_name: str, n_buckets: int) -> pd.DataFrame:
     """One conv bucket of flat mention rows → its partially-deduped candidate
-    triples, keeping `cbucket` for the partitioned write."""
+    triples, keeping `cbucket` for the partitioned write and stamping each
+    row's spo bucket (``sbucket``, same siphash as the triples partitioning)
+    so the re-dedup stage can FILTER the candidate read to the touched spo
+    buckets instead of scanning the whole store."""
     bucket = int(df["cbucket"].iloc[0])
     out = _partial_dedup(_emit_triples_bucket(df, extractor_name=extractor_name))
     out = out.reset_index(drop=True)
     out["cbucket"] = np.full(len(out), bucket, dtype=np.int32)
+    out["sbucket"] = (
+        _hash_bucket(out[["subj", "pred", "obj"]], n_buckets)
+        if len(out)
+        else np.array([], dtype=np.int32)
+    )
     return out
 
 
@@ -218,23 +237,43 @@ def _write_candidates(
     ds = ds.map_batches(add_conv_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow")
     ds = ds.groupby("cbucket").map_groups(
         _emit_candidates_group,
-        fn_kwargs={"extractor_name": extractor_name},
+        fn_kwargs={"extractor_name": extractor_name, "n_buckets": n_buckets},
         batch_format="pandas",
     )
     ds = ds.materialize()
     if ds.count() == 0:
         return
-    ds.sort("cbucket").write_parquet(candidates_dir, partition_cols=["cbucket"])
+    # sbucket-sorted within each cbucket file, bounded row groups: parquet
+    # row-group stats then carry tight [min,max] sbucket ranges, so the
+    # re-dedup stage's filtered read prunes whole row groups of untouched
+    # spo buckets at the footer. With production-sized buckets (≥100k
+    # candidate rows each) a touched set of T spo buckets decodes
+    # ~T/n_buckets of the store; fixture-sized buckets fit one row group,
+    # where the filter still bounds what ships into the shuffle.
+    ds.sort(["cbucket", "sbucket"]).write_parquet(
+        candidates_dir, partition_cols=["cbucket"], row_group_size=CAND_ROW_GROUP
+    )
 
 
 def _pred_counts(files: list[str]) -> dict[str, int]:
-    """Distributed per-predicate counts over triple files (pruned column;
-    closed 4-value predicate set → tiny partials)."""
+    """Per-predicate counts over triple files (pruned column; closed 4-value
+    predicate set → tiny partials). Small file sets (an update's touched
+    buckets) are read on the driver — a Ray pipeline's fixed overhead
+    dwarfs a few MB of one dictionary-encoded column; big sets (a full
+    store) go distributed."""
     import collections
 
     counts: collections.Counter = collections.Counter()
     if not files:
         return {}
+    if sum(_os.path.getsize(f) for f in files) < 64 * 1024 * 1024:
+        import pyarrow.compute as pc
+
+        for f in files:
+            vc = pc.value_counts(_pq.read_table(f, columns=["pred"]).column("pred"))
+            for p, n in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+                counts[p] += n
+        return dict(counts)
 
     def _partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -257,8 +296,10 @@ def ensure_candidates(out_dir: str, n_buckets: int, extractor: str, mentions_fp:
     the dedup shuffle; every later update touches only delta buckets."""
     mentions_dir = _os.path.join(out_dir, "mentions")
     candidates_dir = _os.path.join(out_dir, "candidates")
-    cand_fp = f"cand|{mentions_fp}"
-    done = validated_done_buckets(candidates_dir, cand_fp)
+    # "cand2": layout v2 (sbucket column, sbucket-sorted files) — a v1 store's
+    # manifests never match, so it is rebuilt once into the new layout
+    cand_fp = f"cand2|{mentions_fp}"
+    done = validated_done_buckets(candidates_dir, cand_fp, prefix="cbucket")
     if len(done) == n_buckets:
         return False
     drop_manifests(candidates_dir)
@@ -379,7 +420,7 @@ def run_kg_update(
 
     old_mention_rows = manifest_rows(mentions_dir, old_fp)
     old_triple_rows = manifest_rows(triples_dir, old_fp)
-    old_cand_rows = manifest_rows(candidates_dir, f"cand|{old_fp}")
+    old_cand_rows = manifest_rows(candidates_dir, f"cand2|{old_fp}")
 
     if not touched_conv:
         # mention-free delta: nothing can change — carry every bucket forward
@@ -396,7 +437,7 @@ def run_kg_update(
         write_bucket_manifests(
             candidates_dir,
             {b: {"rows": old_cand_rows.get(b, 0), "stage": "candidates"} for b in all_b},
-            f"cand|{new_fp}",
+            f"cand2|{new_fp}",
         )
         stats.update(
             {
@@ -448,7 +489,6 @@ def run_kg_update(
     touched_spo = _changed_spo_buckets(
         _bucket_files(parked, "cbucket"),
         _bucket_files(candidates_dir, "cbucket", touched_conv),
-        n_buckets,
     )
     _shutil.rmtree(parked)
     stats["spo_buckets_touched"] = sorted(touched_spo)
@@ -457,6 +497,10 @@ def run_kg_update(
     old_touched_pred = _pred_counts(_bucket_files(triples_dir, "bucket", touched_spo))
 
     # ---- stage 2: re-dedup ONLY the touched spo buckets ---------------------
+    # the read itself is FILTERED on the stored sbucket stamp: untouched spo
+    # buckets' candidate rows never leave storage (files are sbucket-sorted,
+    # so parquet row-group stats prune them at the footer) — this stage costs
+    # O(touched spo fraction of candidates), not O(corpus)
     cand_files = _bucket_files(candidates_dir, "cbucket")
     new_touched_pred: dict[str, int] = {}
     for b in touched_spo:
@@ -464,11 +508,20 @@ def run_kg_update(
         if _os.path.isdir(d):
             _shutil.rmtree(d)
     if cand_files and touched_spo:
-        tds = ray.data.read_parquet(cand_files, columns=TRIPLE_COLS)
+        import pyarrow.compute as _pc
+
+        tds = ray.data.read_parquet(
+            cand_files,
+            columns=TRIPLE_COLS + ["sbucket"],
+            filter=_pc.field("sbucket").isin(sorted(touched_spo)),
+        )
+        tds = tds.rename_columns({"sbucket": "bucket"})
         tds = tds.map_batches(_partial_dedup, batch_format="pandas")
-        tds = tds.map_batches(add_spo_bucket, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow")
-        tds = drop_buckets(tds, "bucket", frozenset(all_b - touched_spo))
         tds = tds.materialize()
+        # O(delta) evidence in the sidecar: rows entering the re-dedup
+        # shuffle (touched spo buckets only) vs the whole candidate store
+        stats["stage2_rows_shipped"] = tds.count()
+        stats["candidate_rows_total"] = sum(old_cand_rows.values()) or None
         if tds.count() > 0:
             tds = tds.groupby("bucket").map_groups(_bucket_dedup, batch_format="pandas")
             tds = tds.map_batches(add_provenance, batch_format="pyarrow")
@@ -489,7 +542,7 @@ def run_kg_update(
             c_manifests[b] = {"rows": _count_rows(files), "stage": "candidates"}
         else:
             c_manifests[b] = {"rows": old_cand_rows.get(b, 0), "stage": "candidates"}
-    write_bucket_manifests(candidates_dir, c_manifests, f"cand|{new_fp}")
+    write_bucket_manifests(candidates_dir, c_manifests, f"cand2|{new_fp}")
 
     t_manifests = {}
     for b in all_b:

@@ -46,17 +46,21 @@ def done_buckets(out_dir: str | Path, fingerprint: str) -> set[int]:
     return done
 
 
-def validated_done_buckets(out_dir: str | Path, fingerprint: str) -> set[int]:
+def validated_done_buckets(
+    out_dir: str | Path, fingerprint: str, prefix: str = "bucket"
+) -> set[int]:
     """``done_buckets`` plus an existence check on the data it vouches for:
     a manifest claiming rows > 0 whose ``bucket=N`` dir is gone — or still
     exists but holds no parquet files (partial restore, selective delete) —
     is NOT done; its manifest is dropped so the bucket rebuilds. Found by
     the chaos-resume test: trusting such a manifest silently loses that
-    bucket's output."""
+    bucket's output. ``prefix`` names the data-dir key (``cbucket`` for the
+    update path's candidates store); manifests themselves are always
+    ``manifest/bucket=N.json``."""
     out_dir = Path(out_dir)
     done: set[int] = set()
     for bucket, rows in manifest_rows(out_dir, fingerprint).items():
-        d = out_dir / f"bucket={bucket}"
+        d = out_dir / f"{prefix}={bucket}"
         if rows == 0 or (d.is_dir() and any(d.glob("*.parquet"))):
             done.add(bucket)
         else:

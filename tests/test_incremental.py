@@ -172,6 +172,14 @@ class TestIncrementalUpdate:
         assert stats["mentions_delta_rows"] == 0
         assert stats["triples_rows"] == len(incr_case["base_triples"])
 
+    def test_candidates_backfill_is_one_time(self, incr_case):
+        """The candidates store is built once (first update backfills a
+        pre-update checkpoint) and then maintained incrementally — a repeat
+        O(corpus) rebuild per update would break the O(delta) cost claim."""
+        assert incr_case["stats_noop"]["candidates_rebuilt"] is True
+        assert incr_case["stats_late"]["candidates_rebuilt"] is False
+        assert incr_case["stats_bulk"]["candidates_rebuilt"] is False
+
     def test_lineage_stats(self, incr_case):
         stats = incr_case["stats_late"]
         # exactly one conversation touched → exactly one conv bucket
