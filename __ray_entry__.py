@@ -547,6 +547,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_weekly_change": relational.q65_weekly_change,
         "q66_quality_funnel": textstats.q66_quality_funnel,
         "q67_shared_shingles": textstats.q67_shared_shingles,
+        "q68_doc_chunks": textstats.q68_doc_chunks,
+        "q69_oov_rate": textstats.q69_oov_rate,
+        "q70_event_zscore": relational.q70_event_zscore,
+        "q71_jaccard_pairs_exact": dedup.jaccard_pairs_exact,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -901,6 +905,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n
             FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "q68_doc_chunks": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+            nn AS (SELECT doc_id, toks, len(toks) AS nt FROM tk WHERE len(toks) > 0)
+            SELECT doc_id, i AS chunk_idx,
+                   least(64, nt - i*48) AS n_tok,
+                   md5(array_to_string(toks[i*48 + 1 : i*48 + least(64, nt - i*48)], ' ')) AS chunk_md5
+            FROM nn, UNNEST(generate_series(0,
+                 CAST(greatest(0, ceil((nt - 64) / 48.0)) AS BIGINT))) AS u(i)
+        """,
+        "q69_oov_rate": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+                FROM documents),
+            vocab AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS tf FROM tok
+                    GROUP BY token ORDER BY tf DESC, token ASC LIMIT 16))
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS oov_rate
+            FROM tok LEFT JOIN vocab v ON tok.token = v.token
+            GROUP BY doc_id
+        """,
+        "q70_event_zscore": """
+            SELECT event_id,
+                   round((value - avg(value) OVER (PARTITION BY event_type))
+                         / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+            FROM events
+        """,
+        "q71_jaccard_pairs_exact": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s
+                FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+                WHERE len(toks) >= 5),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
         """,
         "q66_quality_funnel": """
             SELECT CAST(count(*) AS BIGINT) AS n_total,

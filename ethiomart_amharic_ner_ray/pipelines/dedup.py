@@ -456,3 +456,94 @@ def ngram_jaccard_pairs(
     in-bucket exact-verify machinery as the word-shingle path, over char
     5-gram shingles — finer-grained, robust to word-boundary edits."""
     return minhash_lsh_pairs(sf_dir, seed, jaccard_threshold, shingle="char")
+
+
+def jaccard_pairs_exact(
+    sf_dir: str, k: int = 5, threshold: float = 0.5
+) -> "ray.data.Dataset":
+    """EXACT set-similarity join: every document pair whose k-token-shingle
+    Jaccard is ≥ ``threshold`` — no banding, no recall caveat. This is the
+    SQL-checkable anchor of the near-dup family (the minhash/simhash paths
+    are probabilistic and stay rows-only); at the fixture it returns exactly
+    the planted near-dups the LSH paths find.
+
+    Shape: the textbook inverted-index similarity join. Per batch, DISTINCT
+    (shingle, doc, doc_shingle_count) rows — exact because a doc never spans
+    batches — ride ONE bucketed exchange on the shingle; each bucket's
+    pandas self-merge emits (doc_a, doc_b) intersection partials (set sizes
+    carried on the rows, so there is no sizes broadcast and no second
+    corpus pass); a second, pair-keyed exchange sums intersections and
+    scores jac = i / (sz_a + sz_b − i). The threshold compares the
+    UNROUNDED ratio (an exact IEEE division of two ints — bit-identical in
+    DuckDB), output rounds to 4dp.
+
+    Skew: a shingle present in d docs emits d·(d−1)/2 pair rows. Rare-template
+    corpora are fine (the fixture's max df per shingle is small); at corpus
+    scale, ubiquitous boilerplate shingles must be df-capped upstream (drop
+    shingles with df > cap — standard in ppjoin-style systems; the capped
+    variant is a one-line filter on the first exchange's groups but is no
+    longer exact, so it is not the default here)."""
+    from .textstats import _shingle_frame
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sh": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "sz": pa.array([], pa.int64()),
+            }
+        )
+        rows, sh = _shingle_frame(t, k)
+        if not len(rows):
+            return empty
+        d = pd.DataFrame(
+            {"sh": sh.to_numpy(), "doc_id": t.column("doc_id").to_numpy()[rows]}
+        ).drop_duplicates()
+        d["sz"] = d.groupby("doc_id")["sh"].transform("size").astype("int64")
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                    "sz_a": pd.array([], dtype="int64"),
+                    "sz_b": pd.array([], dtype="int64"),
+                    "i": pd.array([], dtype="int64"),
+                }
+            )
+        g = (
+            m.groupby(["doc_id_x", "doc_id_y", "sz_x", "sz_y"], as_index=False)
+            .size()
+            .rename(
+                columns={
+                    "doc_id_x": "doc_a",
+                    "doc_id_y": "doc_b",
+                    "sz_x": "sz_a",
+                    "sz_y": "sz_b",
+                    "size": "i",
+                }
+            )
+        )
+        return g.astype({"doc_a": "int64", "doc_b": "int64", "sz_a": "int64", "sz_b": "int64", "i": "int64"})
+
+    pair_parts = bucketed_group_agg(parts, ["sh"], pair_partial, n_buckets=32)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            i=("i", "sum"), sz_a=("sz_a", "first"), sz_b=("sz_b", "first")
+        )
+        union = (g["sz_a"] + g["sz_b"] - g["i"]).to_numpy(dtype=np.float64)
+        jac = g["i"].to_numpy(dtype=np.float64) / union
+        g["jaccard"] = round_away(jac, 4)
+        g = g[jac >= threshold]
+        return g[["doc_a", "doc_b", "jaccard"]]
+
+    return bucketed_group_agg(pair_parts, ["doc_a", "doc_b"], final, n_buckets=16)

@@ -1369,3 +1369,49 @@ def q65_weekly_change(sf_dir: str) -> "pd.DataFrame":
         ((weekly["n_events"] - prev) / prev).to_numpy(dtype=np.float64), 4
     )
     return weekly
+
+
+def q70_event_zscore(sf_dir: str) -> "ray.data.Dataset":
+    """Group-wise feature normalization (z-score per event_type — the
+    standardize-by-group transform of a feature pipeline): two-phase
+    sufficient statistics (n, sum, sumsq) per event type collapse to a
+    handful of driver-side rows (the event-type set is closed), broadcast
+    back, and ONE shuffle-free re-scan stamps
+    z = (value − mean) / sample_std per event. Matches DuckDB's windowed
+    ``stddev_samp`` to 4dp via the q07 merged-variance recipe
+    (var = (sumsq − mean·sum)/(n−1)); a single-row or zero-variance group
+    yields NULL on both sides."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum")
+        )
+        g2 = df.assign(v2=df["value"] ** 2).groupby("event_type", as_index=False).agg(
+            p_sumsq=("v2", "sum")
+        )
+        return g.merge(g2, on="event_type")
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    stats = parts.groupby("event_type", as_index=False).agg(
+        n=("p_n", "sum"), s=("p_sum", "sum"), ss=("p_sumsq", "sum")
+    )
+    mean = stats["s"].to_numpy() / stats["n"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (stats["ss"].to_numpy() - mean * stats["s"].to_numpy()) / (
+            stats["n"].to_numpy() - 1
+        )
+    std = np.sqrt(np.maximum(var, 0.0))
+    lut = {
+        t: (m, s if (cnt > 1 and s > 0.0) else np.nan)
+        for t, m, s, cnt in zip(stats["event_type"], mean, std, stats["n"])
+    }
+    ref = ray.put(lut)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(lambda t: get_broadcast(ref)[t][0]).to_numpy(dtype=np.float64)
+        s = df["event_type"].map(lambda t: get_broadcast(ref)[t][1]).to_numpy(dtype=np.float64)
+        z = round_away((df["value"].to_numpy(dtype=np.float64) - m) / s, 4)
+        return pd.DataFrame({"event_id": df["event_id"].astype("int64"), "zscore": z})
+
+    return ds.map_batches(stamp, batch_format="pandas", batch_size=65536)

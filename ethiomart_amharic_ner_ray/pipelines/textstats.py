@@ -543,6 +543,120 @@ def doc_pack_bins(sf_dir: str, capacity_tokens: int = 256) -> "ray.data.Dataset"
     return counted.groupby("source").map_groups(pack_group, batch_format="pandas")
 
 
+def q68_doc_chunks(sf_dir: str, chunk: int = 64, stride: int = 48) -> "ray.data.Dataset":
+    """Fixed-size token chunking with overlap — the context-window assembly
+    step of a training-data pipeline (split every document into windows of
+    ``chunk`` whitespace tokens advancing by ``stride``; the last window is
+    short, a doc shorter than one chunk is a single window, an empty doc
+    emits nothing). Embarrassingly parallel: docs never span batches, so
+    this is one shuffle-free scan. The tokenize is Arrow-vectorized; the
+    inner loop is per CHUNK (md5 of the joined window — the hashlib-per-row
+    idiom), not per token. The md5 lets the driver hash-check the full
+    chunked corpus without shipping it."""
+    import hashlib
+
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        m = flat != ""  # the regexp-split [''] artifact of empty docs
+        flat, par = flat[m], par[m]
+        counts = np.bincount(par, minlength=t.num_rows)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        doc_ids = t.column("doc_id").to_numpy()
+        out_doc, out_idx, out_n, out_md5 = [], [], [], []
+        for d in range(t.num_rows):
+            nt = int(counts[d])
+            if nt == 0:
+                continue
+            seg = flat[offs[d] : offs[d + 1]]
+            n_chunks = 1 + max(0, -(-(nt - chunk) // stride))
+            for i in range(n_chunks):
+                s = i * stride
+                ct = min(chunk, nt - s)
+                out_doc.append(doc_ids[d])
+                out_idx.append(i)
+                out_n.append(ct)
+                out_md5.append(
+                    hashlib.md5(" ".join(seg[s : s + ct]).encode("utf-8")).hexdigest()
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "n_tok": pa.array(out_n, pa.int64()),
+                "chunk_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q69_oov_rate(sf_dir: str, vocab_size: int = 16) -> "ray.data.Dataset":
+    """Vocabulary-coverage / OOV-rate scan (the UNK-rate check run before
+    committing to a tokenizer vocab): stage 1 derives the top-``vocab_size``
+    tokens by corpus frequency (tf desc, token asc tie-break — deterministic
+    on both oracle sides) from the shared q35 token partials; stage 2
+    broadcasts the vocab (``ray.put`` + per-worker cache) and re-scans the
+    corpus stamping per-doc token count, OOV count and OOV rate. The vocab
+    is exact: tokens hash-partition wholly into one bucket, so per-bucket
+    top-V candidates contain the global top-V. Docs with zero tokens emit
+    nothing (mirrors the oracle's GROUP BY over the unnested tokens)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .common import bucketed_group_agg, get_broadcast, round_away
+
+    partials = _token_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def vocab_final(d: "pd.DataFrame") -> "pd.DataFrame":
+        g = d.groupby("token", as_index=False).agg(tf=("tf", "sum"))
+        return g.sort_values(["tf", "token"], ascending=[False, True]).head(vocab_size)
+
+    cand = bucketed_group_agg(partials, ["token"], vocab_final, n_buckets=16).to_pandas()
+    vocab = (
+        cand.sort_values(["tf", "token"], ascending=[False, True])
+        .head(vocab_size)["token"]
+        .to_numpy()
+    )
+    ref = ray.put(pd.Index(vocab))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        m = flat != ""
+        flat, par = flat[m], par[m]
+        n = np.bincount(par, minlength=t.num_rows).astype(np.int64)
+        oov_mask = ~pd.Series(flat).isin(get_broadcast(ref)).to_numpy()
+        n_oov = np.bincount(par[oov_mask], minlength=t.num_rows).astype(np.int64)
+        keep = n > 0
+        rate = round_away(n_oov[keep] / n[keep], 4)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "n_tok": pa.array(n[keep], pa.int64()),
+                "n_oov": pa.array(n_oov[keep], pa.int64()),
+                "oov_rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q67_shared_shingles(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Cross-document shingle duplication (the candidate list for
     paragraph/phrase-level dedup, C4-style): every k-token shingle that

@@ -124,6 +124,10 @@ SQL_CHECKED = [
     "q65_weekly_change",
     "q66_quality_funnel",
     "q67_shared_shingles",
+    "q68_doc_chunks",
+    "q69_oov_rate",
+    "q70_event_zscore",
+    "q71_jaccard_pairs_exact",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
