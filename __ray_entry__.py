@@ -551,6 +551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_oov_rate": textstats.q69_oov_rate,
         "q70_event_zscore": relational.q70_event_zscore,
         "q71_jaccard_pairs_exact": dedup.jaccard_pairs_exact,
+        "q72_dedup_survivors": dedup.q72_dedup_survivors,
+        "q73_event_debounce": windows.q73_event_debounce,
+        "q74_bigram_pmi": textstats.q74_bigram_pmi,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -939,6 +942,66 @@ def oracle_sql() -> dict[str, str]:
                    round((value - avg(value) OVER (PARTITION BY event_type))
                          / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
             FROM events
+        """,
+        "q72_dedup_survivors": r"""
+            WITH RECURSIVE tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s
+                FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+                WHERE len(toks) >= 5),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            edges AS (
+                SELECT da, db FROM inter
+                JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+            und AS (SELECT da AS a, db AS b FROM edges UNION SELECT db, da FROM edges),
+            reach AS (
+                SELECT a AS node, b AS reached FROM und
+                UNION
+                SELECT r.node, u.b FROM reach r JOIN und u ON r.reached = u.a
+                WHERE u.b <> r.node),
+            lbl AS (SELECT node, least(node, min(reached)) AS rep FROM reach GROUP BY node)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN lbl ON d.doc_id = lbl.node
+            WHERE lbl.node IS NULL OR lbl.rep = d.doc_id
+        """,
+        "q73_event_debounce": """
+            SELECT event_id FROM (
+                SELECT event_id,
+                       ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS gap
+                FROM events)
+            WHERE gap IS NULL OR gap > INTERVAL 86400 SECOND
+        """,
+        "q74_bigram_pmi": r"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS a
+                FROM documents),
+            uni AS (SELECT unnest(a) AS tok FROM arr),
+            ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+            n1 AS (SELECT count(*) AS n1c FROM uni),
+            big AS (
+                SELECT a[i] AS w1, a[i+1] AS w2
+                FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS u(i)
+                WHERE len(a) >= 2),
+            bcnt AS (
+                SELECT w1 || ' ' || w2 AS bigram, w1, w2, count(*) AS nb
+                FROM big GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+            n2 AS (SELECT count(*) AS n2c FROM big)
+            SELECT bigram, CAST(nb AS BIGINT) AS n,
+                   round(ln((nb::DOUBLE / n2c) / ((ca.c::DOUBLE / n1c) * (cb.c::DOUBLE / n1c))), 4) AS pmi
+            FROM bcnt, n1, n2
+            JOIN ucnt ca ON bcnt.w1 = ca.tok
+            JOIN ucnt cb ON bcnt.w2 = cb.tok
+            ORDER BY pmi DESC, bigram ASC LIMIT 100
         """,
         "q71_jaccard_pairs_exact": r"""
             WITH tk AS (

@@ -547,3 +547,43 @@ def jaccard_pairs_exact(
         return g[["doc_a", "doc_b", "jaccard"]]
 
     return bucketed_group_agg(pair_parts, ["doc_a", "doc_b"], final, n_buckets=16)
+
+
+def q72_dedup_survivors(sf_dir: str, k: int = 5, threshold: float = 0.5) -> "ray.data.Dataset":
+    """Near-dup REMOVAL end-to-end, SQL-checked: exact Jaccard pair edges
+    (``jaccard_pairs_exact``) → distributed min-label connected components
+    (pipelines/graph.py) → keep each component's minimum doc_id plus every
+    unclustered document. The oracle recomputes the clusters with a
+    recursive CTE (transitive closure over the same edge set), so the WHOLE
+    removal path — shingle → pair → cluster → surviving corpus — is
+    value-checked against SQL, not just pinned to an in-process reference.
+
+    The drop set (clustered non-representatives) is bounded by the
+    duplicate count, not the corpus: it broadcasts via one ``ray.put`` and
+    the survivors emerge from one shuffle-free anti-join scan. A corpus
+    whose duplicate set outgrew broadcast would use the bucketed anti-join
+    (q22's shape) instead."""
+    import ray
+
+    from .common import get_broadcast, rename_cols
+    from .graph import connected_components_minlabel
+
+    pairs = rename_cols(jaccard_pairs_exact(sf_dir, k, threshold), {"doc_a": "a", "doc_b": "b"})
+    labels = connected_components_minlabel(
+        pairs, n_buckets=16, fingerprint=f"jacx|{sf_dir}|{k}|{threshold}"
+    ).to_pandas()
+    if labels.empty:
+        drop = np.array([], dtype=np.int64)
+    else:
+        drop = labels.loc[labels["doc_id"] != labels["cluster_rep"], "doc_id"].to_numpy(
+            dtype=np.int64
+        )
+    ref = ray.put(pd.Index(drop))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = ~pd.Series(t.column("doc_id").to_numpy()).isin(get_broadcast(ref)).to_numpy()
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")

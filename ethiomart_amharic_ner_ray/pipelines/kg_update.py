@@ -417,6 +417,16 @@ def run_kg_update(
     }
     stats["conv_buckets_touched"] = sorted(touched_conv)
     stats["mentions_delta_rows"] = _count_rows(_bucket_files(staging, "bucket"))
+    if len(touched_conv) > n_buckets // 2:
+        # measured breakeven (BASELINE.md): past ~50% touched conv buckets
+        # the update's per-bucket re-emit + diff costs more than a rebuild
+        stats["rebuild_recommended"] = True
+        import warnings
+
+        warnings.warn(
+            f"delta touches {len(touched_conv)}/{n_buckets} conv buckets — "
+            f"a broad delta; run_kg_pipeline over base+delta is likely cheaper"
+        )
 
     old_mention_rows = manifest_rows(mentions_dir, old_fp)
     old_triple_rows = manifest_rows(triples_dir, old_fp)

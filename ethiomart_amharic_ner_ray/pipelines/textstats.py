@@ -218,21 +218,13 @@ def _token_partials(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
-def q52_bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
-    """Top-k token bigrams over the corpus (the n-gram statistics pass of a
-    training-data pipeline). Bigrams are formed positionally inside each
-    document — vectorized over the whole batch via list_flatten +
-    list_parent_indices (adjacent flat slots with the same parent are a
-    bigram; no per-document Python loop) — then per-batch counts collapse
-    to per-bigram partials before the shuffle, exactly the q35 vocabulary
-    shape. The per-bucket final pre-top-ks, bounding the driver collect to
-    k x buckets rows."""
+def _bigram_partials(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-batch (bigram → count) partials, shared by q52 (top-k) and q74
+    (PMI): bigrams form positionally via list_flatten + list_parent_indices
+    (adjacent flat slots with the same parent), vectorized — no per-document
+    loop; per-batch counts collapse before any shuffle."""
     import numpy as np
     import pandas as pd
-
-    from .common import bucketed_group_agg
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(t.column("text"))
@@ -251,7 +243,81 @@ def q52_bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
         g = big.value_counts().rename_axis("bigram").reset_index(name="n")
         return pa.Table.from_pandas(g.astype({"n": "int64"}), preserve_index=False).replace_schema_metadata(None)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def q74_bigram_pmi(sf_dir: str, k: int = 100, min_count: int = 5) -> "pd.DataFrame":
+    """Pointwise mutual information of adjacent token pairs (collocation
+    strength — the association statistic next to raw bigram counts q52):
+    pmi = ln((c(ab)/N2) / ((c(a)/N1) · (c(b)/N1))), top-k by (rounded pmi
+    desc, bigram asc) with a ``min_count`` support floor.
+
+    Scale shape: unigram counts collapse through the shared q35 token
+    partials to a VOCABULARY-sized driver frame (broadcast-joined at web
+    scale); bigram partials are materialized once so N2 (total bigrams) is
+    a free column sum and the per-bigram totals ride one bucketed exchange;
+    the support floor bounds the driver collect to frequent bigrams. The
+    ranking uses the ROUNDED pmi on both oracle sides (q53's rule) so a
+    1-ulp ln() difference can never flip the top-k boundary; the pmi
+    expression tree matches the SQL literally."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg, round_away
+
+    uparts = _token_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def ufinal(d: "pd.DataFrame") -> "pd.DataFrame":
+        return d.groupby("token", as_index=False).agg(tf=("tf", "sum"))
+
+    uni = bucketed_group_agg(uparts, ["token"], ufinal, n_buckets=16).to_pandas()
+    n1 = int(uni["tf"].sum())
+    umap = dict(zip(uni["token"], uni["tf"].astype("int64")))
+
+    bparts = _bigram_partials(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ).materialize()
+    n2 = int(bparts.sum(on="n") or 0)
+
+    def bfinal(d: "pd.DataFrame") -> "pd.DataFrame":
+        g = d.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        return g[g["n"] >= min_count]
+
+    bag = bucketed_group_agg(bparts, ["bigram"], bfinal, n_buckets=16).to_pandas()
+    if bag.empty or n1 == 0 or n2 == 0:
+        return pd.DataFrame(
+            {
+                "bigram": pd.array([], dtype="str"),
+                "n": pd.array([], dtype="int64"),
+                "pmi": pd.array([], dtype="float64"),
+            }
+        )
+    halves = bag["bigram"].str.split(" ", n=1, expand=True)
+    ca = halves[0].map(umap).to_numpy(dtype=np.float64)
+    cb = halves[1].map(umap).to_numpy(dtype=np.float64)
+    nb = bag["n"].to_numpy(dtype=np.float64)
+    bag["pmi"] = round_away(np.log((nb / n2) / ((ca / n1) * (cb / n1))), 4)
+    out = (
+        bag.sort_values(["pmi", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[["bigram", "n", "pmi"]]
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q52_bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
+    """Top-k token bigrams over the corpus (the n-gram statistics pass of a
+    training-data pipeline). Bigrams are formed positionally inside each
+    document — vectorized over the whole batch via list_flatten +
+    list_parent_indices (adjacent flat slots with the same parent are a
+    bigram; no per-document Python loop) — then per-batch counts collapse
+    to per-bigram partials before the shuffle, exactly the q35 vocabulary
+    shape. The per-bucket final pre-top-ks, bounding the driver collect to
+    k x buckets rows."""
+    from .common import bucketed_group_agg
+
+    partials = _bigram_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
     def final(d: "pd.DataFrame") -> "pd.DataFrame":
         g = d.groupby("bigram", as_index=False).agg(n=("n", "sum"))

@@ -349,3 +349,31 @@ def conv_context(tx_ds: "ray.data.Dataset", k: int = 2, n_buckets: int = 32) -> 
         )
 
     return ds.groupby("cbucket").map_groups(ctx, batch_format="pandas")
+
+
+def q73_event_debounce(sf_dir: str, window_s: int = 86400) -> "ray.data.Dataset":
+    """Event debouncing (the repeated-signal hygiene pass of an event
+    pipeline): keep an event only if the same user had no SAME-TYPE event in
+    the preceding ``window_s`` seconds — the distributed form of
+    ``ts − LAG(ts) OVER (PARTITION BY user, type ORDER BY ts, id)``.
+    ONE bucket shuffle on user_id co-locates each user's stream (the finer
+    (user, type) partition rides inside it for free); in-bucket the lag is a
+    vectorized grouped shift-and-diff with the (ts, event_id) total-order
+    tie-break, so output is deterministic under duplicate timestamps. Gap
+    arithmetic is exact microsecond int64, strict `>` matching the SQL
+    interval comparison."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby(["user_id", "event_type"], sort=False)["ts"].shift()
+        gap_us = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            - prev.astype("datetime64[us]").astype("int64")
+        )
+        keep = prev.isna().to_numpy() | (gap_us.to_numpy() > window_s * 1_000_000)
+        return pd.DataFrame({"event_id": df.loc[keep, "event_id"].astype("int64")})
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)

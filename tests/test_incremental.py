@@ -185,6 +185,10 @@ class TestIncrementalUpdate:
         # exactly one conversation touched → exactly one conv bucket
         assert len(stats["conv_buckets_touched"]) == 1
         assert stats["conv_buckets_carried"] == 8 - 1
+        # concentrated delta → no broad-delta hint; the bulk delta (200 new
+        # convs over 8 buckets) crosses the measured breakeven and gets one
+        assert "rebuild_recommended" not in stats
+        assert incr_case["stats_bulk"].get("rebuild_recommended") is True
         assert stats["mentions_delta_rows"] >= 1
         # sidecar pred counts stay consistent with the final store
         final = incr_case["final_triples"]

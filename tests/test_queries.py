@@ -128,6 +128,9 @@ SQL_CHECKED = [
     "q69_oov_rate",
     "q70_event_zscore",
     "q71_jaccard_pairs_exact",
+    "q72_dedup_survivors",
+    "q73_event_debounce",
+    "q74_bigram_pmi",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
