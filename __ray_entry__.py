@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q72_dedup_survivors": dedup.q72_dedup_survivors,
         "q73_event_debounce": windows.q73_event_debounce,
         "q74_bigram_pmi": textstats.q74_bigram_pmi,
+        "q75_char_entropy": textstats.q75_char_entropy,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -1002,6 +1003,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN ucnt ca ON bcnt.w1 = ca.tok
             JOIN ucnt cb ON bcnt.w2 = cb.tok
             ORDER BY pmi DESC, bigram ASC LIMIT 100
+        """,
+        "q75_char_entropy": r"""
+            WITH ch AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+                FROM documents),
+            cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id)
+            SELECT cnt.doc_id,
+                   CAST(any_value(t) AS BIGINT) AS n_chars,
+                   round(-sum((n::DOUBLE / t) * ln(n::DOUBLE / t)), 4) AS entropy
+            FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+            GROUP BY cnt.doc_id
         """,
         "q71_jaccard_pairs_exact": r"""
             WITH tk AS (

@@ -218,6 +218,60 @@ def _token_partials(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
+def q75_char_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Character-distribution entropy per document (the perplexity-proxy
+    quality signal: boilerplate and mojibake sit at the tails): per doc,
+    H = −Σ p·ln p over the codepoint frequency distribution. Shuffle-free —
+    a doc never spans batches, so each batch's (parent, char) frame gives
+    exact finals via one pandas groupby. Chars are unicode codepoints on
+    both sides (Python str iteration == RE2 '(?s).' runes over well-formed
+    UTF-8); the 4dp rounding absorbs the float summation-order difference
+    between the pandas and DuckDB aggregates (≤ ~1e-13 over alphabet-sized
+    sums). Empty docs emit nothing (mirrors the oracle's GROUP BY over the
+    extracted chars)."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import round_away
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        lens = np.array([len(s or "") for s in texts], dtype=np.int64)
+        par = np.repeat(np.arange(len(texts)), lens)
+        chars = list("".join(s or "" for s in texts))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "entropy": pa.array([], pa.float64()),
+            }
+        )
+        if not len(chars):
+            return empty
+        cnt = (
+            pd.DataFrame({"p": par, "c": chars})
+            .groupby(["p", "c"], as_index=False)
+            .size()
+        )
+        tot = cnt.groupby("p")["size"].transform("sum").to_numpy(dtype=np.float64)
+        frac = cnt["size"].to_numpy(dtype=np.float64) / tot
+        term = frac * np.log(frac)
+        ent = -pd.Series(term).groupby(cnt["p"].to_numpy()).sum()
+        doc_ids = t.column("doc_id").to_numpy()
+        idx = ent.index.to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[idx], pa.int64()),
+                "n_chars": pa.array(lens[idx], pa.int64()),
+                "entropy": pa.array(round_away(ent.to_numpy(), 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _bigram_partials(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-batch (bigram → count) partials, shared by q52 (top-k) and q74
     (PMI): bigrams form positionally via list_flatten + list_parent_indices

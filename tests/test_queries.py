@@ -131,6 +131,7 @@ SQL_CHECKED = [
     "q72_dedup_survivors",
     "q73_event_debounce",
     "q74_bigram_pmi",
+    "q75_char_entropy",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
