@@ -555,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_event_debounce": windows.q73_event_debounce,
         "q74_bigram_pmi": textstats.q74_bigram_pmi,
         "q75_char_entropy": textstats.q75_char_entropy,
+        "q76_order_cube": relational.q76_order_cube,
+        "q77_moving_avg": windows.q77_moving_avg,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -620,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf_dir: multimodal.media_features(
             max(200, int(20_000 * _sf_of(sf_dir))), seed=42
         ),
+        "media_phash_pairs": lambda sf_dir: multimodal.media_phash_pairs(n=200),
         "media_frames": lambda sf_dir: multimodal.media_frames(
             max(200, int(20_000 * _sf_of(sf_dir))), seed=42
         ),
@@ -1003,6 +1006,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN ucnt ca ON bcnt.w1 = ca.tok
             JOIN ucnt cb ON bcnt.w2 = cb.tok
             ORDER BY pmi DESC, bigram ASC LIMIT 100
+        """,
+        "q76_order_cube": """
+            SELECT coalesce(o_orderpriority, '(all)') AS priority,
+                   coalesce(o_orderstatus, '(all)') AS status,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "q77_moving_avg": """
+            SELECT event_id,
+                   round(sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0
+                         / count(*) OVER w, 4) AS mavg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
         """,
         "q75_char_entropy": r"""
             WITH ch AS (

@@ -251,3 +251,117 @@ def archive_media_zips(media_ds: "ray.data.Dataset", out_dir: str, group_col: st
         media_ds.select_columns([group_col, "media_id", "blob"]), [group_col], write_zips, n_buckets=32
     )
     return out.count()
+
+
+class MediaPHasher:
+    """Actor-pool perceptual-hash stage: blob → 64-bit signature whose bits
+    survive small payload edits (the image-dedup analogue of SimHash). A
+    real implementation decodes and DCTs the image (classic pHash) in
+    ``__init__``-loaded codec state; the ``fake`` path derives the same
+    SHAPE of signature — a coarse 64-bin byte histogram thresholded at its
+    median — so near-identical payloads land at hamming ≈ 0-2 while
+    unrelated ones sit near 32. Signature + banding layout are what a
+    torch/PIL-ful container would keep unchanged."""
+
+    def __init__(self, decode: str = "fake"):
+        if decode == "real":
+            raise NotImplementedError("no image libs in this container; decode='fake'")
+        self.decode = decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sigs = np.empty(t.num_rows, np.uint64)
+        for j, blob in enumerate(t.column("blob").to_pylist()):
+            hist = np.bincount(
+                np.frombuffer(blob, dtype=np.uint8) >> 2, minlength=64
+            ).astype(np.int64)
+            bits = (hist > np.median(hist)).astype(np.uint64)
+            sigs[j] = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
+        out = t.select(["media_id"])
+        return out.append_column("phash", pa.array(sigs.view(np.int64), pa.int64()))
+
+
+def media_phash_pairs(
+    n: int = 200, seed: int = 42, blob_bytes: int = 4096, max_hamming: int = 3
+) -> "pd.DataFrame":
+    """Media near-duplicate pairs by perceptual hash: synth payloads (every
+    10th blob is a lightly-corrupted copy of its predecessor — the planted
+    near-dups), actor-pool pHash signatures, then the SimHash banding shape:
+    4×16-bit bands → ONE groupby on the band value → in-bucket hamming
+    verify (exact for hamming ≤ 3 by pigeonhole). Rows-only (binary-payload
+    semantics); the planted pairs are pinned by tests/test_multimodal.py."""
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = ray.data.range(n)
+
+    def synth_with_dups(t: pa.Table) -> pa.Table:
+        base = _synth_media_batch(t, seed, blob_bytes)
+        ids = base.column("media_id").to_numpy()
+        blobs = base.column("blob").to_pylist()
+        for j, i in enumerate(ids):
+            if int(i) % 10 == 9:
+                rng = np.random.RandomState(seed + int(i) - 1)
+                src = bytearray(rng.bytes(blob_bytes))
+                edit = np.random.RandomState(seed ^ int(i))
+                for pos in edit.randint(0, blob_bytes, size=8):
+                    src[pos] ^= 0x5A
+                blobs[j] = bytes(src)
+        return base.set_column(base.schema.get_field_index("blob"), "blob", pa.array(blobs, pa.binary()))
+
+    sigs = ds.map_batches(synth_with_dups, batch_format="pyarrow", batch_size=256)
+    sigs = sigs.map_batches(MediaPHasher, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+    def explode(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        sig = t.column("phash").to_numpy().astype(np.int64).view(np.uint64)
+        bands = [((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
+        return pa.table(
+            {
+                "bi": pa.array(np.repeat(np.arange(4, dtype=np.int32), m)),
+                "bv": pa.array(np.concatenate(bands).astype(np.int32)),
+                "media_id": pa.array(np.tile(t.column("media_id").to_numpy(), 4), pa.int64()),
+                "phash": pa.array(np.tile(sig.view(np.int64), 4), pa.int64()),
+            }
+        )
+
+    ex = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def verify(df: "pd.DataFrame") -> "pd.DataFrame":
+        a_l, b_l, h_l = [], [], []
+        for _, g in df.groupby(["bi", "bv"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("media_id").sort_values("media_id")
+            ids = g["media_id"].to_numpy()
+            sig = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+            for i in range(len(ids)):
+                x = np.bitwise_xor(sig[i], sig[i + 1 :])
+                ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+                for k in np.nonzero(ham <= max_hamming)[0]:
+                    a_l.append(int(ids[i]))
+                    b_l.append(int(ids[i + 1 + k]))
+                    h_l.append(int(ham[k]))
+        return pd.DataFrame(
+            {
+                "a": pd.array(a_l, dtype="int64"),
+                "b": pd.array(b_l, dtype="int64"),
+                "hamming": pd.array(h_l, dtype="int32"),
+            }
+        )
+
+    cand = bucketed_group_agg(ex, ["bi", "bv"], verify, n_buckets=16)
+    out = bucketed_group_agg(
+        cand, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]), n_buckets=8
+    ).to_pandas()
+    if out.empty:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "a": pd.array([], dtype="int64"),
+                "b": pd.array([], dtype="int64"),
+                "hamming": pd.array([], dtype="int32"),
+            }
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -1415,3 +1415,45 @@ def q70_event_zscore(sf_dir: str) -> "ray.data.Dataset":
         return pd.DataFrame({"event_id": df["event_id"].astype("int64"), "zscore": z})
 
     return ds.map_batches(stamp, batch_format="pandas", batch_size=65536)
+
+
+def q76_order_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (priority, status) over orders: all four grouping sets
+    — detail, each single-dimension margin, and the grand total — with
+    '(all)' marking grouped-out levels. Same scale shape as ROLLUP (q44):
+    ONE distributed two-phase pass to the finest level (priority × status —
+    a dimension-bounded handful of rows), then the other three grouping
+    sets re-aggregate that bounded result driver-side, exactly how SQL
+    engines evaluate CUBE from the lowest grouping set."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            p_n=("o_totalprice", "size"), p_sum=("o_totalprice", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n=("p_n", "sum"), s=("p_sum", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    fine = bucketed_group_agg(parts, ["o_orderpriority", "o_orderstatus"], final, n_buckets=4).to_pandas()
+
+    out = []
+    for keep in ((True, True), (True, False), (False, True), (False, False)):
+        g = fine.copy()
+        if not keep[0]:
+            g["o_orderpriority"] = "(all)"
+        if not keep[1]:
+            g["o_orderstatus"] = "(all)"
+        g = g.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+        out.append(g)
+    cube = pd.concat(out, ignore_index=True).rename(
+        columns={"o_orderpriority": "priority", "o_orderstatus": "status"}
+    )
+    cube["n"] = cube["n"].astype("int64")
+    cube["total"] = round_away(cube["s"].to_numpy(dtype=np.float64), 2)
+    return cube[["priority", "status", "n", "total"]]

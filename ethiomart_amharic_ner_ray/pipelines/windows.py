@@ -377,3 +377,45 @@ def q73_event_debounce(sf_dir: str, window_s: int = 86400) -> "ray.data.Dataset"
         return pd.DataFrame({"event_id": df.loc[keep, "event_id"].astype("int64")})
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q77_moving_avg(sf_dir: str, days: int = 7) -> "ray.data.Dataset":
+    """Time-RANGE window frame: each event's average value over the same
+    user's events in the preceding ``days`` (inclusive of ties at the
+    current timestamp — RANGE peers, matching SQL RANGE BETWEEN ... AND
+    CURRENT ROW). ONE user-bucket shuffle; in-bucket the frame bounds are
+    two vectorized searchsorted probes against the user's ts array and the
+    sums come from one cumulative sum — O(n log n) per user, never a
+    per-row rescan.
+
+    Numeric pinning: values are 2-decimal money, so the window sum runs in
+    EXACT int64 cents on both oracle sides (a float cumsum's drift flipped
+    ~1% of rows across the 4dp rounding boundary at sf0.01); the average is
+    then the identical IEEE expression tree (cents / 100.0) / n."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    w_us = days * 86400 * 1_000_000
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            cents = np.rint(g["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(cents)])
+            lo = np.searchsorted(ts, ts - w_us, side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # peers included
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].astype("int64"),
+                        "mavg": ((cum[hi] - cum[lo]) / 100.0) / (hi - lo),
+                    }
+                )
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out["mavg"] = round_away(out["mavg"].to_numpy(), 4)
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)

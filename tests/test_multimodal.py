@@ -100,3 +100,29 @@ class TestZipArchiver:
             got = {n: zf.read(n) for n in zf.namelist()}
         assert got == want
         assert not glob.glob(str(tmp_path / "zips" / "*.tmp"))  # atomic
+
+
+class TestMediaPHash:
+    def test_planted_near_dups_found(self, ray_session):
+        """Every 10th payload is a lightly-corrupted copy of its
+        predecessor: pHash banding must pair each (i-1, i) plant at small
+        hamming, and must NOT pair unrelated random payloads."""
+        from ethiomart_amharic_ner_ray.pipelines.multimodal import media_phash_pairs
+
+        out = media_phash_pairs(n=100, seed=42)
+        pairs = set(zip(out["a"], out["b"]))
+        planted = {(i - 1, i) for i in range(9, 100, 10)}
+        assert planted <= pairs, planted - pairs
+        extras = pairs - planted
+        # random 4KB payloads sit near hamming 32 — banding may surface a
+        # rare coincidence, but it must stay rare
+        assert len(extras) <= 2, extras
+        assert (out["hamming"] <= 3).all()
+
+    def test_real_decode_is_marked_stub(self, ray_session):
+        import pytest as _pytest
+
+        from ethiomart_amharic_ner_ray.pipelines.multimodal import MediaPHasher
+
+        with _pytest.raises(NotImplementedError):
+            MediaPHasher(decode="real")

@@ -132,6 +132,8 @@ SQL_CHECKED = [
     "q73_event_debounce",
     "q74_bigram_pmi",
     "q75_char_entropy",
+    "q76_order_cube",
+    "q77_moving_avg",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
