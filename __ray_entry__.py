@@ -557,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q75_char_entropy": textstats.q75_char_entropy,
         "q76_order_cube": relational.q76_order_cube,
         "q77_moving_avg": windows.q77_moving_avg,
+        "q78_lineitem_melt": relational.q78_lineitem_melt,
+        "q79_event_type_share": relational.q79_event_type_share,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -1006,6 +1008,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN ucnt ca ON bcnt.w1 = ca.tok
             JOIN ucnt cb ON bcnt.w2 = cb.tok
             ORDER BY pmi DESC, bigram ASC LIMIT 100
+        """,
+        "q78_lineitem_melt": """
+            SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+            FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+                  FROM lineitem)
+            UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+        """,
+        "q79_event_type_share": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(count(*)::DOUBLE / (SELECT count(*) FROM events), 4) AS share
+            FROM events GROUP BY event_type
         """,
         "q76_order_cube": """
             SELECT coalesce(o_orderpriority, '(all)') AS priority,

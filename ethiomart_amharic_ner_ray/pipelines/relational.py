@@ -1457,3 +1457,51 @@ def q76_order_cube(sf_dir: str) -> pd.DataFrame:
     cube["n"] = cube["n"].astype("int64")
     cube["total"] = round_away(cube["s"].to_numpy(dtype=np.float64), 2)
     return cube[["priority", "status", "n", "total"]]
+
+
+def q78_lineitem_melt(sf_dir: str) -> "ray.data.Dataset":
+    """UNPIVOT/melt (the inverse of q32's PIVOT): wide measure columns →
+    long (row key, measure, value) triples, the reshape every
+    feature-extraction pipeline needs before a grouped-by-measure pass.
+    Shuffle-free ×3 row expansion inside one map_batches (concatenated
+    column slices, no per-row Python); the oracle is DuckDB UNPIVOT."""
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"] + measures)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "l_orderkey": pa.concat_arrays(
+                    [t.column("l_orderkey").combine_chunks()] * len(measures)
+                ),
+                "l_linenumber": pa.concat_arrays(
+                    [t.column("l_linenumber").combine_chunks()] * len(measures)
+                ),
+                "measure": pa.array(np.repeat(measures, n), pa.string()),
+                "value": pa.concat_arrays(
+                    [pc.cast(t.column(m), pa.float64()).combine_chunks() for m in measures]
+                ),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def q79_event_type_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total report (SQL ratio_to_report / count over ()): per
+    event type, its count and share of all events. Two-phase counts (q19's
+    shape) plus ONE scalar total — the share division happens on the
+    dimension-bounded driver frame, identical expression both oracle
+    sides."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).size().rename(columns={"size": "p_n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    g = parts.groupby("event_type", as_index=False).agg(n=("p_n", "sum"))
+    total = int(g["n"].sum())
+    g["n"] = g["n"].astype("int64")
+    g["share"] = round_away(g["n"].to_numpy(dtype=np.float64) / total, 4)
+    return g

@@ -134,6 +134,8 @@ SQL_CHECKED = [
     "q75_char_entropy",
     "q76_order_cube",
     "q77_moving_avg",
+    "q78_lineitem_melt",
+    "q79_event_type_share",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
