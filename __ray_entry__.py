@@ -469,6 +469,7 @@ def _labeling_quality_report(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ethiomart_amharic_ner_ray.pipelines import (
+        bpe,
         dedup,
         multimodal,
         relational,
@@ -559,6 +560,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q77_moving_avg": windows.q77_moving_avg,
         "q78_lineitem_melt": relational.q78_lineitem_melt,
         "q79_event_type_share": relational.q79_event_type_share,
+        "q80_unigram_logppl": textstats.q80_unigram_logppl,
+        "q81_copurchase_pairs": relational.q81_copurchase_pairs,
+        "q82_triangle_count": relational.q82_triangle_count,
+        "q83_brand_mad_outliers": relational.q83_brand_mad_outliers,
+        "q84_brand_price_regression": relational.q84_brand_price_regression,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -603,6 +609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "doc_rolling_fingerprints": textstats.rolling_fingerprints,
         "doc_pack_bins": textstats.doc_pack_bins,
+        "bpe_merges": lambda sf_dir: bpe.bpe_train(sf_dir, n_merges=10),
+        "bpe_token_counts": lambda sf_dir: bpe.bpe_token_counts(sf_dir, n_merges=10),
         "approx_distinct_report": sketches.approx_distinct_report,
         "approx_value_quantiles": lambda sf_dir: sketches.approx_quantiles(
             __import__(
@@ -1014,6 +1022,79 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
                   FROM lineitem)
             UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+        """,
+        "q80_unigram_logppl": r"""
+            WITH toks AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''
+            ),
+            tf AS (SELECT token, count(*)::DOUBLE AS tf FROM toks GROUP BY token),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM toks)
+            SELECT toks.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(-avg(ln(tf.tf / tot.n)), 4) AS logppl
+            FROM toks JOIN tf USING (token), tot
+            GROUP BY toks.doc_id
+        """,
+        "q81_copurchase_pairs": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 100
+        """,
+        "q82_triangle_count": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                  FROM lp a JOIN lp b
+                    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.x = e1.y
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+        """,
+        "q83_brand_mad_outliers": """
+            WITH med AS (
+                SELECT p_brand, count(*) AS n_parts,
+                       median(p_retailprice) AS med
+                FROM part GROUP BY p_brand
+            ),
+            dev AS (
+                SELECT p.p_brand, abs(p.p_retailprice - m.med) AS ad
+                FROM part p JOIN med m USING (p_brand)
+            ),
+            mad AS (SELECT p_brand, median(ad) AS mad FROM dev GROUP BY p_brand)
+            SELECT m.p_brand,
+                   CAST(m.n_parts AS BIGINT) AS n_parts,
+                   round(m.med, 4) AS median_price,
+                   round(d.mad, 4) AS mad,
+                   CAST(count(*) FILTER (WHERE dev.ad > (3.0 * 1.4826) * d.mad) AS BIGINT)
+                       AS n_outliers
+            FROM dev JOIN med m USING (p_brand) JOIN mad d USING (p_brand)
+            GROUP BY m.p_brand, m.n_parts, m.med, d.mad
+        """,
+        "q84_brand_price_regression": """
+            WITH s AS (
+                SELECT p_brand,
+                       count(*)::DOUBLE AS n,
+                       sum(p_size::DOUBLE) AS sx,
+                       sum(p_retailprice) AS sy,
+                       sum(p_size::DOUBLE * p_size::DOUBLE) AS sxx,
+                       sum(p_size::DOUBLE * p_retailprice) AS sxy
+                FROM part GROUP BY p_brand
+            )
+            SELECT p_brand,
+                   CAST(n AS BIGINT) AS n_parts,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+                       AS intercept
+            FROM s
         """,
         "q79_event_type_share": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

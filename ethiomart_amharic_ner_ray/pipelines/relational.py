@@ -1505,3 +1505,197 @@ def q79_event_type_share(sf_dir: str) -> pd.DataFrame:
     g["n"] = g["n"].astype("int64")
     g["share"] = round_away(g["n"].to_numpy(dtype=np.float64) / total, 4)
     return g
+
+
+def _order_part_pairs(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Shared co-order pair stream for the market-basket family (q81/q82):
+    distinct (order, part) per batch → ONE bucketed shuffle on the order key
+    → per-order pair expansion (a < b) inside the bucket, collapsed to
+    per-bucket partial pair counts before anything else moves. Fan-out is
+    quadratic in ORDER SIZE only (TPC-H baskets are ≤ 7 lines; a retail-scale
+    hot basket is capped the same way two_hop caps per-mid paths — cap k
+    parts per order by deterministic min-hash selection before pairing)."""
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    parts = ds.map_batches(distinct_partial, batch_format="pandas", batch_size=65536)
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()  # exact distinct: an order never spans buckets
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+        return g.rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "p_n"})
+
+    return bucketed_group_agg(parts, ["l_orderkey"], pair_counts, n_buckets=n_buckets)
+
+
+def q81_copurchase_pairs(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Frequent-itemset pair mining (market-basket co-occurrence): the
+    top-k part pairs by the number of orders containing both. Second phase
+    sums the per-order-bucket pair partials under ONE (a, b) bucket shuffle;
+    each pair lives in exactly one bucket, so per-bucket pre-top-k bounds
+    the driver collect to k × buckets rows (the q35 discipline)."""
+
+    pairs = _order_part_pairs(sf_dir)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["part_a", "part_b"], as_index=False).agg(n_orders=("p_n", "sum"))
+        g = g.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+        return g
+
+    cand = bucketed_group_agg(pairs, ["part_a", "part_b"], final, n_buckets=16).to_pandas()
+    out = (
+        cand.sort_values(["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out.astype({"part_a": "int64", "part_b": "int64", "n_orders": "int64"})
+
+
+def q82_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Distributed triangle counting over the part co-order graph (edge =
+    two parts share an order). The canonical two-join shape: wedges from
+    edges e1(x,y) ⋈ e2(y,z) on the CENTER vertex, closed against a third
+    edge on the OUTER pair — both as the engine's bucketed exchanges, so no
+    task ever sees the whole graph.
+
+    Orientation: every edge is directed low→high vertex id, so each
+    triangle {a<b<c} is generated exactly once as the wedge (a,b,c) centered
+    at b and closed by (a,c). Skew note (documented per the custom-operator
+    rule): a hot vertex of degree d makes d²/2 wedges; the cluster-scale
+    mitigation is degree orientation (direct edges toward the HIGHER-degree
+    endpoint by (deg, id) total order, bounding wedge work at the sum of
+    min-degree² — degrees come from one two-phase count and ride a
+    broadcast or a join, same math, same single-count guarantee)."""
+
+    pair_partials = _order_part_pairs(sf_dir)
+
+    def edge_final(df: pd.DataFrame) -> pd.DataFrame:
+        # distinct edges; counts are irrelevant for the triangle closure
+        return df[["part_a", "part_b"]].drop_duplicates()
+
+    edges = bucketed_group_agg(pair_partials, ["part_a", "part_b"], edge_final, n_buckets=16)
+
+    # wedge join on the center vertex: e1.part_b == e2.part_a (x<y<z holds
+    # transitively, so every wedge is canonical)
+    e1 = rename_cols(edges, {"part_a": "x", "part_b": "ctr"})
+    e2 = rename_cols(edges, {"part_a": "ctr", "part_b": "z"})
+    wedges = bucketed_join(e1, e2, on="ctr", n_buckets=32)
+
+    # closure: semi-join wedge (x, z) against the edge set on a composite
+    # key — merge_fn makes it a counting semi-join, so only per-bucket
+    # COUNTS leave the exchange
+    def key(df: pd.DataFrame, a: str, b: str) -> pd.Series:
+        return df[a].astype("int64") * np.int64(1 << 32) + df[b].astype("int64")
+
+    def wkey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        k = _pc.add(
+            _pc.multiply(_pc.cast(t.column("x"), pa.int64()), pa.scalar(1 << 32, pa.int64())),
+            _pc.cast(t.column("z"), pa.int64()),
+        )
+        return pa.table({"xz": k, "w": pa.array(np.ones(t.num_rows, dtype=np.int8))})
+
+    def ekey(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        k = _pc.add(
+            _pc.multiply(_pc.cast(t.column("part_a"), pa.int64()), pa.scalar(1 << 32, pa.int64())),
+            _pc.cast(t.column("part_b"), pa.int64()),
+        )
+        return pa.table({"xz": k, "e": pa.array(np.ones(t.num_rows, dtype=np.int8))})
+
+    w = wedges.map_batches(wkey, batch_format="pyarrow")
+    e = edges.map_batches(ekey, batch_format="pyarrow")
+
+    def count_closed(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        closed = ldf["xz"].isin(set(rdf["xz"].to_numpy())).sum()
+        return pd.DataFrame({"p_n": [int(closed)]})
+
+    counts = bucketed_join(w, e, on="xz", n_buckets=32, merge_fn=count_closed).to_pandas()
+    return pd.DataFrame({"n_triangles": pd.array([int(counts["p_n"].sum())], dtype="int64")})
+
+
+def q83_brand_mad_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Robust outlier detection per group (the winsorize/clip hygiene pass
+    of a numeric-feature pipeline): per brand, the price median, the median
+    absolute deviation, and the count of prices outside median ± 3·1.4826·MAD
+    (the normal-consistent MAD z-score). MAD is doubly holistic (a median OF
+    deviations from a median), so the group's raw values co-locate — the
+    q40/q48 co-location shape, ONE bucket shuffle on the brand, both medians
+    and the outlier count computed vectorized inside the group. Groups too
+    big for one task fall back to the sketch quantiles (pipelines/sketches),
+    as q40 documents. Prices sit on a 0.01 grid and the threshold is an
+    irrational multiple of the (0.005-grid) MAD, so the strict `>` boundary
+    cannot land on a data point (comparison is the identical IEEE expression
+    both sides)."""
+
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for brand, g in df.groupby("p_brand", sort=False):
+            x = g["p_retailprice"].to_numpy(dtype=np.float64)
+            med = float(np.median(x))
+            ad = np.abs(x - med)
+            mad = float(np.median(ad))
+            n_out = int((ad > (3.0 * 1.4826) * mad).sum())
+            outs.append((brand, len(x), med, mad, n_out))
+        out = pd.DataFrame(
+            outs, columns=["p_brand", "n_parts", "median_price", "mad", "n_outliers"]
+        )
+        out["median_price"] = round_away(out["median_price"].to_numpy(), 4)
+        out["mad"] = round_away(out["mad"].to_numpy(), 4)
+        return out.astype({"n_parts": "int64", "n_outliers": "int64"})
+
+    return bucketed_group_agg(ds, ["p_brand"], final, n_buckets=16)
+
+
+def q84_brand_price_regression(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped OLS (regr_slope/regr_intercept): per brand, the least-squares
+    line of retail price over part size. Fully decomposable — per-batch
+    grouped sufficient statistics (n, Σx, Σy, Σxx, Σxy) are the ONLY thing
+    the exchange carries (the q39 six-number shape, made per-group); the
+    slope/intercept algebra runs on the dimension-bounded final rows. The
+    oracle SQL spells out the same explicit sufficient-statistic expressions
+    instead of regr_slope(), so both sides share one expression tree and the
+    4dp round absorbs partial-sum ordering."""
+
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "n": 1.0,
+                "sx": df["p_size"].astype("float64"),
+                "sy": df["p_retailprice"].astype("float64"),
+            }
+        )
+        d["sxx"] = d["sx"] * d["sx"]
+        d["sxy"] = d["sx"] * d["sy"]
+        return d.groupby("p_brand", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).sum()
+        slope = (g["n"] * g["sxy"] - g["sx"] * g["sy"]) / (g["n"] * g["sxx"] - g["sx"] * g["sx"])
+        intercept = (g["sy"] - slope * g["sx"]) / g["n"]
+        return pd.DataFrame(
+            {
+                "p_brand": g["p_brand"],
+                "n_parts": g["n"].astype("int64"),
+                "slope": round_away(slope.to_numpy(), 4),
+                "intercept": round_away(intercept.to_numpy(), 4),
+            }
+        )
+
+    return bucketed_group_agg(partials, ["p_brand"], final, n_buckets=16)

@@ -821,3 +821,73 @@ def q67_shared_shingles(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     from .common import bucketed_group_agg
 
     return bucketed_group_agg(parts, ["sh"], final, n_buckets=16)
+
+
+def q80_unigram_logppl(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-LM quality score (the CCNet/KenLM-style perplexity filter of a
+    training-data pipeline, at unigram order): per document, the mean
+    negative log-likelihood of its tokens under the corpus-wide MLE unigram
+    model, −avg(ln(tf(token)/N)). Low = stereotyped/boilerplate, high =
+    rare-token noise; the mid-band is what a quality filter keeps.
+
+    Two-pass shape: pass 1 trains the model — the q35 per-batch token
+    partials ride ONE bucketed shuffle to exact (token, tf) rows; the vocab
+    table is collected and broadcast ONCE (ray.put; at cluster scale the
+    documented cap is top-V + an OOV tail bucket, the standard LM trick —
+    vocab rows, never corpus rows, hit the driver). Pass 2 re-scans the
+    corpus and scores each batch vectorized: one pandas get_indexer against
+    the per-worker cached vocab index (hash lookups in C, built once per
+    worker via get_broadcast — not pc.index_in, which rebuilds its hash
+    table per call), then ln() and a bincount-style grouped mean per doc.
+    Mirrors the oracle's expression tree: x = ln(tf/N) per token, then
+    avg, then the 4dp round of −avg."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .common import bucketed_group_agg, round_away
+
+    # ---- pass 1: unigram model (token -> tf), exact ----------------------
+    partials = _token_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def tf_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False).agg(tf=("tf", "sum"))
+
+    vocab = bucketed_group_agg(partials, ["token"], tf_final, n_buckets=16).to_pandas()
+    n_total = float(vocab["tf"].sum())
+    # prebuilt index + float tf array: the broadcast payload IS the built
+    # lookup structure, so workers deserialize it ready to probe
+    ref = ray.put((pd.Index(vocab["token"]), vocab["tf"].to_numpy(dtype=np.float64), n_total))
+
+    # ---- pass 2: score every document against the broadcast model --------
+    def score(t: pa.Table) -> pa.Table:
+        from .common import get_broadcast
+
+        idx, tf, n = get_broadcast(ref)
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tok = flat.to_pandas()
+        keep = (tok != "").to_numpy()
+        parent = parent[keep]
+        pos = idx.get_indexer(pd.Index(tok[keep]))
+        # every scanned token was counted in pass 1, so pos >= 0 by
+        # construction; a top-V model would route pos < 0 to the OOV bucket
+        x = np.log(tf[pos] / n)
+        n_rows = t.num_rows
+        sums = np.bincount(parent, weights=x, minlength=n_rows)
+        cnts = np.bincount(parent, minlength=n_rows)
+        has = cnts > 0
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id").take(pa.array(np.flatnonzero(has))),
+                "n_tokens": pa.array(cnts[has].astype(np.int64)),
+                "logppl": pa.array(round_away(-(sums[has] / cnts[has]), 4)),
+            }
+        )
+        return out
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -136,6 +136,11 @@ SQL_CHECKED = [
     "q77_moving_avg",
     "q78_lineitem_melt",
     "q79_event_type_share",
+    "q80_unigram_logppl",
+    "q81_copurchase_pairs",
+    "q82_triangle_count",
+    "q83_brand_mad_outliers",
+    "q84_brand_price_regression",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
