@@ -467,6 +467,12 @@ def _labeling_quality_report(sf_dir: str):
     return quality_report(_labeling_prepared(sf_dir))
 
 
+def _export_sorted_ranges(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.export import export_sorted_ranges
+
+    return export_sorted_ranges(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ethiomart_amharic_ner_ray.pipelines import (
         bpe,
@@ -565,6 +571,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q82_triangle_count": relational.q82_triangle_count,
         "q83_brand_mad_outliers": relational.q83_brand_mad_outliers,
         "q84_brand_price_regression": relational.q84_brand_price_regression,
+        "q85_fuzzy_name_pairs": similarity.q85_fuzzy_name_pairs,
+        "q86_keyword_search": textstats.q86_keyword_search,
+        "q87_group_centroids": similarity.q87_group_centroids,
+        "q88_table_profile": relational.q88_table_profile,
+        "q89_daily_gapfill": relational.q89_daily_gapfill,
+        "q90_embedding_covariance": similarity.q90_embedding_covariance,
+        "er_canonical_names": similarity.er_canonical_names,
+        "keyword_index_search": textstats.keyword_index_search,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
         "q32_event_type_pivot": relational.q32_event_type_pivot,
         "q33_top3_events_per_user": relational.q33_top3_events_per_user,
@@ -611,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_bins": textstats.doc_pack_bins,
         "bpe_merges": lambda sf_dir: bpe.bpe_train(sf_dir, n_merges=10),
         "bpe_token_counts": lambda sf_dir: bpe.bpe_token_counts(sf_dir, n_merges=10),
+        "export_sorted_ranges": _export_sorted_ranges,
         "approx_distinct_report": sketches.approx_distinct_report,
         "approx_value_quantiles": lambda sf_dir: sketches.approx_quantiles(
             __import__(
@@ -1022,6 +1037,108 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
                   FROM lineitem)
             UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+        """,
+        "q85_fuzzy_name_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY name_a, name_b
+        """,
+        "q87_group_centroids": """
+            SELECT g, CAST(idx AS BIGINT) AS dim,
+                   round(avg(v), 4) AS centroid,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT vec_id % 4 AS g,
+                         unnest(embedding) AS v,
+                         unnest(generate_series(0, len(embedding) - 1)) AS idx
+                  FROM embeddings)
+            GROUP BY g, idx
+        """,
+        "q86_keyword_search": r"""
+            SELECT doc_id FROM (
+                SELECT DISTINCT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t IN ('spark', 'join', 'fast'))
+            GROUP BY doc_id
+            HAVING count(DISTINCT token) = 3
+        """,
+        "keyword_index_search": r"""
+            SELECT doc_id FROM (
+                SELECT DISTINCT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t IN ('spark', 'join', 'fast'))
+            GROUP BY doc_id
+            HAVING count(DISTINCT token) = 3
+        """,
+        "q88_table_profile": """
+            SELECT * FROM (
+                SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+                       round(min(l_quantity), 4) AS min_val,
+                       round(max(l_quantity), 4) AS max_val,
+                       round(avg(l_quantity), 4) AS mean_val
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                       round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+                       round(avg(l_extendedprice), 4)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_discount) AS BIGINT),
+                       round(min(l_discount), 4), round(max(l_discount), 4),
+                       round(avg(l_discount), 4)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(l_tax) AS BIGINT),
+                       round(min(l_tax), 4), round(max(l_tax), 4),
+                       round(avg(l_tax), 4)
+                FROM lineitem
+            ) ORDER BY col_name
+        """,
+        "q89_daily_gapfill": """
+            WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+                                   CAST(max(ts) AS DATE) AS hi FROM events),
+            days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+                     FROM bounds),
+            cnt AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                    FROM events WHERE value >= 300.0 GROUP BY 1)
+            SELECT strftime(days.d, '%Y-%m-%d') AS day,
+                   CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_events
+            FROM days LEFT JOIN cnt ON days.d = cnt.d
+            ORDER BY day
+        """,
+        "q90_embedding_covariance": """
+            WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                              unnest(generate_series(0, len(embedding) - 1)) AS i
+                       FROM embeddings)
+            SELECT a.i AS i, b.i AS j, round(covar_samp(a.v, b.v), 6) AS cov
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+            ORDER BY i, j
+        """,
+        "er_canonical_names": """
+            WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+            pairs AS (
+                SELECT a.p_name AS x, b.p_name AS y
+                FROM names a JOIN names b ON a.p_name <> b.p_name
+                WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ),
+            reach(node, lbl) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT p.x, r.lbl FROM pairs p JOIN reach r ON r.node = p.y
+            )
+            SELECT node AS name, min(lbl) AS canon_name
+            FROM reach GROUP BY node ORDER BY name
         """,
         "q80_unigram_logppl": r"""
             WITH toks AS (

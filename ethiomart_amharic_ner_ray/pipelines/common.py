@@ -205,6 +205,8 @@ def bucketed_join(
 
     def harmonize(side: int):
         def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
             cols = {}
             for field in fields:
                 if field.name in t.schema.names:
@@ -214,6 +216,17 @@ def bucketed_join(
                     elif col.type != field.type:  # pandas-roundtripped blocks
                         col = col.cast(field.type)
                     cols[field.name] = col
+                elif pa.types.is_integer(field.type) or pa.types.is_floating(field.type):
+                    # zero-fill the OTHER side's numeric columns instead of
+                    # null-padding: map_groups' pandas conversion turns a
+                    # null-bearing int64 column into float64 for the WHOLE
+                    # bucket, silently corrupting 64-bit keys past 2^53
+                    # (e.g. siphash node ids). The filler is never read —
+                    # each side's merge projection drops the other side's
+                    # columns before use.
+                    cols[field.name] = pa.array(
+                        np.zeros(t.num_rows, dtype=field.type.to_pandas_dtype()), field.type
+                    )
                 else:
                     cols[field.name] = pa.nulls(t.num_rows, field.type)
             out = pa.table(cols)

@@ -1699,3 +1699,95 @@ def q84_brand_price_regression(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(partials, ["p_brand"], final, n_buckets=16)
+
+
+def q88_table_profile(sf_dir: str) -> "ray.data.Dataset":
+    """One-pass data-profiling operator (the validation step every ingest
+    pipeline runs before training): per numeric column, row count, null
+    count, min, max, mean — emitted LONG (col_name, …) so adding columns
+    never changes the schema. Fully decomposable: each batch collapses to
+    ONE partial row per column (count/nulls/sum/min/max are all mergeable),
+    so the exchange carries O(blocks × columns) rows regardless of data
+    size; profiling 100 TB costs one streaming read plus a constant-size
+    reduce. The same shape extends to any mergeable per-column statistic
+    (variance via sum-of-squares, sketches for distinct/quantiles — see
+    sketches.py)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = read_table(sf_dir, "lineitem", columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = df[c]
+            rows.append(
+                {
+                    "col_name": c,
+                    "p_n": len(v),
+                    "p_nulls": int(v.isna().sum()),
+                    "p_sum": float(v.sum()),
+                    "p_min": float(v.min()),
+                    "p_max": float(v.max()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("col_name", as_index=False).agg(
+            n_rows=("p_n", "sum"),
+            n_nulls=("p_nulls", "sum"),
+            s=("p_sum", "sum"),
+            min_val=("p_min", "min"),
+            max_val=("p_max", "max"),
+        )
+        nonnull = g["n_rows"] - g["n_nulls"]
+        g["mean_val"] = round_away(g["s"] / nonnull.replace(0, np.nan), 4)
+        g["min_val"] = round_away(g["min_val"].to_numpy(), 4)
+        g["max_val"] = round_away(g["max_val"].to_numpy(), 4)
+        g["n_rows"] = g["n_rows"].astype("int64")
+        g["n_nulls"] = g["n_nulls"].astype("int64")
+        return g[["col_name", "n_rows", "n_nulls", "min_val", "max_val", "mean_val"]]
+
+    return bucketed_group_agg(partials, ["col_name"], final, n_buckets=4)
+
+
+def q89_daily_gapfill(sf_dir: str, threshold: float = 300.0) -> pd.DataFrame:
+    """Dense-calendar gap fill (time-series prep: a model reading daily
+    rates needs explicit zeros, not missing rows): daily counts of
+    high-value events with every day of the table's full span present.
+    Two bounded aggregations share one column read: per-batch (day, n)
+    partials for the filtered counts (bucketed reduce) and a global
+    min/max-day partial (tiny driver reduce). The calendar itself is
+    driver-side by design — its size is the DATE SPAN, not the data
+    (100 TB of events over 5 years is still ~1,800 rows), joined to the
+    aggregated counts which are already calendar-sized."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.normalize()
+        hot = df.loc[df["value"] >= threshold]
+        out = (
+            hot["ts"].dt.normalize().value_counts().rename_axis("day").reset_index(name="p_n")
+        )
+        # one sentinel row carries the block's full-span min/max day so the
+        # calendar bounds ride the same partial exchange (p_n = 0 rows are
+        # dropped after the reduce, never miscounted)
+        bounds = pd.DataFrame({"day": [day.min(), day.max()], "p_n": [0, 0]})
+        return pd.concat([out, bounds], ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("day", as_index=False)["p_n"].sum()
+
+    counts = bucketed_group_agg(partials, ["day"], final, n_buckets=8).to_pandas()
+    lo, hi = counts["day"].min(), counts["day"].max()
+    cal = pd.DataFrame({"day": pd.date_range(lo, hi, freq="D")})
+    out = cal.merge(counts.loc[counts["p_n"] > 0], on="day", how="left").fillna({"p_n": 0})
+    return pd.DataFrame(
+        {
+            "day": out["day"].dt.strftime("%Y-%m-%d"),
+            "n_events": out["p_n"].astype("int64"),
+        }
+    ).sort_values("day").reset_index(drop=True)

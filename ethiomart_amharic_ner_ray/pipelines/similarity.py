@@ -607,3 +607,299 @@ def ann_ivf_partitioned_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def _pairwise_levenshtein(A: list, B: list) -> "np.ndarray":
+    """Exact edit-distance matrix for two small string chunks, vectorized
+    across the PAIR axes: one (ma+1, mb+1, |A|, |B|) DP table whose inner
+    cells are numpy mins over all pairs at once — O(ma·mb) vector ops total
+    instead of a Python DP per pair. Memory is ma·mb·|A|·|B| int32 — the
+    chunk size is the knob that bounds it (same discipline as the embedding
+    chunk-pair join). Padding cells are computed but never read: the answer
+    for pair (x, y) is D[len(A[x]), len(B[y]), x, y]."""
+    nA, nB = len(A), len(B)
+    la = np.array([len(s) for s in A], dtype=np.int32)
+    lb = np.array([len(s) for s in B], dtype=np.int32)
+    ma, mb = int(la.max(initial=0)), int(lb.max(initial=0))
+    Ae = np.zeros((nA, ma), dtype=np.int32)
+    for i, s in enumerate(A):
+        Ae[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    Be = np.zeros((nB, mb), dtype=np.int32)
+    for i, s in enumerate(B):
+        Be[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    D = np.zeros((ma + 1, mb + 1, nA, nB), dtype=np.int32)
+    D[:, 0] = np.arange(ma + 1, dtype=np.int32)[:, None, None]
+    D[0, :] = np.arange(mb + 1, dtype=np.int32)[:, None, None]
+    for i in range(1, ma + 1):
+        for j in range(1, mb + 1):
+            sub = D[i - 1, j - 1] + (Ae[:, i - 1][:, None] != Be[:, j - 1][None, :])
+            D[i, j] = np.minimum(np.minimum(D[i - 1, j] + 1, D[i, j - 1] + 1), sub)
+    return D[la[:, None], lb[None, :], np.arange(nA)[:, None], np.arange(nB)[None, :]]
+
+
+def _distinct_names_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Two-phase distinct over part names: per-batch drop_duplicates →
+    bucketed exact distinct (the vocabulary-shrink step shared by the
+    fuzzy join and entity resolution)."""
+    ds = read_table(sf_dir, "part", columns=["p_name"])
+
+    def dpart(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return bucketed_group_agg(
+        ds.map_batches(dpart, batch_format="pandas", batch_size=65536),
+        ["p_name"],
+        dpart,
+        n_buckets=16,
+    )
+
+
+def _fuzzy_pairs_ds(
+    names: "ray.data.Dataset", max_dist: int = 2, n_chunks: int = 4
+) -> "ray.data.Dataset":
+    """Distributed exact Levenshtein ≤ max_dist self-join over a distinct
+    name Dataset → (name_a, name_b, dist) pair Dataset (name_a < name_b).
+    See q85_fuzzy_name_pairs for the shape discussion."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        vals = t.column("p_name").to_pandas()
+        h = pd.util.hash_pandas_object(vals, index=False).to_numpy()
+        chunks = (h % np.uint64(n_chunks)).astype(np.int64)
+        n = len(vals)
+        idx = np.tile(np.arange(n), n_chunks)
+        c_rep = chunks[idx]
+        o_rep = np.repeat(np.arange(n_chunks, dtype=np.int64), n)
+        lo = np.minimum(c_rep, o_rep)
+        hi = np.maximum(c_rep, o_rep)
+        return pa.table(
+            {
+                "pk": pa.array(lo * n_chunks + hi, pa.int64()),
+                "p_name": pa.array(vals.to_numpy()[idx], pa.string()),
+                "chunk": pa.array(c_rep, pa.int64()),
+            }
+        )
+
+    EMPTY = pd.DataFrame(
+        {
+            "name_a": pd.Series([], dtype=object),
+            "name_b": pd.Series([], dtype=object),
+            "dist": pd.array([], dtype="int64"),
+        }
+    )
+
+    def one_pair(pk: int, df: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = pk // n_chunks, pk % n_chunks
+        A = df.loc[df["chunk"] == ci, "p_name"].tolist()
+        B = df.loc[df["chunk"] == cj, "p_name"].tolist()
+        if not A or not B:
+            return EMPTY
+        dist = _pairwise_levenshtein(A, B)
+        ii, jj = np.where(dist <= max_dist)
+        an = np.array(A, dtype=object)[ii]
+        bn = np.array(B, dtype=object)[jj]
+        swap = bn < an
+        lo = np.where(swap, bn, an)
+        hi = np.where(swap, an, bn)
+        keep = lo < hi  # drops self-pairs
+        if ci == cj:
+            keep &= an < bn  # triangle group emits each unordered pair twice
+        return pd.DataFrame(
+            {
+                "name_a": lo[keep],
+                "name_b": hi[keep],
+                "dist": dist[ii[keep], jj[keep]].astype("int64"),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [one_pair(int(pk), g) for pk, g in df.groupby("pk", sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else EMPTY
+
+    expanded = names.map_batches(expand, batch_format="pyarrow")
+    return bucketed_group_agg(expanded, ["pk"], per_bucket, n_buckets=16)
+
+
+def q85_fuzzy_name_pairs(sf_dir: str, max_dist: int = 2, n_chunks: int = 4) -> pd.DataFrame:
+    """Fuzzy string self-join (entity-resolution blocking's exact anchor):
+    all DISTINCT part-name pairs within Levenshtein distance ``max_dist``.
+
+    Shape: two-phase distinct shrinks the corpus to its name VOCABULARY
+    (names repeat heavily — the same trick as BPE's word table), then the
+    vocabulary rides the chunk-pair self-join of the embedding near-dup
+    path (each name → its C unordered chunk pairs, ONE shuffle, per-task
+    work (V/C)² pairs with a batch-vectorized DP). Exact by construction —
+    no lossy blocking. At web-scale vocabularies the documented prunes are
+    length bands inside the task (|len(a)−len(b)| ≤ d is necessary) and
+    shared-q-gram blocking across tasks (count filtering — exact only when
+    min_len − q + 1 > d·q)."""
+    out = _fuzzy_pairs_ds(_distinct_names_ds(sf_dir), max_dist, n_chunks).to_pandas()
+    return (
+        out.sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+        .astype({"dist": "int64"})
+    )
+
+
+def q87_group_centroids(sf_dir: str, n_groups: int = 4) -> "ray.data.Dataset":
+    """Grouped vector centroid (the k-means M-step / class-prototype
+    aggregate, standalone): per group, the element-wise mean of its
+    embedding vectors, emitted LONG (group, dim, centroid) so the oracle
+    compares scalars, not lists. Fully decomposable: each batch collapses
+    to ≤ groups×dim partial-sum rows (one np.add.at scatter over the
+    stacked matrix — no per-vector Python), the exchange never carries a
+    raw vector, and the final divide runs on dimension-bounded rows. The
+    same shape with k-means assignments as the group key is the
+    `kmeans_assign` update step."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb.to_pylist()])
+        g = (ids % n_groups).astype(np.int64)
+        dim = m.shape[1]
+        sums = np.zeros((n_groups, dim), dtype=np.float64)
+        np.add.at(sums, g, m)
+        counts = np.bincount(g, minlength=n_groups).astype(np.int64)
+        present = np.flatnonzero(counts > 0)
+        k = len(present)
+        return pa.table(
+            {
+                "g": pa.array(np.repeat(present, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+                "p_sum": pa.array(sums[present].ravel()),
+                "p_n": pa.array(np.repeat(counts[present], dim)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["g", "dim"], as_index=False).agg(s=("p_sum", "sum"), n=("p_n", "sum"))
+        out["centroid"] = round_away(out["s"].to_numpy() / out["n"].to_numpy(), 4)
+        out["n"] = out["n"].astype("int64")
+        return out[["g", "dim", "centroid", "n"]]
+
+    return bucketed_group_agg(parts, ["g", "dim"], final, n_buckets=16)
+
+
+def er_canonical_names(sf_dir: str, max_dist: int = 2, n_chunks: int = 4) -> pd.DataFrame:
+    """Entity resolution end-to-end (the dedup step for ENTITIES rather
+    than documents): every distinct part name mapped to its cluster's
+    canonical form, where clusters are connected components of the exact
+    Levenshtein ≤ ``max_dist`` graph and the canonical form is the
+    lexicographic minimum name of the component (singletons map to
+    themselves). Composition of three scale-safe pieces, all distributed:
+    the fuzzy chunk-pair self-join (q85), min-label connected components
+    (graph.py — one bucketed join + one bucketed min-groupby per round),
+    and two bucketed joins to translate ids back to names. Names ride the
+    component machinery as deterministic 64-bit siphashes (the engine-wide
+    key hash); a hash collision would merge two unrelated names — at
+    ~2⁻⁶⁴·V² for a V-name vocabulary that is negligible even at 10⁹
+    names, and the canonical-min is recomputed over NAMES so a collision
+    can never corrupt unaffected clusters."""
+    from .common import bucketed_join, rename_cols
+    from .graph import connected_components_minlabel
+
+    names = _distinct_names_ds(sf_dir)
+    pairs = _fuzzy_pairs_ds(names, max_dist, n_chunks)
+
+    def _h(vals: pd.Series) -> np.ndarray:
+        return pd.util.hash_pandas_object(vals, index=False).to_numpy().view(np.int64)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table(
+            {"a": pa.array(_h(df["name_a"]), pa.int64()), "b": pa.array(_h(df["name_b"]), pa.int64())}
+        )
+
+    labels = connected_components_minlabel(
+        pairs.map_batches(to_edges, batch_format="pyarrow"), n_buckets=16
+    )  # (doc_id=node hash, cluster_rep) — only nodes with ≥1 edge
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table(
+            {"p_name": pa.array(df["p_name"], pa.string()), "node": pa.array(_h(df["p_name"]), pa.int64())}
+        )
+
+    nodes = names.map_batches(to_nodes, batch_format="pyarrow")
+    # LEFT-join semantics for singletons: union identity labels and take
+    # the min label per node (identity loses exactly when CC assigned a
+    # smaller rep; isolated names keep themselves)
+    ident = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
+        batch_format="pyarrow",
+    )
+    cc = rename_cols(labels, {"doc_id": "node", "cluster_rep": "label"})
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["label"].min()
+
+    full = bucketed_group_agg(ident.union(cc), ["node"], min_label, n_buckets=16)
+    named = bucketed_join(nodes, full, on="node", n_buckets=16)
+
+    def min_name(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("label", as_index=False).agg(canon_name=("p_name", "min"))
+
+    canon = bucketed_group_agg(
+        named.select_columns(["label", "p_name"]), ["label"], min_name, n_buckets=16
+    )
+    out = bucketed_join(
+        named.select_columns(["p_name", "label"]), canon, on="label", n_buckets=16
+    ).to_pandas()
+    return (
+        out[["p_name", "canon_name"]]
+        .rename(columns={"p_name": "name"})
+        .sort_values("name")
+        .reset_index(drop=True)
+    )
+
+
+def q90_embedding_covariance(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed covariance matrix of the embedding column (the PCA /
+    whitening / Mahalanobis prerequisite), emitted LONG (i, j, cov) over
+    the upper triangle. Decomposable sufficient statistics: each batch
+    collapses to one dim×dim Gram partial (ONE float64 matmul — no
+    per-vector Python) plus column sums and a count, shipped as ≤
+    dim·(dim+1)/2 rows per block; the exchange never carries a raw
+    vector and the final combine runs on dimension-bounded rows. At 100 TB
+    the cost is one streaming read + an O(blocks · dim²) reduce — the
+    same shape as q39/q84's moment aggregation lifted to matrices."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t)
+        n, dim = m.shape
+        gram = m.T @ m
+        s = m.sum(axis=0)
+        iu, ju = np.triu_indices(dim)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "p_xy": pa.array(gram[iu, ju]),
+                "p_x": pa.array(s[iu]),
+                "p_y": pa.array(s[ju]),
+                "p_n": pa.array(np.full(len(iu), n, dtype=np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["i", "j"], as_index=False).agg(
+            sxy=("p_xy", "sum"), sx=("p_x", "sum"), sy=("p_y", "sum"), n=("p_n", "sum")
+        )
+        cov = (g["sxy"] - g["sx"] * g["sy"] / g["n"]) / (g["n"] - 1)
+        return pd.DataFrame(
+            {
+                "i": g["i"].astype("int64"),
+                "j": g["j"].astype("int64"),
+                "cov": round_away(cov.to_numpy(), 6),
+            }
+        )
+
+    return bucketed_group_agg(partials, ["i", "j"], final, n_buckets=16)

@@ -141,6 +141,14 @@ SQL_CHECKED = [
     "q82_triangle_count",
     "q83_brand_mad_outliers",
     "q84_brand_price_regression",
+    "q85_fuzzy_name_pairs",
+    "q86_keyword_search",
+    "q87_group_centroids",
+    "q88_table_profile",
+    "q89_daily_gapfill",
+    "q90_embedding_covariance",
+    "er_canonical_names",
+    "keyword_index_search",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
