@@ -577,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q88_table_profile": relational.q88_table_profile,
         "q89_daily_gapfill": relational.q89_daily_gapfill,
         "q90_embedding_covariance": similarity.q90_embedding_covariance,
+        "q91_interval_merge": windows.q91_interval_merge,
+        "q92_snapshot_diff": relational.q92_snapshot_diff,
+        "q93_referential_integrity": relational.q93_referential_integrity,
+        "q94_skyline": relational.q94_skyline,
         "er_canonical_names": similarity.er_canonical_names,
         "keyword_index_search": textstats.keyword_index_search,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
@@ -1124,6 +1128,83 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i
             ORDER BY i, j
+        """,
+        "q91_interval_merge": """
+            WITH iv AS (
+                SELECT user_id, event_id, ts AS s,
+                       ts + to_seconds(CAST(floor(value * 100) AS BIGINT)) AS e
+                FROM events
+            ),
+            m AS (
+                SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM iv
+            ),
+            g AS (
+                SELECT *, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY s, event_id) AS gid
+                FROM m
+            )
+            SELECT user_id, CAST(gid AS BIGINT) AS interval_id,
+                   MIN(s) AS start_ts, MAX(e) AS end_ts,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, gid ORDER BY user_id, interval_id
+        """,
+        "q92_snapshot_diff": """
+            WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0),
+            b AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 4)
+                              ELSE o_totalprice END AS o_totalprice
+                  FROM orders WHERE o_orderkey % 89 <> 0)
+            SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                        WHEN b.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type,
+                   coalesce(round(a.o_totalprice, 4), -1.0) AS old_price,
+                   coalesce(round(b.o_totalprice, 4), -1.0) AS new_price
+            FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+            WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+               OR a.o_totalprice <> b.o_totalprice
+            ORDER BY o_orderkey
+        """,
+        "q93_referential_integrity": """
+            SELECT * FROM (
+                SELECT 'lineitem.l_partkey->part' AS relation,
+                       CAST(count(*) AS BIGINT) AS fact_rows,
+                       CAST(coalesce(sum(CASE WHEN d.p_partkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphan_rows,
+                       CAST(count(DISTINCT CASE WHEN d.p_partkey IS NULL THEN l.l_partkey END) AS BIGINT) AS orphan_keys
+                FROM lineitem l
+                LEFT JOIN (SELECT p_partkey FROM part WHERE p_partkey % 13 <> 0) d
+                  ON l.l_partkey = d.p_partkey
+                UNION ALL
+                SELECT 'lineitem.l_suppkey->supplier',
+                       CAST(count(*) AS BIGINT),
+                       CAST(coalesce(sum(CASE WHEN d.s_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                       CAST(count(DISTINCT CASE WHEN d.s_suppkey IS NULL THEN l.l_suppkey END) AS BIGINT)
+                FROM lineitem l
+                LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 11 <> 0) d
+                  ON l.l_suppkey = d.s_suppkey
+                UNION ALL
+                SELECT 'orders.o_custkey->customer',
+                       CAST(count(*) AS BIGINT),
+                       CAST(coalesce(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                       CAST(count(DISTINCT CASE WHEN d.c_custkey IS NULL THEN o.o_custkey END) AS BIGINT)
+                FROM orders o
+                LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 17 <> 0) d
+                  ON o.o_custkey = d.c_custkey
+            ) ORDER BY relation
+        """,
+        "q94_skyline": """
+            SELECT a.p_partkey,
+                   round(a.p_retailprice, 4) AS p_retailprice,
+                   CAST(a.p_size AS BIGINT) AS p_size
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+            )
+            ORDER BY a.p_partkey
         """,
         "er_canonical_names": """
             WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),

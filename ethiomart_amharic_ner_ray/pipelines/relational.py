@@ -1791,3 +1791,163 @@ def q89_daily_gapfill(sf_dir: str, threshold: float = 300.0) -> pd.DataFrame:
             "n_events": out["p_n"].astype("int64"),
         }
     ).sort_values("day").reset_index(drop=True)
+
+
+def q92_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Snapshot diff / CDC classification: compare two snapshots of the
+    orders table (derived deterministically here — old drops keys %97==0,
+    new drops keys %89==0 and bumps prices 10% on keys %7==0) and emit
+    every added / removed / changed key. The engine shape is the general
+    one: tag each snapshot side, union, ONE bucketed shuffle on the key,
+    and an in-bucket vectorized outer merge + classification — neither
+    snapshot is ever broadcast or driver-materialized, so the same code
+    diffs two 50 TB snapshots with the shuffle as the only exchange."""
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def tag_sides(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].to_numpy()
+        price = df["o_totalprice"].to_numpy(dtype=np.float64)
+        old = pd.DataFrame({"o_orderkey": key[key % 97 != 0], "side": 0,
+                            "price": price[key % 97 != 0]})
+        new_mask = key % 89 != 0
+        new_price = price.copy()
+        bump = key % 7 == 0
+        new_price[bump] = round_away(new_price[bump] * 1.1, 4)
+        new = pd.DataFrame({"o_orderkey": key[new_mask], "side": 1,
+                            "price": new_price[new_mask]})
+        return pd.concat([old, new], ignore_index=True)
+
+    both = ds.map_batches(tag_sides, batch_format="pandas", batch_size=65536)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.loc[df["side"] == 0, ["o_orderkey", "price"]].rename(columns={"price": "old"})
+        b = df.loc[df["side"] == 1, ["o_orderkey", "price"]].rename(columns={"price": "new"})
+        m = a.merge(b, on="o_orderkey", how="outer")
+        added = m["old"].isna()
+        removed = m["new"].isna()
+        changed = ~added & ~removed & (m["old"] != m["new"])
+        m = m.loc[added | removed | changed]
+        ct = np.where(m["old"].isna(), "added", np.where(m["new"].isna(), "removed", "changed"))
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "change_type": ct,
+                "old_price": round_away(m["old"].fillna(-1.0).to_numpy(), 4),
+                "new_price": round_away(m["new"].fillna(-1.0).to_numpy(), 4),
+            }
+        )
+
+    return bucketed_group_agg(both, ["o_orderkey"], final, n_buckets=64)
+
+
+def q93_referential_integrity(sf_dir: str) -> "ray.data.Dataset":
+    """Referential-integrity audit (the data-quality gate a warehouse load
+    runs before publishing): count fact rows whose foreign key is missing
+    from its dimension, per relation, plus how many DISTINCT keys are
+    orphaned. Dimensions are deterministically damaged here (part %13,
+    supplier %11, customer %17 dropped) so the audit has real findings.
+    Scale shape: each dimension's key set is broadcast ONCE (sorted int64
+    array via ray.put); facts stream through stateless map_batches tasks
+    emitting one counts row plus the batch's distinct orphan keys — the
+    partial exchanged per batch is bounded by the DIMENSION cardinality,
+    never the fact row count, and the final reduce groups 3 relations."""
+
+    dims = {
+        "lineitem.l_partkey->part": ("part", "p_partkey", 13),
+        "lineitem.l_suppkey->supplier": ("supplier", "s_suppkey", 11),
+        "orders.o_custkey->customer": ("customer", "c_custkey", 17),
+    }
+    refs = {}
+    for rel, (dim_tbl, dim_key, drop_mod) in dims.items():
+        keys = read_small(sf_dir, dim_tbl, columns=[dim_key]).column(dim_key).to_numpy()
+        keys = np.sort(keys[keys % drop_mod != 0]).astype("int64")
+        refs[rel] = ray.put(keys)
+
+    def audit(df: pd.DataFrame, fk_map: dict) -> pd.DataFrame:
+        outs = []
+        for rel, (col, ref) in fk_map.items():
+            dim_keys = get_broadcast(ref)
+            fk = df[col].to_numpy()
+            idx = np.searchsorted(dim_keys, fk)
+            idx_c = np.clip(idx, 0, len(dim_keys) - 1)
+            orphan = dim_keys[idx_c] != fk
+            rows = [{"relation": rel, "key": -1, "p_rows": len(fk), "p_orph": int(orphan.sum())}]
+            for k in np.unique(fk[orphan]):
+                rows.append({"relation": rel, "key": int(k), "p_rows": 0, "p_orph": 0})
+            outs.append(pd.DataFrame(rows))
+        return pd.concat(outs, ignore_index=True)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]).map_batches(
+        audit,
+        fn_kwargs={"fk_map": {
+            "lineitem.l_partkey->part": ("l_partkey", refs["lineitem.l_partkey->part"]),
+            "lineitem.l_suppkey->supplier": ("l_suppkey", refs["lineitem.l_suppkey->supplier"]),
+        }},
+        batch_format="pandas", batch_size=65536,
+    )
+    od = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        audit,
+        fn_kwargs={"fk_map": {
+            "orders.o_custkey->customer": ("o_custkey", refs["orders.o_custkey->customer"]),
+        }},
+        batch_format="pandas", batch_size=65536,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("relation")
+        out = pd.DataFrame(
+            {
+                "fact_rows": g["p_rows"].sum(),
+                "orphan_rows": g["p_orph"].sum(),
+                "orphan_keys": g["key"].agg(lambda s: int(s[s >= 0].nunique())),
+            }
+        ).reset_index()
+        for c in ("fact_rows", "orphan_rows", "orphan_keys"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_agg(li.union(od), ["relation"], final, n_buckets=4)
+
+
+def _pair_skyline(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Surviving (price, size) pairs of the min-price/max-size skyline:
+    per distinct price keep the max size (same price, smaller size is
+    strictly dominated), then a price-ascending scan keeps only pairs whose
+    size strictly exceeds every cheaper pair's (vectorized cummax-shift)."""
+    best = pairs.groupby("p_retailprice", as_index=False)["p_size"].max()
+    best = best.sort_values("p_retailprice", kind="mergesort")
+    sz = best["p_size"].to_numpy()
+    run = np.maximum.accumulate(sz)
+    prev = np.concatenate([[np.iinfo("int64").min], run[:-1]])
+    return best.loc[sz > prev]
+
+
+def q94_skyline(sf_dir: str) -> pd.DataFrame:
+    """Distributed skyline (pareto frontier): parts not dominated on
+    (minimize p_retailprice, maximize p_size); exact-duplicate (price,
+    size) rows all survive, matching the SQL NOT-EXISTS strict-dominance
+    oracle. Scale shape: the classic local-then-global skyline — each
+    batch reduces to the rows matching its LOCAL pair-skyline (global
+    skyline ⊆ union of local skylines, since in-batch dominance is global
+    dominance), so the driver-side final pass sees at most
+    (#distinct sizes) pairs per batch, bounded by the SIZE DOMAIN, not the
+    table."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["p_size"] = df["p_size"].astype("int64")
+        keep = _pair_skyline(df[["p_retailprice", "p_size"]])
+        return df.merge(keep, on=["p_retailprice", "p_size"])
+
+    cand = ds.map_batches(local, batch_format="pandas", batch_size=65536).to_pandas()
+    keep = _pair_skyline(cand[["p_retailprice", "p_size"]])
+    out = cand.merge(keep, on=["p_retailprice", "p_size"])
+    return pd.DataFrame(
+        {
+            "p_partkey": out["p_partkey"].astype("int64"),
+            "p_retailprice": round_away(out["p_retailprice"].to_numpy(), 4),
+            "p_size": out["p_size"],
+        }
+    ).sort_values("p_partkey").reset_index(drop=True)

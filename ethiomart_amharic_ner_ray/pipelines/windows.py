@@ -419,3 +419,42 @@ def q77_moving_avg(sf_dir: str, days: int = 7) -> "ray.data.Dataset":
         return out
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q91_interval_merge(sf_dir: str, dur_scale: int = 100) -> "ray.data.Dataset":
+    """Merge overlapping intervals per user (gaps-and-islands over SPANS,
+    not points — the scheduling/uptime primitive q21's gap sessionizer
+    can't express because intervals have variable lengths: an island ends
+    only when the next start exceeds the running MAX of every prior
+    interval's end, not the previous row's). Each event spans
+    [ts, ts + floor(value*dur_scale) seconds]. ONE user-bucket shuffle;
+    in-bucket the island ids come from a vectorized grouped
+    cummax-shift-cumsum scan, never a per-row loop. The SQL oracle is the
+    classic windowed MAX(e) ROWS UNBOUNDED PRECEDING AND 1 PRECEDING
+    formulation."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        dur_s = np.floor(df["value"].to_numpy(dtype=np.float64) * dur_scale).astype("int64")
+        end = df["ts"] + pd.to_timedelta(dur_s, unit="s")
+        grp = df["user_id"]
+        run_max = end.groupby(grp).cummax()
+        prev_max = run_max.groupby(grp).shift()
+        new_island = (prev_max.isna() | (df["ts"] > prev_max)).astype("int64")
+        gid = new_island.groupby(grp).cumsum()
+        out = (
+            pd.DataFrame(
+                {"user_id": df["user_id"], "interval_id": gid, "s": df["ts"], "e": end}
+            )
+            .groupby(["user_id", "interval_id"], as_index=False)
+            .agg(start_ts=("s", "min"), end_ts=("e", "max"), n_events=("s", "size"))
+        )
+        out["start_ts"] = out["start_ts"].astype("datetime64[us]")
+        out["end_ts"] = out["end_ts"].astype("datetime64[us]")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)

@@ -147,6 +147,10 @@ SQL_CHECKED = [
     "q88_table_profile",
     "q89_daily_gapfill",
     "q90_embedding_covariance",
+    "q91_interval_merge",
+    "q92_snapshot_diff",
+    "q93_referential_integrity",
+    "q94_skyline",
     "er_canonical_names",
     "keyword_index_search",
 ]
