@@ -581,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
+        "q95_percent_rank": relational.q95_percent_rank,
+        "q96_event_entropy": relational.q96_event_entropy,
+        "q97_user_transitions": windows.q97_user_transitions,
         "er_canonical_names": similarity.er_canonical_names,
         "keyword_index_search": textstats.keyword_index_search,
         "q31_region_nation_rollup": relational.q31_region_nation_rollup,
@@ -1205,6 +1208,36 @@ def oracle_sql() -> dict[str, str]:
                   AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
             )
             ORDER BY a.p_partkey
+        """,
+        "q95_percent_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_totalprice), 8) AS pct_rank
+            FROM orders
+        """,
+        "q96_event_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+                   round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
+            FROM c GROUP BY user_id
+        """,
+        "q97_user_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   count(*) AS n_trans,
+                   round(count(*) * 1.0 /
+                         sum(count(*)) OVER (PARTITION BY event_type), 4) AS p_next
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "er_canonical_names": """
             WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),

@@ -1951,3 +1951,123 @@ def q94_skyline(sf_dir: str) -> pd.DataFrame:
             "p_size": out["p_size"],
         }
     ).sort_values("p_partkey").reset_index(drop=True)
+
+
+def q95_percent_rank(sf_dir: str, n_ranges: int = 64) -> "ray.data.Dataset":
+    """Per-row percent_rank within HOT partitions — every o_orderpriority
+    group is ~20% of the orders table, so the usual group-bucket shuffle
+    (one group per task) cannot work: five tasks would each hold a fifth of
+    100 TB. This is the distributed-ECDF / prefix-sum shape instead:
+
+      1. range-partition the ORDER BY column into R value buckets
+         (boundaries here from a min/max scan + linspace; the production
+         path feeds approx_quantiles boundaries from pipelines/sketches.py
+         so buckets stay balanced under skew — R scales with the cluster),
+      2. ONE tiny counting pass → per-(group, range) counts on the driver
+         (G x R rows, independent of the table), prefix-summed into the
+         offset of each range within its group,
+      3. ONE range shuffle; in-bucket, strictly-less counts are local
+         (sorted searchsorted-left per (group, range)) and the broadcast
+         offset lifts them to global ranks: pct = (offset + local_lt)/(n-1).
+
+    Ties get min-rank (SQL percent_rank) because equal values always land
+    in the same range bucket. Exact, two scans + one shuffle, nothing
+    group-sized ever co-located."""
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ds = read_table(sf_dir, "orders", columns=cols)
+
+    mm = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"mn": [df["o_totalprice"].min()], "mx": [df["o_totalprice"].max()]}
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    ).to_pandas()
+    mn, mx = float(mm["mn"].min()), float(mm["mx"].max())
+    bounds = np.linspace(mn, mx, n_ranges + 1)[1:-1]
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rb = np.searchsorted(bounds, df["o_totalprice"].to_numpy(), side="right")
+        g = (
+            pd.DataFrame({"prio": df["o_orderpriority"], "_rb": rb})
+            .groupby(["prio", "_rb"], as_index=False)
+            .size()
+        )
+        return g
+
+    counts = (
+        ds.map_batches(cnt_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()  # <= n_batches x G x R partial rows — aggregate-sized
+        .groupby(["prio", "_rb"], as_index=False)["size"]
+        .sum()
+        .sort_values(["prio", "_rb"], kind="mergesort")
+    )
+    counts["offset"] = counts.groupby("prio")["size"].cumsum() - counts["size"]
+    n_per_prio = counts.groupby("prio")["size"].sum().to_dict()
+    offsets = {
+        (p, r): int(o) for p, r, o in zip(counts["prio"], counts["_rb"], counts["offset"])
+    }
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = np.searchsorted(bounds, df["o_totalprice"].to_numpy(), side="right").astype("int64")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "_rb", "o_totalprice"], kind="mergesort")
+        pos = df.groupby(["o_orderpriority", "_rb"], sort=False).cumcount().to_numpy()
+        price = df["o_totalprice"].to_numpy()
+        prio = df["o_orderpriority"].to_numpy()
+        rb = df["_rb"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            first[1:] = (prio[1:] != prio[:-1]) | (rb[1:] != rb[:-1]) | (price[1:] != price[:-1])
+        # min-rank ties: strictly-less count = position of the value's FIRST
+        # occurrence in its (group, range) run
+        local_lt = pd.Series(np.where(first, pos, -1)).replace(-1, np.nan).ffill().to_numpy()
+        off = np.fromiter((offsets.get((p, r), 0) for p, r in zip(prio, rb)), dtype=np.float64, count=len(df))
+        n = np.fromiter((n_per_prio[p] for p in prio), dtype=np.float64, count=len(df))
+        pct = (off + local_lt) / np.maximum(n - 1.0, 1.0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_orderpriority": df["o_orderpriority"],
+                "pct_rank": round_away(pct, 8),
+            }
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(stamped, ["_rb"], final, n_buckets=64)
+
+
+def q96_event_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (and, over token/domain distributions, the
+    data-mixing diagnostic) computed as a grouped aggregate. Per-batch
+    (user, type) count partials ride ONE user-bucket shuffle; in-bucket the
+    entropy uses the catastrophe-free form H = ln(N) - (sum n*ln n)/N so
+    both engine and oracle evaluate the identical expression (no p=n/N
+    intermediate whose rounding could differ)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "p_n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["user_id", "event_type"], as_index=False)["p_n"].sum()
+        n = c["p_n"].to_numpy(dtype=np.float64)
+        c["_t"] = n * np.log(n)
+        agg = c.groupby("user_id", as_index=False).agg(tot=("p_n", "sum"), snln=("_t", "sum"))
+        tot = agg["tot"].to_numpy(dtype=np.float64)
+        ent = np.log(tot) - agg["snln"].to_numpy() / tot
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"],
+                "n_events": agg["tot"].astype("int64"),
+                "entropy": round_away(ent, 4),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)

@@ -458,3 +458,36 @@ def q91_interval_merge(sf_dir: str, dur_scale: int = 100) -> "ray.data.Dataset":
         return out
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q97_user_transitions(sf_dir: str) -> "pd.DataFrame":
+    """Markov transition matrix over per-user event sequences (the
+    sequence-mining primitive behind next-action prediction and funnel
+    discovery): count (prev_type -> next_type) transitions in (ts,
+    event_id) order per user, then normalize per source state. ONE
+    user-bucket shuffle; inside each bucket the lead() is a vectorized
+    grouped shift and counts collapse to <= |types|^2 partial rows per
+    bucket, so the driver merge is matrix-sized regardless of the table."""
+    import numpy as np
+
+    from .common import round_away
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = df.groupby("user_id", sort=False)["event_type"].shift(-1)
+        m = pd.DataFrame({"prev_type": df["event_type"].to_numpy(), "next_type": nxt.to_numpy()})
+        m = m.dropna(subset=["next_type"])
+        return m.groupby(["prev_type", "next_type"], as_index=False).size().rename(columns={"size": "p_n"})
+
+    partials = bucketed_group_agg(ds, ["user_id"], final, n_buckets=32)
+    out = partials.to_pandas().groupby(["prev_type", "next_type"], as_index=False)["p_n"].sum()
+    out["n_trans"] = out["p_n"].astype("int64")
+    tot = out.groupby("prev_type")["n_trans"].transform("sum").to_numpy(dtype=np.float64)
+    out["p_next"] = round_away(out["n_trans"].to_numpy(dtype=np.float64) / tot, 4)
+    return (
+        out[["prev_type", "next_type", "n_trans", "p_next"]]
+        .sort_values(["prev_type", "next_type"], kind="mergesort")
+        .reset_index(drop=True)
+    )

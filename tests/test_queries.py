@@ -151,6 +151,9 @@ SQL_CHECKED = [
     "q92_snapshot_diff",
     "q93_referential_integrity",
     "q94_skyline",
+    "q95_percent_rank",
+    "q96_event_entropy",
+    "q97_user_transitions",
     "er_canonical_names",
     "keyword_index_search",
 ]
