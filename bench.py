@@ -85,6 +85,21 @@ def run_bench() -> dict:
     hw_before = round(_hw_rate(num_cpus, seconds=4.0), 1)
     membw_before = round(_hw_membw(8, seconds=3.0), 1)
 
+    # bounded healthy-window wait (GRAFT_WAIT_HEALTHY seconds, default 180;
+    # 0 disables): this box is burst/credit-throttled — a crushed window
+    # (membw 3.5-6 GB/s vs 20-68 healthy) inflates wall times 3-10x without
+    # any code change. The bench measures the ENGINE, so give the window a
+    # bounded chance to recover before timing; the pre-wait probe and the
+    # wait itself are recorded so a record can never hide the throttle.
+    membw_prewait, waited = membw_before, 0.0
+    wait_budget = float(os.environ.get("GRAFT_WAIT_HEALTHY", "180"))
+    while membw_before < 10.0 and waited < wait_budget:
+        time.sleep(min(30.0, wait_budget - waited))
+        waited += 30.0
+        membw_before = round(_hw_membw(8, seconds=3.0), 1)
+    if waited:
+        hw_before = round(_hw_rate(num_cpus, seconds=4.0), 1)
+
     pool = (1, num_cpus)
     t0 = time.perf_counter()
     triples = kg_triples(
@@ -148,6 +163,9 @@ def run_bench() -> dict:
         "hw_membw_gbps_before": membw_before,
         "hw_membw_gbps_after": membw_after,
     }
+    if waited:
+        result["hw_membw_gbps_prewait"] = membw_prewait
+        result["healthy_wait_s"] = waited
     ray.shutdown()
     return result
 
