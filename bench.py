@@ -255,8 +255,17 @@ def run_scaling() -> dict:
     hw_before = _ceiling()
     legs = [hi, lo] if order == "hi_first" else [lo, hi]
     samples: dict[int, list[dict]] = {lo: [], hi: []}
+    # inter-leg cooldown: back-to-back legs poison each other on this
+    # credit-throttled VM (the SECOND leg's membw probe has been observed
+    # collapsing 16 -> 1.7 GB/s mid-leg right after a healthy leg); a pause
+    # lets the burst budget refill before the next measurement.
+    cooldown = float(os.environ.get("GRAFT_SCALING_COOLDOWN", "60"))
+    first = True
     for _ in range(reps):
         for n in legs:
+            if not first:
+                time.sleep(cooldown)
+            first = False
             samples[n].append(run(n))
     r_lo = min(samples[lo], key=lambda r: r["value"])
     r_hi = min(samples[hi], key=lambda r: r["value"])
