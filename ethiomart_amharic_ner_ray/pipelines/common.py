@@ -43,11 +43,16 @@ def strip_schema_meta(t: pa.Table) -> pa.Table:
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
-    # the driver-generated testdata files carry pandas metadata; strip it at
-    # the read so every downstream stage sees hashable schemas. This map
-    # fuses with the read task (no extra stage, no copy).
-    return ds.map_batches(strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True)
+    # pass an explicitly metadata-free schema: the driver-generated files
+    # carry a pandas-provenance blob, and pyarrow Schemas with ANY metadata
+    # are unhashable here, defeating Ray's schema-dedup fast path in every
+    # downstream shuffle reduce (one warning per reduce task). A strip map
+    # can't fix the READ operator's own output bundles (SplitBlocks blocks
+    # fusion), so the schema must be clean at the source.
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sch = pq.read_schema(path)
+    fields = [sch.field(c).remove_metadata() for c in (columns or sch.names)]
+    return ray.data.read_parquet(path, columns=columns, schema=pa.schema(fields))
 
 
 def read_small(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:

@@ -277,7 +277,12 @@ def add_provenance(batch: pa.Table) -> pa.Table:
         names=["extractor", "confidence"],
     )
     batch = batch.drop_columns(["extractor", "confidence"])
-    return batch.append_column("provenance", prov)
+    # strip the pandas-provenance blob picked up in the _bucket_dedup
+    # pandas stage: metadata-carrying schemas are unhashable (defeats Ray's
+    # schema dedup) and would be baked into the triples checkpoint files,
+    # re-triggering the warning in every downstream read (kg_update, pred
+    # counts, exports)
+    return batch.append_column("provenance", prov).replace_schema_metadata(None)
 
 
 def triples_from_mentions(
