@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ethiomart_amharic_ner_ray.pipelines import (
         bpe,
         dedup,
+        graph,
         multimodal,
         relational,
         scorecard,
@@ -578,6 +579,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q89_daily_gapfill": relational.q89_daily_gapfill,
         "q90_embedding_covariance": similarity.q90_embedding_covariance,
         "q91_interval_merge": windows.q91_interval_merge,
+        "q98_prev_rows_stats": windows.q98_prev_rows_stats,
+        "q99_khop_parts": graph.q99_khop_parts,
+        "q100_equidepth_bins": relational.q100_equidepth_bins,
+        "q101_bigram_logppl": textstats.q101_bigram_logppl,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
@@ -1338,6 +1343,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "q101_bigram_logppl": r"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS a
+                FROM documents),
+            big AS (
+                SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+                FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS u(i)
+                WHERE len(a) >= 2),
+            bcnt AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+            ctx AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1)
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_trans,
+                   round(-avg(ln(bc.c2::DOUBLE / cx.c1)), 4) AS logppl
+            FROM big b
+            JOIN bcnt bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+            JOIN ctx cx ON b.w1 = cx.w1
+            GROUP BY b.doc_id
+        """,
+        "q100_equidepth_bins": """
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem),
+            ranked AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) AS rn
+                FROM lineitem),
+            bounds AS (
+                SELECT r.v AS b
+                FROM generate_series(1, 7) AS g(i)
+                CROSS JOIN nn
+                JOIN ranked r ON r.rn = (g.i * nn.c + 7) // 8)
+            SELECT CAST(bin_id AS BIGINT) AS bin_id,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM (
+                SELECT (SELECT count(*) FROM bounds
+                        WHERE l.l_extendedprice > bounds.b) AS bin_id
+                FROM lineitem l)
+            GROUP BY bin_id
+        """,
+        "q99_khop_parts": """
+            WITH RECURSIVE pairs AS (
+                SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+            ), edges AS (
+                SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs
+            ), reach AS (
+                SELECT p_partkey AS node, 0 AS hops FROM part WHERE p_brand = 'Brand#11'
+                UNION
+                SELECT e.y, r.hops + 1 FROM reach r JOIN edges e ON e.x = r.node
+                WHERE r.hops < 2
+            )
+            SELECT node AS partkey, CAST(min(hops) AS BIGINT) AS min_hops
+            FROM reach GROUP BY node
+        """,
+        "q98_prev_rows_stats": """
+            SELECT event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_frame,
+                   round(CASE WHEN count(*) OVER w = 0 THEN NULL
+                         ELSE (sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0)
+                              / count(*) OVER w END, 4) AS prev_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
         """,
         "q77_moving_avg": """
             SELECT event_id,

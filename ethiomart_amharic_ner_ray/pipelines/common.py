@@ -34,6 +34,150 @@ def round_away(values, digits: int = ROUND_DIGITS):
     return out
 
 
+_H_P = 1099511628211  # FNV-64 prime — odd, so ×P is a bijection mod 2^64
+_H_LEN_SALT = 0xA5A5A5A5A5A5A5A5
+_H_NULL = 0x9E3779B97F4A7C15
+
+
+def _mix64(x):
+    """splitmix64 finalizer, vectorized — full-avalanche over uint64 so the
+    low bits (used as ``h % n_buckets``) depend on every input bit."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # wrap-around is the point
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _hash_string_chunk(arr: pa.Array):
+    """uint64 hash per string/binary element, computed from the raw Arrow
+    value buffer: polynomial hash over the utf-8 bytes (wrapping uint64,
+    base _H_P) xor-folded with the length, then splitmix64-finalized.
+    Fully vectorized — one cumsum over the concatenated byte buffer and two
+    fancy-index probes per batch, no per-row Python."""
+    import numpy as np
+
+    n = len(arr)
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_decode()
+    arr = pc.cast(arr, pa.large_binary())
+    null_mask = np.asarray(pc.is_null(arr))
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    base = offsets[0]
+    starts = offsets[:-1] - base
+    ends = offsets[1:] - base
+    lens = ends - starts
+    total = int(offsets[-1] - base)
+    if total:
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[base : offsets[-1]]
+        maxlen = int(lens.max())
+        powers = np.empty(maxlen, dtype=np.uint64)
+        powers[0] = 1
+        if maxlen > 1:
+            np.multiply.accumulate(np.full(maxlen - 1, _H_P, dtype=np.uint64), out=powers[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        terms = data.astype(np.uint64) * powers[np.repeat(lens, lens) - 1 - pos]
+        csum = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(terms, out=csum[1:])
+        sums = csum[ends] - csum[starts]
+    else:
+        sums = np.zeros(n, dtype=np.uint64)
+    h = _mix64(sums ^ _mix64(lens.astype(np.uint64) ^ np.uint64(_H_LEN_SALT)))
+    if null_mask.any():
+        h[null_mask] = _mix64(np.uint64(_H_NULL))
+    return h
+
+
+def _hash_numeric_chunk(arr: pa.Array):
+    """uint64 hash per numeric/temporal/bool element: canonicalize to 8-byte
+    bits (floats via float64 with -0.0→0.0 and one canonical NaN; the rest
+    via int64), then splitmix64. Nulls map to a fixed sentinel."""
+    import numpy as np
+
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_decode()
+    null_mask = np.asarray(pc.is_null(arr))
+    if pa.types.is_floating(arr.type):
+        x = np.asarray(pc.cast(pc.fill_null(arr, 0.0), pa.float64()), dtype=np.float64)
+        x = x + 0.0  # -0.0 → 0.0 (groupby treats them equal; their bits differ)
+        x = np.where(np.isnan(x), np.float64("nan"), x)  # one canonical NaN bit pattern
+        bits = x.view(np.uint64)
+    else:
+        x = np.asarray(pc.cast(pc.fill_null(arr, 0), pa.int64()), dtype=np.int64)
+        bits = x.view(np.uint64)
+    h = _mix64(bits ^ np.uint64(_H_LEN_SALT))
+    if null_mask.any():
+        h[null_mask] = _mix64(np.uint64(_H_NULL))
+    return h
+
+
+def _hash_column(col) -> "object":
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_dictionary(t):
+        col = col.dictionary_decode()
+        t = col.type
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return _hash_string_chunk(col)
+    if pa.types.is_null(t):
+        return np.full(len(col), _mix64(np.uint64(_H_NULL)), dtype=np.uint64)
+    try:
+        return _hash_numeric_chunk(col)
+    except pa.ArrowInvalid:  # exotic type → hash its string form
+        return _hash_string_chunk(pc.cast(col, pa.string()))
+
+
+def stable_hash64(obj):
+    """Split-invariant uint64 row hash — the engine's ONLY key hash (bucket
+    stamps, salts, shingle ids, sketch inputs, ER node ids).
+
+    Replaces ``pd.util.hash_pandas_object``, whose object-dtype path hashes
+    strings as null-terminated C strings with an array-wide fallback: a key
+    containing ``'\\x00'`` hashes DIFFERENTLY depending on which other
+    strings share its batch (observed: ``['', '\\x00']`` together vs each
+    alone), silently breaking hash-bucket co-location — the property every
+    grouped shuffle in this engine hangs on. This hasher reads the raw
+    utf-8 bytes from the Arrow buffers (NUL-safe, length-aware), handles
+    nulls/-0.0/NaN canonically, and is vectorized end-to-end.
+
+    Accepts a pyarrow Table / Array / ChunkedArray, pandas DataFrame /
+    Series, or a list of strings; multi-column inputs fold column hashes
+    left-to-right through a mix."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(obj, pa.Table):
+        cols = [obj.column(i) for i in range(obj.num_columns)]
+    elif isinstance(obj, (pa.Array, pa.ChunkedArray)):
+        cols = [obj]
+    elif isinstance(obj, pd.DataFrame):
+        cols = [pa.Array.from_pandas(obj[c]) for c in obj.columns]
+    elif isinstance(obj, pd.Series):
+        cols = [pa.Array.from_pandas(obj)]
+    else:  # list/ndarray of values
+        cols = [pa.array(obj)]
+    if not cols:
+        raise ValueError("stable_hash64: no columns")
+    n = len(cols[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    h = _hash_column(cols[0])
+    for c in cols[1:]:
+        h = _mix64(h * np.uint64(_H_P) ^ _hash_column(c))
+    return h
+
+
 def strip_schema_meta(t: pa.Table) -> pa.Table:
     """Drop schema-level metadata (parquet writers embed a pandas-provenance
     blob). pyarrow Schemas carrying ANY metadata are unhashable in this
@@ -96,14 +240,13 @@ def bucketed_group_agg(
     pre-aggregate per batch first so the shuffle moves partial rows.
     """
     def add_bucket(t: pa.Table) -> pa.Table:
-        # vectorized row hash (C siphash with a fixed key — deterministic
-        # across processes/nodes, required for bucket co-location); this
-        # runs on every aggregation's hot path, so no per-row Python
+        # vectorized row hash (stable_hash64 — deterministic across
+        # processes/nodes AND across block splits, required for bucket
+        # co-location; pd.util.hash_pandas_object is NOT split-invariant
+        # for strings with embedded NULs); hot path, so no per-row Python
         import numpy as np
-        import pandas as pd
 
-        df = t.select(keys).to_pandas()
-        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        h = stable_hash64(t.select(keys))
         b = (h % np.uint64(n_buckets)).astype(np.int32)
         # drop schema metadata (parquet/pandas provenance blobs): pyarrow
         # schemas carrying ANY metadata are unhashable, which defeats Ray's
@@ -289,7 +432,7 @@ def salted_group_agg(
     import pandas as pd
 
     def add_salt(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(t.to_pandas(), index=False).to_numpy()
+        h = stable_hash64(t)
         return t.append_column("_salt", pa.array((h % np.uint64(n_salts)).astype(np.int32)))
 
     def round1(df):

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .common import bucketed_group_agg, read_table, round_away
+from .common import bucketed_group_agg, read_table, round_away, stable_hash64
 
 N_PERM = 64
 N_BANDS = 16  # 16 bands × 4 rows
@@ -38,15 +38,13 @@ def _stable_hash64(token: str) -> int:
 
 
 def _hash_shingle_strings(strings: list[str]) -> np.ndarray:
-    """Deterministic uint64 hash per shingle string — the engine's fixed-key
-    C siphash, vectorized over a whole batch's shingles at once. Shared by
+    """Deterministic uint64 hash per shingle string — the engine-wide
+    ``stable_hash64``, vectorized over a whole batch's shingles. Shared by
     the scalar shinglers and the batch signer so every consumer sees the
     SAME shingle ids (jaccard verification, reference-test parity)."""
     if not strings:
         return np.array([], dtype=np.uint64)
-    return pd.util.hash_pandas_object(
-        pd.Series(strings, dtype=object), index=False
-    ).to_numpy().astype(np.uint64)
+    return stable_hash64(pd.Series(strings, dtype=object))
 
 
 def _shingle_strings(text: str, k: int = 3) -> list[str]:

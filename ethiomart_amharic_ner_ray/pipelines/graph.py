@@ -424,3 +424,111 @@ def pagerank_from_triples(
     )
     pr["rank"] = pr["rank"].round(10)
     return pr
+
+
+def khop_reachability(
+    seeds_ds: "ray.data.Dataset",
+    edges_ds: "ray.data.Dataset",
+    k: int = 2,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed BFS: min-hop distance (<= k) from a seed set over a
+    (src, dst) edge Dataset — the bounded graph-traversal primitive next to
+    two_hop's fixed two-join shape and CC's run-to-convergence loop. Per
+    round: ONE bucketed join (this round's frontier onto edge sources)
+    producing depth-(r) neighbor candidates, then ONE bucketed min-groupby
+    folding them into the visited labels; the next frontier is exactly the
+    nodes whose min-hop equals r (first reached this round), so every edge
+    incident to a visited node is expanded at most once per side and the
+    exchange volume is frontier-sized, never graph-sized.
+
+    Labels materialize per round (reached-node-sized, the CC convention);
+    a cluster run swaps in _cc_checkpointed-style Parquet rounds. Returns
+    (node, min_hops) for every node within k hops, seeds at 0."""
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        node = t.column("node").to_numpy().astype(np.int64)
+        return pa.table(
+            {"node": pa.array(node, pa.int64()), "hops": pa.array(np.zeros(len(node), np.int64))}
+        )
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["hops"].min()
+
+    if k > 1:
+        # the edge Dataset feeds every round's join; materialize once so the
+        # (possibly expensive) edge-building pipeline doesn't re-execute per
+        # round. Cluster path: write edges to Parquet once and read per round
+        # (the _cc_checkpointed discipline) instead of pinning in the store.
+        edges_ds = edges_ds.materialize()
+
+    labels = bucketed_group_agg(
+        seeds_ds.map_batches(seed_labels, batch_format="pyarrow"),
+        ["node"],
+        min_label,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    frontier = labels  # round 0: all seeds
+    for r in range(1, k + 1):
+        src_only = rename_cols(frontier.select_columns(["node"]), {"node": "src"})
+        nbrs = bucketed_join(src_only, edges_ds, on="src", n_buckets=n_buckets)
+
+        def to_candidates(t: pa.Table, hops: int = r) -> pa.Table:
+            import numpy as np
+
+            dst = t.column("dst").to_numpy().astype(np.int64)
+            out = pa.table(
+                {
+                    "node": pa.array(dst, pa.int64()),
+                    "hops": pa.array(np.full(len(dst), hops, np.int64)),
+                }
+            )
+            return out
+
+        cand = nbrs.map_batches(to_candidates, batch_format="pyarrow")
+        labels = bucketed_group_agg(
+            labels.union(cand), ["node"], min_label, n_buckets=n_buckets
+        ).materialize()
+        frontier = labels.filter(expr=f"hops == {r}")
+
+    return labels
+
+
+def q99_khop_parts(sf_dir: str, brand: str = "Brand#11", k: int = 2) -> "ray.data.Dataset":
+    """BFS over the part co-order graph (edge = two parts share an order,
+    the q81/q82 edge stream): min hops (<= 2) from every part of ``brand``.
+    The oracle is a DuckDB recursive CTE over the same edge definition.
+    Seeds that never co-order anything still appear at hops 0 (they come
+    from the part table, not the edge list)."""
+    from .common import read_table
+    from .relational import _order_part_pairs
+
+    def edge_final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["part_a", "part_b"]].drop_duplicates()
+        return d.rename(columns={"part_a": "a", "part_b": "b"})
+
+    pairs = bucketed_group_agg(
+        _order_part_pairs(sf_dir), ["part_a", "part_b"], edge_final, n_buckets=16
+    )
+    edges = _edges_both_directions(pairs)
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    seeds = rename_cols(
+        parts.filter(expr=f"p_brand == {brand!r}").select_columns(["p_partkey"]),
+        {"p_partkey": "node"},
+    )
+
+    labels = khop_reachability(seeds, edges, k=k, n_buckets=16)
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partkey": t.column("node").cast(pa.int64()),
+                "min_hops": t.column("hops").cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(to_out, batch_format="pyarrow")

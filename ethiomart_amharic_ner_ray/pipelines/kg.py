@@ -42,6 +42,7 @@ import ray
 import ray.data
 
 from ..stages.extract import RegexExtractor, derive_seller
+from .common import stable_hash64
 from ..stages.linker import EntityLinker, build_product_index
 from ..stages.ner_scorer import NerScorer, TinyTransformerNerScorer
 from ..stages.normalize import make_normalizer
@@ -50,10 +51,10 @@ TRIPLE_FLAT_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "extractor", "
 
 
 def _hash_bucket(df: "pd.DataFrame", n_buckets: int) -> np.ndarray:
-    """Vectorized deterministic bucket ids (C siphash, fixed key — stable
-    across processes/nodes); this stamps every row on the flagship's two
-    shuffle paths, so no per-row Python."""
-    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    """Vectorized deterministic bucket ids (stable_hash64 — deterministic
+    across processes/nodes AND block splits); this stamps every row on the
+    flagship's two shuffle paths, so no per-row Python."""
+    h = stable_hash64(df)
     return (h % np.uint64(n_buckets)).astype(np.int32)
 
 

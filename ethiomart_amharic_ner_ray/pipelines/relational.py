@@ -2071,3 +2071,107 @@ def q96_event_entropy(sf_dir: str) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["user_id"], final, n_buckets=32)
+
+
+def q100_equidepth_bins(sf_dir: str, n_bins: int = 8, n_micro: int = 4096) -> pd.DataFrame:
+    """Equal-DEPTH histogram (equi-height: every bin holds ~n/n_bins rows)
+    over lineitem prices — the quantile-boundary complement to q55's
+    equal-width bins, and the distributed form of NTILE-style bucketing
+    where the boundaries themselves are exact order statistics.
+
+    Boundary b_i is the value at sorted position ceil(i*n/n_bins) (exact
+    integer arithmetic, (i*n + n_bins-1) // n_bins on both oracle sides —
+    no float rank). Finding a kth order statistic at scale without a global
+    sort is a counting argument, not a shuffle:
+      pass A: exact global [min, max] — a 2-scalar driver reduce (q55);
+      pass B: counts per n_micro equal-width micro-bins — two-phase, the
+              exchange carries <= n_micro partial rows per block batch and
+              the driver sees <= n_micro totals regardless of data size;
+      pass C: cumulative micro-counts locate each target rank's micro-bin;
+              ONE filtered re-scan collects only values inside those (few)
+              micro-bins — expected n/n_micro rows each — and the exact
+              order statistic is an offset into their (driver-side,
+              micro-bin-sized) sort. A pathological micro-bin (mass point)
+              is re-split recursively at cluster scale (documented, not
+              needed on smooth prices: the recursion is passes over a
+              shrinking range, never a sort);
+      pass D: final per-bin counts with the boundaries closed over —
+              bin(v) = #(boundaries strictly below v), the IDENTICAL
+              comparison set on both oracle sides (boundaries are exact
+              data values, so float equality is bit-for-bit).
+    Empty bins (duplicate boundaries under heavy ties) are omitted by both
+    sides. Output is n_bins-bounded: a driver frame by design."""
+    col = "l_extendedprice"
+    ds = read_table(sf_dir, "lineitem", columns=[col])
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna()
+        if not len(v):
+            return pd.DataFrame({"p_lo": [], "p_hi": [], "p_n": []})
+        return pd.DataFrame({"p_lo": [v.min()], "p_hi": [v.max()], "p_n": [len(v)]})
+
+    parts = ds.map_batches(mm, batch_format="pandas", batch_size=65536).to_pandas()
+    lo, hi = float(parts["p_lo"].min()), float(parts["p_hi"].max())
+    n = int(parts["p_n"].sum())
+    width = (hi - lo) / n_micro or 1.0
+
+    def micro_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna().to_numpy(dtype=np.float64)
+        m = np.minimum(np.floor((v - lo) / width), n_micro - 1).astype(np.int64)
+        cnt = np.bincount(m, minlength=n_micro)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"micro": nz, "p_n": cnt[nz]})
+
+    def micro_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("micro", as_index=False)["p_n"].sum()
+
+    micro = (
+        bucketed_group_agg(
+            ds.map_batches(micro_partial, batch_format="pandas", batch_size=65536),
+            ["micro"],
+            micro_final,
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("micro")
+    )
+    counts = np.zeros(n_micro, dtype=np.int64)
+    counts[micro["micro"].to_numpy()] = micro["p_n"].to_numpy()
+    cum = np.concatenate([[0], np.cumsum(counts)])
+
+    ranks = [(i * n + n_bins - 1) // n_bins for i in range(1, n_bins)]
+    need: dict[int, list[int]] = {}
+    for r in ranks:
+        mb = int(np.searchsorted(cum, r, side="left")) - 1  # cum[mb] < r <= cum[mb+1]
+        need.setdefault(mb, []).append(r)
+    mbs = sorted(need)
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna().to_numpy(dtype=np.float64)
+        m = np.minimum(np.floor((v - lo) / width), n_micro - 1).astype(np.int64)
+        keep = np.isin(m, mbs)
+        return pd.DataFrame({col: v[keep], "micro": m[keep]})
+
+    pool = ds.map_batches(collect, batch_format="pandas", batch_size=65536).to_pandas()
+    boundaries = []
+    for mb in mbs:
+        vals = np.sort(pool.loc[pool["micro"] == mb, col].to_numpy())
+        for r in need[mb]:
+            boundaries.append(vals[r - cum[mb] - 1])  # rank is 1-indexed
+    b = np.sort(np.asarray(boundaries, dtype=np.float64))
+
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna().to_numpy(dtype=np.float64)
+        binid = np.searchsorted(b, v, side="left")  # == #(b_i < v), strict
+        cnt = np.bincount(binid, minlength=n_bins)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin_id": nz, "p_n": cnt[nz]})
+
+    out = (
+        ds.map_batches(bin_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("bin_id", as_index=False)["p_n"]
+        .sum()
+        .rename(columns={"p_n": "n_rows"})
+    )
+    return out.astype({"bin_id": "int64", "n_rows": "int64"}).sort_values("bin_id").reset_index(drop=True)

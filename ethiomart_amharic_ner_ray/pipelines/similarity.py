@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import bucketed_group_agg, read_table, round_away
+from .common import bucketed_group_agg, read_table, round_away, stable_hash64
 
 
 def _embedding_matrix(t: pa.Table) -> np.ndarray:
@@ -663,7 +663,7 @@ def _fuzzy_pairs_ds(
 
     def expand(t: pa.Table) -> pa.Table:
         vals = t.column("p_name").to_pandas()
-        h = pd.util.hash_pandas_object(vals, index=False).to_numpy()
+        h = stable_hash64(vals)
         chunks = (h % np.uint64(n_chunks)).astype(np.int64)
         n = len(vals)
         idx = np.tile(np.arange(n), n_chunks)
@@ -795,7 +795,7 @@ def er_canonical_names(sf_dir: str, max_dist: int = 2, n_chunks: int = 4) -> pd.
     the fuzzy chunk-pair self-join (q85), min-label connected components
     (graph.py — one bucketed join + one bucketed min-groupby per round),
     and two bucketed joins to translate ids back to names. Names ride the
-    component machinery as deterministic 64-bit siphashes (the engine-wide
+    component machinery as deterministic stable_hash64 ids (the engine-wide
     key hash); a hash collision would merge two unrelated names — at
     ~2⁻⁶⁴·V² for a V-name vocabulary that is negligible even at 10⁹
     names, and the canonical-min is recomputed over NAMES so a collision
@@ -807,7 +807,7 @@ def er_canonical_names(sf_dir: str, max_dist: int = 2, n_chunks: int = 4) -> pd.
     pairs = _fuzzy_pairs_ds(names, max_dist, n_chunks)
 
     def _h(vals: pd.Series) -> np.ndarray:
-        return pd.util.hash_pandas_object(vals, index=False).to_numpy().view(np.int64)
+        return stable_hash64(vals).view(np.int64)
 
     def to_edges(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -903,3 +903,75 @@ def q90_embedding_covariance(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(partials, ["i", "j"], final, n_buckets=16)
+
+
+def _pca_model(sf_dir: str, n_components: int):
+    """Mean + top-k eigenvectors of the embedding covariance from ONE
+    sufficient-statistic pass (full-precision version of q90's reduce: each
+    batch ships one dim×dim Gram + a column sum + a count; the eigh runs on
+    the driver's dim×dim matrix — dimension-bounded, never data-bounded).
+    Deterministic sign convention: each component is flipped so its
+    largest-|·| coordinate is positive (eigh's sign is arbitrary; ties
+    broken by lowest index, so reruns and reshardings agree)."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t)
+        n, dim = m.shape
+        gram = (m.T @ m).reshape(-1)
+        return pa.table(
+            {
+                "p_gram": pa.array([gram.tobytes()], pa.large_binary()),
+                "p_sum": pa.array([m.sum(axis=0).tobytes()], pa.large_binary()),
+                "p_n": pa.array([n], pa.int64()),
+                "p_dim": pa.array([dim], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    dim = int(parts["p_dim"].iloc[0])
+    n = int(parts["p_n"].sum())
+    gram = np.zeros((dim, dim), dtype=np.float64)
+    s = np.zeros(dim, dtype=np.float64)
+    for g_blob, s_blob in zip(parts["p_gram"], parts["p_sum"]):
+        gram += np.frombuffer(g_blob, dtype=np.float64).reshape(dim, dim)
+        s += np.frombuffer(s_blob, dtype=np.float64)
+    mean = s / n
+    cov = (gram - np.outer(s, s) / n) / (n - 1)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T  # (k, dim)
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return mean, comps, w[order]
+
+
+def pca_project(sf_dir: str, n_components: int = 2) -> "ray.data.Dataset":
+    """Distributed PCA projection (the reference's embedding-visualization
+    step — interpret.py's PCA→t-SNE→cluster pipeline at `interpret.py:535-703`
+    — made engine-scale): fit on sufficient statistics (one pass, see
+    _pca_model), then ONE broadcast re-scan projects every vector onto the
+    top components — the model rides a single ray.put, each task is one
+    (batch × dim) @ (dim × k) matmul. Rows-only query (eigendecomposition
+    has no SQL form); pinned against an in-process numpy reference in
+    tests/test_dedup_similarity.py."""
+    import ray
+
+    from .common import get_broadcast
+
+    mean, comps, _ = _pca_model(sf_dir, n_components)
+    ref = ray.put((mean, comps))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        mean_b, comps_b = get_broadcast(ref)
+        m = _embedding_matrix(t)
+        proj = (m - mean_b) @ comps_b.T
+        cols = {"vec_id": t.column("vec_id").cast(pa.int64())}
+        for c in range(proj.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(round_away(proj[:, c], 6))
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=4096)

@@ -5,8 +5,8 @@ HyperLogLog distinct counting: every batch emits ONE fixed-size register
 array (2^p bytes); merging is an element-wise max — associative and
 commutative, so partials combine in any order with no shuffle at all (the
 driver reduce is p-bounded, never data-bounded). Deterministic: values are
-hashed with pandas' fixed-key siphash (same hash the engine's bucketing
-uses), so reruns and resharding give identical registers.
+hashed with the engine-wide ``stable_hash64`` (same split-invariant hash
+the bucketing uses), so reruns and resharding give identical registers.
 """
 
 from __future__ import annotations
@@ -16,14 +16,14 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .common import read_table
+from .common import read_table, stable_hash64
 
 HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 
 def _hll_registers(values: pd.Series, p: int = HLL_P) -> np.ndarray:
     """One batch's HLL register array from raw values (vectorized)."""
-    h = pd.util.hash_pandas_object(values, index=False).to_numpy().astype(np.uint64)
+    h = stable_hash64(values)
     m = 1 << p
     idx = (h >> np.uint64(64 - p)).astype(np.int64)  # top p bits → register
     rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
@@ -99,7 +99,7 @@ def bottomk_sample(ds: "ray.data.Dataset", column: str, k: int = 4096) -> pd.Dat
     estimate (k-1)/h_k, but HLL above is tighter per byte for that."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[column], index=False).to_numpy()
+        h = stable_hash64(df[column])
         out = df.copy()
         out["_h"] = h
         return out.nsmallest(k, "_h")
@@ -133,8 +133,8 @@ class BloomFilter:
     """Plain k-hash Bloom filter over uint64 element hashes — the broadcast
     SEMI-JOIN prune for when the small side outgrows an exact broadcast
     set: no false negatives ever, false-positive rate ≈ (1-e^{-kn/m})^k.
-    Deterministic double hashing (h1 + i*h2) from the engine's fixed-key
-    siphash, so every worker builds/probes identically."""
+    Deterministic double hashing (h1 + i*h2) from the engine-wide
+    stable_hash64, so every worker builds/probes identically."""
 
     def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 5):
         self.n_bits = n_bits
@@ -143,7 +143,7 @@ class BloomFilter:
 
     @staticmethod
     def _h12(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-        h = pd.util.hash_pandas_object(values, index=False).to_numpy().astype(np.uint64)
+        h = stable_hash64(values)
         return h & np.uint64(0xFFFFFFFF), (h >> np.uint64(32)) | np.uint64(1)
 
     def _positions(self, values: pd.Series) -> np.ndarray:
@@ -168,8 +168,8 @@ class BloomFilter:
 
 class CountMinSketch:
     """Count-min sketch: depth × width counter matrix, positions from the
-    same deterministic double-hash family as BloomFilter (fixed-key
-    siphash), so every worker sketches identically and partials from any
+    same deterministic double-hash family as BloomFilter (the engine-wide
+    stable_hash64), so every worker sketches identically and partials from any
     sharding merge to the same state. Merge = element-wise sum (the
     counters are linear), point query = min over rows — never an
     underestimate, overestimate ≤ 2N/width with prob 1−2^−depth."""

@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .common import read_table
+from .common import read_table, stable_hash64
 
 
 def q12_token_count(sf_dir: str) -> "ray.data.Dataset":
@@ -951,7 +951,7 @@ def build_keyword_index(sf_dir: str, out_dir: str, n_buckets: int = 32) -> dict:
         doc = pc.take(t.column("doc_id"), parent)
         df = pa.table({"token": flat, "doc_id": doc}).to_pandas().drop_duplicates()
         df = df[df["token"] != ""]
-        h = pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+        h = stable_hash64(df["token"])
         df["bkt"] = (h % np.uint64(n_buckets)).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
@@ -1016,7 +1016,7 @@ def keyword_index_search(
     with open(os.path.join(index_dir, "manifest.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
     terms = tuple(terms)
-    h = pd.util.hash_pandas_object(pd.Series(list(terms)), index=False).to_numpy()
+    h = stable_hash64(pd.Series(list(terms), dtype=object))
     want = sorted({int(b) for b in (h % np.uint64(n_buckets))})
     # posting lists are term-bounded (tiny next to the corpus); the k-way
     # intersection is a pandas distinct-count — driver-side by design
@@ -1034,3 +1034,108 @@ def keyword_index_search(
     n_hit = post.groupby("doc_id")["token"].nunique()
     out = n_hit[n_hit == len(terms)].index.to_numpy()
     return pd.DataFrame({"doc_id": pd.array(np.sort(out), dtype="int64")})
+
+
+def q101_bigram_logppl(sf_dir: str) -> "ray.data.Dataset":
+    """Bigram-LM fluency score (q80's corpus-LM filter at order 2 — the
+    next rung of the CCNet/KenLM perplexity ladder): per document, the mean
+    negative log-likelihood of its token TRANSITIONS under the corpus-wide
+    MLE bigram model, −avg(ln(c(w1,w2) / c_ctx(w1))), where c_ctx counts
+    w1's occurrences WITH a successor (so probabilities sum to 1 per
+    context and every scanned transition has support — no smoothing needed
+    for scoring the training corpus itself). Docs under 2 tokens have no
+    transitions and are absent, matching the SQL inner joins.
+
+    Scale shape — the model is NOT broadcast (a bigram vocabulary outgrows
+    a driver/worker payload long before a unigram one does, so this is the
+    join formulation q80's docstring points at for higher orders):
+      1. transition partials: per-batch (doc_id, bigram, k) counts via the
+         shared positional list_parent_indices adjacency — combiner first,
+         so the exchange carries collapsed counts, never raw transitions;
+      2. bigram counts c2: the q52 partials through ONE bigram-bucket
+         shuffle (materialized once — vocabulary-sized, reused twice);
+      3. context counts c1: c2 re-aggregated over w1 (bigram-vocab input,
+         unigram-vocab output);
+      4. model = c2 ⋈ c1 on w1 (bigram-vocab exchange);
+      5. score = transitions ⋈ model on the bigram key (the one
+         corpus-sized exchange), folded per doc in the same shuffle's
+         final: n_trans = Σk, logppl = round(−Σ k·ln(c2/c1) / Σk, 4)."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg, bucketed_join, round_away
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def trans_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bigram": pa.array([], pa.string()),
+                "k": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        same = par[:-1] == par[1:]
+        w1, w2 = flat[:-1][same], flat[1:][same]
+        parent = par[:-1][same]
+        keep = (w1 != "") & (w2 != "")
+        if not keep.any():
+            return empty
+        doc = t.column("doc_id").to_numpy()[parent[keep]]
+        big = pd.Series(w1[keep]) + " " + pd.Series(w2[keep])
+        g = (
+            pd.DataFrame({"doc_id": doc, "bigram": big})
+            .groupby(["doc_id", "bigram"], as_index=False)
+            .size()
+            .rename(columns={"size": "k"})
+        )
+        return pa.Table.from_pandas(
+            g.astype({"doc_id": "int64", "k": "int64"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    trans = docs.map_batches(trans_partial, batch_format="pyarrow")
+
+    def c2_final(d: "pd.DataFrame") -> "pd.DataFrame":
+        g = d.groupby("bigram", as_index=False).agg(c2=("n", "sum"))
+        g["w1"] = g["bigram"].str.split(" ", n=1).str[0]
+        return g
+
+    bcnt = bucketed_group_agg(
+        _bigram_partials(docs), ["bigram"], c2_final, n_buckets=16
+    ).materialize()
+
+    def c1_final(d: "pd.DataFrame") -> "pd.DataFrame":
+        return d.groupby("w1", as_index=False).agg(c1=("c2", "sum"))
+
+    ctx = bucketed_group_agg(
+        bcnt.select_columns(["w1", "c2"]), ["w1"], c1_final, n_buckets=16
+    )
+
+    model = bucketed_join(bcnt, ctx, on="w1", n_buckets=16).select_columns(
+        ["bigram", "c2", "c1"]
+    )
+
+    scored = bucketed_join(trans, model, on="bigram", n_buckets=32)
+
+    def doc_final(d: "pd.DataFrame") -> "pd.DataFrame":
+        x = np.log(d["c2"].to_numpy(dtype=np.float64) / d["c1"].to_numpy(dtype=np.float64))
+        d = d.assign(_wx=d["k"].to_numpy(dtype=np.float64) * x)
+        g = d.groupby("doc_id", as_index=False).agg(n_trans=("k", "sum"), s=("_wx", "sum"))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_trans": g["n_trans"].astype("int64"),
+                "logppl": round_away(-(g["s"] / g["n_trans"]).to_numpy(), 4),
+            }
+        )
+
+    return bucketed_group_agg(scored, ["doc_id"], doc_final, n_buckets=32)

@@ -491,3 +491,48 @@ def q97_user_transitions(sf_dir: str) -> "pd.DataFrame":
         .sort_values(["prev_type", "next_type"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def q98_prev_rows_stats(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """ROW-count window frame: per event, count and mean of the SAME user's
+    previous ``k`` event values — SQL's ``ROWS BETWEEN k PRECEDING AND 1
+    PRECEDING``. The third frame shape next to q37's UNBOUNDED-cumsum and
+    q77's time-RANGE: the frame is positional (row offsets), excludes the
+    current row, and never includes timestamp peers, so tie-handling runs
+    on the (ts, event_id) total order instead of RANGE peer groups.
+
+    ONE user-bucket shuffle; in-bucket fully vectorized with NO per-user
+    loop: one mergesort, a grouped cumcount for each row's position inside
+    its user run, one cents-cumsum over the whole bucket, and two
+    fancy-index probes (i-k clamped to the user's start, i). Sums run in
+    EXACT int64 cents (q77's pinning rule: float cumsum drift flips rows
+    across the 4dp boundary); the average is then the identical IEEE
+    expression (cents / 100.0) / n on both oracle sides. First event of a
+    user has an empty frame -> NULL mean, n_frame 0."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        pos = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        i = np.arange(len(df), dtype=np.int64)
+        group_start = i - pos
+        lo = np.maximum(group_start, i - k)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        frame_sum = csum[i] - csum[lo]  # [lo, i) — current row excluded
+        n_frame = i - lo
+        with np.errstate(invalid="ignore", divide="ignore"):
+            prev_avg = (frame_sum / 100.0) / n_frame
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "n_frame": n_frame.astype("int64"),
+                "prev_avg": round_away(prev_avg, 4),
+            }
+        )
+        out.loc[out["n_frame"] == 0, "prev_avg"] = np.nan
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)

@@ -74,9 +74,11 @@ class TestErCanonicalNames:
         import duckdb
 
         con = duckdb.connect()
+        from ethiomart_amharic_ner_ray.pipelines.common import stable_hash64
+
         names = con.sql(f"SELECT DISTINCT p_name FROM '{SF_DIR}/part.parquet'").df()["p_name"]
-        h = pd.util.hash_pandas_object(names, index=False)
-        assert h.nunique() == len(names)
+        h = stable_hash64(names)
+        assert len(set(h.tolist())) == len(names)
 
 
 class TestCovariance:
@@ -111,7 +113,9 @@ class TestKeywordIndex:
         want = q86_keyword_search(SF_DIR, terms).to_pandas()
         assert sorted(got["doc_id"]) == sorted(want["doc_id"])
         # the search touches at most len(terms) bucket files
-        h = pd.util.hash_pandas_object(pd.Series(list(terms)), index=False).to_numpy()
+        from ethiomart_amharic_ner_ray.pipelines.common import stable_hash64
+
+        h = stable_hash64(pd.Series(list(terms), dtype=object))
         assert len({int(b) for b in (h % np.uint64(manifest["n_buckets"]))}) <= len(terms)
 
     def test_empty_result_term(self, ray_session, tmp_path):

@@ -149,21 +149,90 @@ class TestRoundingParity:
 
 
 class TestHashDeterminism:
+    """Targets the ENGINE's key hash (common.stable_hash64) — the one every
+    bucketed shuffle, shingle id, sketch, and node id goes through.
+    pd.util.hash_pandas_object failed exactly this property: its
+    object-dtype path hashes strings as null-terminated C strings with an
+    array-wide fallback, so ['', '\\x00'] hashed differently together vs
+    split across blocks (hypothesis found it; now a pinned regression)."""
+
     @given(keys=st.lists(st.text(max_size=20), min_size=1, max_size=50))
     @settings(max_examples=100, deadline=None)
     def test_bucket_hash_stable_across_block_splits(self, keys):
         """The bucket id of a key must not depend on which block it arrives
-        in — co-location across tasks hangs on this."""
+        in — co-location across tasks hangs on this. Alphabet includes
+        control chars and embedded NULs via st.text's full unicode."""
         import pandas as pd
 
-        full = pd.util.hash_pandas_object(pd.DataFrame({"k": keys}), index=False).to_numpy()
+        from ethiomart_amharic_ner_ray.pipelines.common import stable_hash64
+
+        full = stable_hash64(pd.DataFrame({"k": pd.Series(keys, dtype=object)}))
+        cut = len(keys) // 2
         half = np.concatenate(
             [
-                pd.util.hash_pandas_object(pd.DataFrame({"k": keys[:1]}), index=False).to_numpy(),
-                pd.util.hash_pandas_object(pd.DataFrame({"k": keys[1:]}), index=False).to_numpy(),
+                stable_hash64(pd.DataFrame({"k": pd.Series(keys[:cut], dtype=object)}))
+                if cut
+                else np.empty(0, np.uint64),
+                stable_hash64(pd.DataFrame({"k": pd.Series(keys[cut:], dtype=object)})),
             ]
         )
         assert (full == half).all()
+
+    def test_nul_byte_regression(self):
+        """Pinned: the exact case where pandas' hasher broke (NUL-bearing
+        strings hash context-dependently). '' and '\\x00' must hash stably
+        AND differently."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.common import stable_hash64
+
+        keys = ["", "\x00", "\x00\x00", "a\x00b", "ab"]
+        full = stable_hash64(pd.Series(keys, dtype=object))
+        singles = np.concatenate(
+            [stable_hash64(pd.Series([k], dtype=object)) for k in keys]
+        )
+        assert (full == singles).all()
+        assert len(set(full.tolist())) == len(keys)
+
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_numeric_hash_stable_across_block_splits(self, vals):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.common import stable_hash64
+
+        s = pd.Series(vals)
+        full = stable_hash64(s)
+        cut = len(vals) // 2
+        half = np.concatenate(
+            [
+                stable_hash64(s.iloc[:cut]) if cut else np.empty(0, np.uint64),
+                stable_hash64(s.iloc[cut:]),
+            ]
+        )
+        assert (full == half).all()
+
+    def test_arrow_and_pandas_paths_agree(self):
+        """add_bucket hashes Arrow tables directly; kg's stamper hashes a
+        pandas frame. The same (string, int) rows must bucket identically
+        through both entry points."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from ethiomart_amharic_ner_ray.pipelines.common import stable_hash64
+
+        df = pd.DataFrame({"k": ["a", "", "\x00", "ብር"], "n": [1, 2, 3, 4]})
+        t = pa.table({"k": df["k"], "n": df["n"]})
+        assert (stable_hash64(df) == stable_hash64(t)).all()
 
 
 class TestCanonPriceLaws:

@@ -154,6 +154,9 @@ SQL_CHECKED = [
     "q95_percent_rank",
     "q96_event_entropy",
     "q97_user_transitions",
+    "q98_prev_rows_stats",
+    "q99_khop_parts",
+    "q100_equidepth_bins",
     "er_canonical_names",
     "keyword_index_search",
 ]
