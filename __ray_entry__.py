@@ -649,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variant are SQL-checked; the pruned variants stay rows-only)
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "pca_project": similarity.pca_project,
+        "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
         "ann_ivf_partitioned_topk": _ann_ivf_partitioned,
         "ann_ivf_exact_topk": lambda sf_dir: similarity.ann_ivf_topk(sf_dir, nprobe=16),
         "kmeans_assign": lambda sf_dir: similarity.kmeans_embeddings(sf_dir)[1],

@@ -975,3 +975,168 @@ def pca_project(sf_dir: str, n_components: int = 2) -> "ray.data.Dataset":
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow", batch_size=4096)
+
+
+def _pq_train(
+    sf_dir: str,
+    centroids: np.ndarray,
+    m_sub: int,
+    n_codes: int,
+    iters: int,
+    seed: int,
+) -> np.ndarray:
+    """Train product-quantization codebooks over coarse-list RESIDUALS
+    (classic IVF-PQ): split the residual into m_sub subspaces and k-means
+    each with n_codes codewords. Same distributed shape as
+    kmeans_embeddings: codebooks broadcast, every batch emits per-(subspace,
+    code) partial sums + counts (m_sub × n_codes × sub_dim floats — model-
+    sized), driver updates. The data pass never ships raw vectors anywhere;
+    seeding picks deterministic rows via the vec_id order of the first
+    batches (rerun-stable)."""
+    import ray
+
+    from .common import get_broadcast
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = centroids.shape[1]
+    assert dim % m_sub == 0, "m_sub must divide the embedding dim"
+    sd = dim // m_sub
+
+    # deterministic init: residuals of the n_codes vectors with smallest ids
+    seed_rows = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "embedding": t.column("embedding"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("vec_id")
+        .limit(n_codes)
+        .to_pandas()
+    )
+    m0 = np.array(seed_rows["embedding"].tolist(), dtype=np.float64)
+    m0 /= np.maximum(np.linalg.norm(m0, axis=1, keepdims=True), 1e-12)
+    r0 = m0 - centroids[np.argmax(m0 @ centroids.T, axis=1)]
+    books = np.stack([r0[:, j * sd : (j + 1) * sd] for j in range(m_sub)])  # (m_sub, n_codes, sd)
+
+    cref = ray.put(centroids)
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = get_broadcast(cref)
+            b = get_broadcast(bref)
+            m = _embedding_matrix(t)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            r = m - c[np.argmax(m @ c.T, axis=1)]
+            sums = np.zeros_like(b)  # (m_sub, n_codes, sd)
+            cnts = np.zeros((m_sub, n_codes), dtype=np.int64)
+            for j in range(m_sub):
+                rj = r[:, j * sd : (j + 1) * sd]
+                d = ((rj[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d, axis=1)
+                np.add.at(sums[j], a, rj)
+                cnts[j] += np.bincount(a, minlength=n_codes)
+            return pa.table(
+                {
+                    "p_sums": pa.array([sums.tobytes()], pa.large_binary()),
+                    "p_cnts": pa.array([cnts.tobytes()], pa.large_binary()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+        sums = np.zeros_like(books)
+        cnts = np.zeros((m_sub, n_codes), dtype=np.int64)
+        for sb, cb in zip(parts["p_sums"], parts["p_cnts"]):
+            sums += np.frombuffer(sb, dtype=np.float64).reshape(books.shape)
+            cnts += np.frombuffer(cb, dtype=np.int64).reshape(m_sub, n_codes)
+        nz = cnts > 0
+        for j in range(m_sub):
+            books[j][nz[j]] = sums[j][nz[j]] / cnts[j][nz[j], None]
+    return books
+
+
+def ann_ivf_pq_topk(
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    rerank: int = 50,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-PQ approximate top-k — the memory-scale rung above ann_ivf_topk:
+    vectors in probed lists are scored from their m_sub uint8 PQ codes via
+    an ADC lookup table (m_sub × n_codes dot products per query, then one
+    fancy-index sum per candidate — no full-dim math on the scan), and only
+    the ``rerank`` best ADC candidates get exact cosine. At cluster scale
+    the codes (m_sub bytes/vector vs 8·dim) live in the list-partitioned
+    index (ivf_build_index layout) and the raw vectors are fetched only for
+    the rerank shortlist — a 64× payload cut at dim=64/m_sub=8. Here codes
+    are computed in the scan (the fixture has no prebuilt index) but scoring
+    uses ONLY codes, so the recall behavior is the real thing. Deterministic
+    end-to-end (k-means seeds from smallest vec_ids); recall vs exact q16
+    is pinned in tests."""
+    import ray
+
+    from .common import get_broadcast
+
+    centroids, _ = kmeans_embeddings(sf_dir, k=n_lists, iters=iters, seed=seed)
+    books = _pq_train(sf_dir, centroids, m_sub, n_codes, iters, seed)
+    q = _query_vector(sf_dir, query_id)
+    qn = q / np.maximum(np.linalg.norm(q), 1e-12)
+    probe = frozenset(np.argsort(-(centroids @ qn))[:nprobe].tolist())
+    dim = centroids.shape[1]
+    sd = dim // m_sub
+    ref = ray.put((qn, centroids, books, probe))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        qn_b, c, b, pr = get_broadcast(ref)
+        m = _embedding_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax(mn @ c.T, axis=1)
+        mask = np.isin(lists, list(pr))
+        if not mask.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "adc_sim": pa.array([], pa.float64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        mnk, lk = mn[mask], lists[mask]
+        r = mnk - c[lk]
+        # encode: per subspace, nearest codeword (this is the stored code)
+        adc = (qn_b * c[lk]).sum(axis=1)  # q·c_list term
+        for j in range(m_sub):
+            rj = r[:, j * sd : (j + 1) * sd]
+            d = ((rj[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d, axis=1)
+            lut = b[j] @ qn_b[j * sd : (j + 1) * sd]  # (n_codes,)
+            adc += lut[codes]
+        df = pd.DataFrame(
+            {
+                "vec_id": t.column("vec_id").to_numpy()[mask],
+                "adc_sim": adc,
+                "cos_sim": mnk @ qn_b,  # carried for the shortlist rerank
+            }
+        )
+        return pa.Table.from_pandas(
+            df.sort_values(["adc_sim", "vec_id"], ascending=[False, True]).head(rerank),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    cand = ds.map_batches(scan, batch_format="pyarrow", batch_size=4096, concurrency=4).to_pandas()
+    short = cand.sort_values(["adc_sim", "vec_id"], ascending=[False, True]).head(rerank)
+    out = short.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    out = out.reset_index(drop=True)[["vec_id", "cos_sim"]]
+    out["cos_sim"] = round_away(out["cos_sim"].to_numpy(), 4)
+    return out

@@ -459,3 +459,66 @@ class TestIvfPartitioned:
         inmem = ann_ivf_topk(self.SF, n_lists=8, nprobe=4, iters=4)
         got = ann_ivf_partitioned_topk(self.SF, idx, nprobe=4)
         pd.testing.assert_frame_equal(got.astype(inmem.dtypes.to_dict()), inmem)
+
+
+class TestPcaProject:
+    def test_matches_numpy_reference(self, ray_session):
+        """pca_project's distributed fit (batch Gram partials) + broadcast
+        projection must match a single-process numpy PCA with the same
+        deterministic sign convention."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import pca_project
+
+        sf = "/root/testdata/sf0.001"
+        got = pca_project(sf, n_components=2).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        mean = m.mean(axis=0)
+        c = m - mean
+        cov = (c.T @ c) / (len(m) - 1)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:2]
+        comps = v[:, order].T
+        flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+        flip[flip == 0] = 1.0
+        comps = comps * flip[:, None]
+        want = c @ comps.T
+
+        ids = np.asarray(t.column("vec_id"))
+        order_idx = np.argsort(ids)
+        assert (got["vec_id"].to_numpy() == ids[order_idx]).all()
+        np.testing.assert_allclose(
+            got[["pc1", "pc2"]].to_numpy(), want[order_idx], atol=5e-6
+        )
+        # the projection explains variance in decreasing order
+        assert got["pc1"].var() >= got["pc2"].var()
+
+
+class TestIvfPq:
+    def test_recall_and_determinism(self, ray_session):
+        """IVF-PQ's ADC shortlist + exact rerank must recover most of the
+        exact top-10 (recall >= 0.7 at fixture scale with nprobe=4/16) and
+        be deterministic across runs; at nprobe=n_lists with a corpus-sized
+        rerank the result must EQUAL exact brute force."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import (
+            ann_ivf_pq_topk,
+            q16_knn_cosine,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = q16_knn_cosine(sf)
+        if not isinstance(exact, pd.DataFrame):
+            exact = exact.to_pandas()
+        got1 = ann_ivf_pq_topk(sf)
+        got2 = ann_ivf_pq_topk(sf)
+        pd.testing.assert_frame_equal(got1, got2)
+        recall = len(set(got1["vec_id"]) & set(exact["vec_id"])) / len(exact)
+        assert recall >= 0.7, recall
+        # exhaustive configuration degrades to exact brute force
+        full = ann_ivf_pq_topk(sf, nprobe=16, rerank=10_000)
+        assert full["vec_id"].tolist() == exact["vec_id"].tolist()

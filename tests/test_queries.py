@@ -157,6 +157,7 @@ SQL_CHECKED = [
     "q98_prev_rows_stats",
     "q99_khop_parts",
     "q100_equidepth_bins",
+    "q101_bigram_logppl",
     "er_canonical_names",
     "keyword_index_search",
 ]
