@@ -54,3 +54,137 @@ def test_sorted_export_invariants(ray_session, tmp_path):
         assert his[i - 1] <= los[i]
     # stats frame mirrors the manifest
     assert stats["n_rows"].sum() == len(src)
+
+
+class TestCompaction:
+    def _make(self, root, n_parts=3, files_per=6, rows_per=40):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(7)
+        want = {}
+        for b in range(n_parts):
+            d = root / f"bucket={b}"
+            d.mkdir(parents=True)
+            rows = []
+            for f in range(files_per):
+                t = pa.table(
+                    {
+                        "k": rng.randint(0, 1000, rows_per).astype("int64"),
+                        "v": rng.rand(rows_per),
+                    }
+                )
+                pq.write_table(t, d / f"part-{f:03d}.parquet")
+                rows.append(t)
+            want[b] = pa.concat_tables(rows)
+        return want
+
+    def _read_all(self, root):
+        import glob
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        out = {}
+        for d in sorted(glob.glob(str(root / "bucket=*"))):
+            if d.endswith((".compact", ".trash")):
+                continue
+            b = int(d.rsplit("=", 1)[1])
+            dfs = [pq.read_table(f).to_pandas() for f in sorted(glob.glob(d + "/*.parquet"))]
+            out[b] = pd.concat(dfs, ignore_index=True)
+        return out
+
+    @staticmethod
+    def _canon(df):
+        return df.sort_values(["k", "v"], kind="mergesort").reset_index(drop=True)
+
+    def test_compacts_preserving_rows_and_idempotent(self, ray_session, tmp_path):
+        import glob
+
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.export import compact_hive_dir
+
+        root = tmp_path / "out"
+        want = self._make(root)
+        rep = compact_hive_dir(str(root), target_rows=1000, sort_by=["k"])
+        assert (rep["files_after"] == 1).all() and (rep["files_before"] == 6).all()
+        got = self._read_all(root)
+        for b, w in want.items():
+            pd.testing.assert_frame_equal(self._canon(got[b]), self._canon(w.to_pandas()))
+            # sort_by honored inside the compacted file
+            assert got[b]["k"].is_monotonic_increasing
+        # idempotent: second run touches nothing
+        rep2 = compact_hive_dir(str(root), target_rows=1000)
+        assert (rep2["files_before"] == rep2["files_after"]).all()
+        assert not glob.glob(str(root / "*.compact")) and not glob.glob(str(root / "*.trash"))
+
+    def test_target_rows_splits_files(self, ray_session, tmp_path):
+        from ethiomart_amharic_ner_ray.pipelines.export import compact_hive_dir
+
+        root = tmp_path / "out"
+        self._make(root, n_parts=1, files_per=6, rows_per=40)  # 240 rows
+        rep = compact_hive_dir(str(root), target_rows=100)
+        assert rep.loc[0, "files_after"] == 3  # ceil(240/100)
+
+    def test_crash_recovery_all_states(self, ray_session, tmp_path):
+        """Reconstruct every crash point of the swap protocol by hand and
+        check a rerun converges to the compacted data with no loss and no
+        duplication."""
+        import os
+        import shutil
+
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.export import (
+            _compact_one_partition,
+            compact_hive_dir,
+        )
+
+        root = tmp_path / "out"
+        want = self._make(root)
+        state = tmp_path / "state"
+        shutil.copytree(root, state)
+
+        # state A: complete .compact written, original still in place
+        d = str(root / "bucket=0")
+        _compact_one_partition(d, 1000, None)  # full swap for reference data
+        shutil.copytree(d, d + ".compact")  # a complete compact dir (has _COMPLETE? no)
+        with open(d + ".compact/_COMPLETE", "w") as f:
+            f.write("{}")
+        # crash state: original present + complete compact
+        rep = compact_hive_dir(str(root), target_rows=1000)
+        got = self._read_all(root)
+        pd.testing.assert_frame_equal(
+            self._canon(got[0]), self._canon(want[0].to_pandas())
+        )
+
+        # state B: original renamed to .trash, compact complete, no partition
+        d1 = str(root / "bucket=1")
+        os.rename(d1, d1 + ".compact")
+        with open(d1 + ".compact/_COMPLETE", "w") as f:
+            f.write("{}")
+        compact_hive_dir(str(root), target_rows=1000)
+        got = self._read_all(root)
+        pd.testing.assert_frame_equal(
+            self._canon(got[1]), self._canon(want[1].to_pandas())
+        )
+
+        # state C: swap done, stale .trash left behind
+        d2 = str(root / "bucket=2")
+        shutil.copytree(d2, d2 + ".trash")
+        compact_hive_dir(str(root), target_rows=1000)
+        got = self._read_all(root)
+        pd.testing.assert_frame_equal(
+            self._canon(got[2]), self._canon(want[2].to_pandas())
+        )
+
+        # state D: incomplete .compact (no marker) is discarded, data intact
+        shutil.copytree(str(state / "bucket=0"), str(root / "bucket=9"))
+        os.makedirs(str(root / "bucket=9.compact"))
+        compact_hive_dir(str(root), target_rows=1000)
+        got = self._read_all(root)
+        pd.testing.assert_frame_equal(
+            self._canon(got[9]), self._canon(want[0].to_pandas())
+        )
