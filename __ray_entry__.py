@@ -583,6 +583,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q99_khop_parts": graph.q99_khop_parts,
         "q100_equidepth_bins": relational.q100_equidepth_bins,
         "q101_bigram_logppl": textstats.q101_bigram_logppl,
+        "q102_benford_audit": relational.q102_benford_audit,
+        "q103_time_weighted_avg": windows.q103_time_weighted_avg,
+        "q104_rolling_distinct_users": windows.q104_rolling_distinct_users,
+        "q105_audience_overlap": relational.q105_audience_overlap,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
@@ -651,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "pca_project": similarity.pca_project,
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
+        "mahalanobis_outliers": similarity.mahalanobis_outliers,
         "ann_ivf_partitioned_topk": _ann_ivf_partitioned,
         "ann_ivf_exact_topk": lambda sf_dir: similarity.ann_ivf_topk(sf_dir, nprobe=16),
         "kmeans_assign": lambda sf_dir: similarity.kmeans_embeddings(sf_dir)[1],
@@ -1345,6 +1350,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "q104_rolling_distinct_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            w AS (
+                SELECT DISTINCT user_id, day + to_days(CAST(g.i AS INTEGER)) AS wday
+                FROM ud, generate_series(0, 6) AS g(i))
+            SELECT CAST(wday AS TIMESTAMP) AS wday,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM w GROUP BY wday
+        """,
+        "q105_audience_overlap": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+            GROUP BY 1, 2
+        """,
+        "q102_benford_audit": """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                FROM orders WHERE o_totalprice >= 1.0)
+            SELECT digit, CAST(count(*) AS BIGINT) AS n,
+                   round(count(*)::DOUBLE / (SELECT count(*) FROM d), 4) AS observed,
+                   round(log10(1.0 + 1.0 / digit), 4) AS expected
+            FROM d GROUP BY digit
+        """,
+        "q103_time_weighted_avg": """
+            WITH e AS (
+                SELECT user_id, value, ts,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+                FROM events)
+            SELECT user_id,
+                   round(sum(value * CAST(epoch_us(nts) - epoch_us(ts) AS DOUBLE))
+                         / sum(CAST(epoch_us(nts) - epoch_us(ts) AS DOUBLE)), 4) AS twap
+            FROM e
+            WHERE nts IS NOT NULL
+            GROUP BY user_id
+            HAVING sum(epoch_us(nts) - epoch_us(ts)) > 0
         """,
         "q101_bigram_logppl": r"""
             WITH arr AS (

@@ -2175,3 +2175,79 @@ def q100_equidepth_bins(sf_dir: str, n_bins: int = 8, n_micro: int = 4096) -> pd
         .rename(columns={"p_n": "n_rows"})
     )
     return out.astype({"bin_id": "int64", "n_rows": "int64"}).sort_values("bin_id").reset_index(drop=True)
+
+
+def q102_benford_audit(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit of order totals — the fraud/data-quality
+    screen over any money column: observed share of each leading digit next
+    to Benford's expected log10(1 + 1/d). One two-phase count over a
+    9-row key space (digit partials collapse per batch; the driver frame is
+    digit-bounded). The digit comes from the DECIMAL STRING of
+    floor(value) — identical extraction on both oracle sides, no float
+    log10 edge cases."""
+    from .common import round_away
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].dropna()
+        v = v[v >= 1.0]
+        d = np.floor(v.to_numpy(dtype=np.float64)).astype(np.int64).astype(str)
+        first = pd.Series([s[0] for s in d], dtype=object).astype(int)
+        g = first.value_counts().rename_axis("digit").reset_index(name="p_n")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    g = parts.groupby("digit", as_index=False)["p_n"].sum().rename(columns={"p_n": "n"})
+    total = float(g["n"].sum())
+    g["observed"] = round_away(g["n"].to_numpy(dtype=np.float64) / total, 4)
+    g["expected"] = round_away(np.log10(1.0 + 1.0 / g["digit"].to_numpy(dtype=np.float64)), 4)
+    return (
+        g.astype({"digit": "int64", "n": "int64"})
+        .sort_values("digit")
+        .reset_index(drop=True)[["digit", "n", "observed", "expected"]]
+    )
+
+
+def q105_audience_overlap(sf_dir: str) -> "ray.data.Dataset":
+    """Audience-overlap matrix: for every ordered pair of event types, how
+    many users did BOTH — q47's two-type intersection generalized to the
+    full |types|² co-occurrence matrix (the segment-overlap report behind
+    campaign planning). Shape: DISTINCT (user, type) pairs via one
+    two-phase pass; inside the same user bucket each user's type set
+    (≤ |types|) expands to its type pairs — fan-out quadratic in the
+    CLOSED type vocabulary, never in users or events — and pair counts
+    collapse per bucket, so the final exchange is matrix-sized. The
+    diagonal is each type's audience."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def per_user_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()  # exact distinct: a user never spans buckets
+        m = d.merge(d, on="user_id")
+        g = (
+            m.groupby(["event_type_x", "event_type_y"], as_index=False)
+            .size()
+            .rename(
+                columns={"event_type_x": "type_a", "event_type_y": "type_b", "size": "n_users"}
+            )
+        )
+        return g
+
+    parts = bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        per_user_pairs,
+        n_buckets=32,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["type_a", "type_b"], as_index=False)["n_users"]
+            .sum()
+            .astype({"n_users": "int64"})
+        )
+
+    return bucketed_group_agg(parts, ["type_a", "type_b"], final, n_buckets=4)

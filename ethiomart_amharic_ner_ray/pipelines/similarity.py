@@ -905,14 +905,12 @@ def q90_embedding_covariance(sf_dir: str) -> "ray.data.Dataset":
     return bucketed_group_agg(partials, ["i", "j"], final, n_buckets=16)
 
 
-def _pca_model(sf_dir: str, n_components: int):
-    """Mean + top-k eigenvectors of the embedding covariance from ONE
+def _cov_stats(sf_dir: str):
+    """(mean, covariance, n) of the embedding column from ONE
     sufficient-statistic pass (full-precision version of q90's reduce: each
-    batch ships one dim×dim Gram + a column sum + a count; the eigh runs on
-    the driver's dim×dim matrix — dimension-bounded, never data-bounded).
-    Deterministic sign convention: each component is flipped so its
-    largest-|·| coordinate is positive (eigh's sign is arbitrary; ties
-    broken by lowest index, so reruns and reshardings agree)."""
+    batch ships one dim×dim Gram + a column sum + a count — model-sized
+    partials, the driver math is dimension-bounded, never data-bounded).
+    Shared fit for pca_project and mahalanobis_outliers."""
     ds = read_table(sf_dir, "embeddings", columns=["embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -938,6 +936,15 @@ def _pca_model(sf_dir: str, n_components: int):
         s += np.frombuffer(s_blob, dtype=np.float64)
     mean = s / n
     cov = (gram - np.outer(s, s) / n) / (n - 1)
+    return mean, cov, n
+
+
+def _pca_model(sf_dir: str, n_components: int):
+    """Mean + top-k eigenvectors from _cov_stats' one-pass fit.
+    Deterministic sign convention: each component is flipped so its
+    largest-|·| coordinate is positive (eigh's sign is arbitrary; ties
+    broken by lowest index, so reruns and reshardings agree)."""
+    mean, cov, _ = _cov_stats(sf_dir)
     w, v = np.linalg.eigh(cov)  # ascending eigenvalues
     order = np.argsort(w)[::-1][:n_components]
     comps = v[:, order].T  # (k, dim)
@@ -1140,3 +1147,43 @@ def ann_ivf_pq_topk(
     out = out.reset_index(drop=True)[["vec_id", "cos_sim"]]
     out["cos_sim"] = round_away(out["cos_sim"].to_numpy(), 4)
     return out
+
+
+def mahalanobis_outliers(sf_dir: str, threshold: float = 3.0, ridge: float = 1e-9) -> "ray.data.Dataset":
+    """Mahalanobis distance per embedding vector + outlier flag — the
+    multivariate generalization of q70's z-score and q83's MAD rule, and
+    the standard embedding-space anomaly screen before training. Fit rides
+    the SAME sufficient-statistic pass as pca_project (_pca_model's mean +
+    full covariance, dimension-bounded driver math: one Cholesky of
+    cov + ridge·I); the scoring pass broadcasts (mean, L) once and each
+    batch is one triangular solve — no per-vector Python, no second
+    shuffle. d² = (x−μ)ᵀ Σ⁻¹ (x−μ) via solve(L, (x−μ)ᵀ) — numerically
+    safer than an explicit inverse and deterministic (LAPACK on the
+    driver's matrix only). Rows-only (no SQL form); pinned vs in-process
+    numpy in tests."""
+    import ray
+
+    from .common import get_broadcast
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    mu, cov, _ = _cov_stats(sf_dir)
+    dim = cov.shape[0]
+    L = np.linalg.cholesky(cov + ridge * np.eye(dim))
+    ref = ray.put((mu, L))
+
+    def score(t: pa.Table) -> pa.Table:
+        mu_b, L_b = get_broadcast(ref)
+        m = _embedding_matrix(t)
+        c = (m - mu_b).T  # (dim, n)
+        z = np.linalg.solve(L_b, c)  # L y = c (L triangular) → d² = ||y||²
+        d = np.sqrt((z * z).sum(axis=0))
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "maha": pa.array(round_away(d, 6)),
+                "is_outlier": pa.array(d > threshold),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)

@@ -536,3 +536,104 @@ def q98_prev_rows_stats(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         return out
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q103_time_weighted_avg(sf_dir: str) -> "ray.data.Dataset":
+    """Time-weighted average value per user (TWAP — the irregular-series
+    integral behind position/price averaging): with events ordered by
+    (ts, event_id), each value holds until the next event, so
+    twap = Σ value_i · Δt_i / (t_last − t_first) over the n−1 intervals.
+    Users with a single event (or zero span) have no interval and are
+    absent, matching the SQL HAVING. ONE user-bucket shuffle; in-bucket a
+    vectorized grouped shift produces Δt in EXACT integer microseconds
+    (the weights), and the weighted sum is one multiply + grouped sum —
+    identical expression tree to the oracle's lead()/epoch_us form."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("datetime64[us]")
+        nxt = df.groupby("user_id", sort=False)["ts"].shift(-1).astype("datetime64[us]")
+        dt_td = (nxt - ts).to_numpy()  # timedelta64[us], NaT on each user's last row
+        dt = dt_td.astype("int64").astype("float64")  # exact integer µs as float
+        dt[np.isnat(dt_td)] = np.nan
+        w = df["value"].to_numpy(dtype=np.float64) * dt
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "wx": w, "dt": dt})
+        g = d.groupby("user_id", as_index=False).agg(s=("wx", "sum"), span=("dt", "sum"))
+        g = g[g["span"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "twap": round_away((g["s"] / g["span"]).to_numpy(), 4),
+            }
+        )
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q104_rolling_distinct_users(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset":
+    """Rolling 7-day DISTINCT-user count per day — the windowed-distinct
+    shape (DAU/WAU dashboards) that neither a sliding SUM (q28) nor a
+    per-window groupby (q42) can express, because distinct does not
+    decompose over overlapping windows. Exact distributed form: collapse to
+    DISTINCT (user, active-day) pairs first (two-phase — the corpus-sized
+    exchange), then each pair expands to the ``window_days`` window-end
+    days it contributes to (a bounded ×7 fan-out of the already-distinct
+    pairs, NOT of raw events), and a second two-phase distinct-count per
+    window day finishes. Window ends cover every day any window sees, so
+    the first window_days−1 rows are partial windows — same on both oracle
+    sides. The approximate path for cardinalities beyond an exact count is
+    the per-group HLL (sketches.approx_users_per_event_type's registers
+    keyed by window day)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"user_id": df["user_id"], "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+        return d
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=65536),
+        ["user_id", "day"],
+        pair_final,
+        n_buckets=32,
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        k = window_days
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "wday": []})
+        off = np.tile(np.arange(k, dtype="timedelta64[D]"), n)
+        out = pd.DataFrame(
+            {
+                "user_id": np.repeat(df["user_id"].to_numpy(), k),
+                "wday": np.repeat(df["day"].to_numpy(), k) + off,
+            }
+        ).drop_duplicates()
+        return out
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates()
+            .groupby("wday", as_index=False)["user_id"]
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        g["wday"] = g["wday"].astype("datetime64[us]")
+        return g.astype({"n_users": "int64"})
+
+    return bucketed_group_agg(
+        pairs.map_batches(expand, batch_format="pandas", batch_size=65536),
+        ["wday"],
+        count_final,
+        n_buckets=16,
+    )

@@ -522,3 +522,30 @@ class TestIvfPq:
         # exhaustive configuration degrades to exact brute force
         full = ann_ivf_pq_topk(sf, nprobe=16, rerank=10_000)
         assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+
+
+class TestMahalanobis:
+    def test_matches_numpy_reference(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import mahalanobis_outliers
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            mahalanobis_outliers(sf)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        mu = m.mean(axis=0)
+        c = m - mu
+        cov = (c.T @ c) / (len(m) - 1)
+        d2 = (c * np.linalg.solve(cov + 1e-9 * np.eye(cov.shape[0]), c.T).T).sum(axis=1)
+        want = np.sqrt(d2)
+        ids = np.asarray(t.column("vec_id"))
+        order = np.argsort(ids)
+        np.testing.assert_allclose(got["maha"].to_numpy(), want[order], atol=5e-5)
+        assert (got["is_outlier"] == (got["maha"] > 3.0)).mean() > 0.99

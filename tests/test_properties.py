@@ -221,6 +221,21 @@ class TestHashDeterminism:
         )
         assert (full == half).all()
 
+    @given(keys=st.lists(st.text(max_size=100), min_size=1, max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def test_fast_and_slow_string_paths_agree(self, keys):
+        """_hash_string_chunk has a padded-matrix fast path for batches whose
+        longest string is <= 64 bytes and a streaming path above; a string's
+        hash must not depend on which path its BATCH took (mixing a long
+        string into a batch switches every member to the slow path)."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.common import stable_hash64
+
+        mixed = stable_hash64(pd.Series(keys + ["x" * 100], dtype=object))[:-1]
+        plain = stable_hash64(pd.Series(keys, dtype=object))
+        assert (mixed == plain).all()
+
     def test_arrow_and_pandas_paths_agree(self):
         """add_bucket hashes Arrow tables directly; kg's stamper hashes a
         pandas frame. The same (string, int) rows must bucket identically

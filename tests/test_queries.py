@@ -158,6 +158,10 @@ SQL_CHECKED = [
     "q99_khop_parts",
     "q100_equidepth_bins",
     "q101_bigram_logppl",
+    "q102_benford_audit",
+    "q103_time_weighted_avg",
+    "q104_rolling_distinct_users",
+    "q105_audience_overlap",
     "er_canonical_names",
     "keyword_index_search",
 ]
