@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q103_time_weighted_avg": windows.q103_time_weighted_avg,
         "q104_rolling_distinct_users": windows.q104_rolling_distinct_users,
         "q105_audience_overlap": relational.q105_audience_overlap,
+        "q106_purchase_attribution": windows.q106_purchase_attribution,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
@@ -631,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup / sketch family (rows-only)
         "cms_vocab_topk": sketches.cms_vocab_topk,
         "approx_users_per_event_type": sketches.approx_users_per_event_type,
+        "approx_audience_overlap": sketches.approx_audience_overlap,
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_clusters": dedup.minhash_dedup,
         "dedup_simhash": dedup.simhash_signatures,
@@ -1350,6 +1352,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "q106_purchase_attribution": """
+            WITH cp AS (
+                SELECT event_id, user_id, event_type, ts FROM events
+                WHERE event_type IN ('click', 'purchase')),
+            w AS (
+                SELECT event_id, user_id, ts, event_type,
+                       max(CASE WHEN event_type = 'click' THEN ts END) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS last_click
+                FROM cp)
+            SELECT event_id, user_id, ts,
+                   CASE WHEN last_click IS NOT NULL
+                             AND ts - last_click <= INTERVAL 7 DAY
+                        THEN last_click END AS attributed_click_ts
+            FROM w WHERE event_type = 'purchase'
         """,
         "q104_rolling_distinct_users": """
             WITH ud AS (

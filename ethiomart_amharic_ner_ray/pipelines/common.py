@@ -233,6 +233,61 @@ def make_rounder(cols: list[str], digits: int = ROUND_DIGITS):
     return _round
 
 
+def assert_nul_free_keys(t: pa.Table, keys: list[str]) -> None:
+    """Refuse string GROUP KEYS containing U+0000, loudly.
+
+    pandas' groupby/factorize/merge hash string keys through a
+    null-terminated C-string table, silently MERGING keys that agree up to
+    the first NUL ('a' and 'a\\x00' become one group — verified on pandas
+    2.2). Every in-bucket kernel in this engine is a pandas groupby, so a
+    NUL-bearing key cannot be grouped correctly no matter how the exchange
+    hashes it (stable_hash64 keeps co-location right, but the kernel then
+    merges inside the bucket). The contract is therefore: string group
+    keys are NUL-free. This guard turns a silent wrong answer into an
+    error naming the column; sanitize_nul_strings is the explicit opt-in
+    fix for data where NULs are real. Cost: one memchr-style Arrow scan
+    per string key column per batch."""
+    for name in keys:
+        if name not in t.schema.names:
+            continue
+        col = t.column(name)
+        typ = col.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            if pc.any(pc.match_substring(col, "\x00")).as_py():
+                raise ValueError(
+                    f"group key column {name!r} contains U+0000 (NUL) bytes; "
+                    "pandas' string hash table merges keys at the first NUL, "
+                    "so grouped results would be silently wrong. Run "
+                    "sanitize_nul_strings(ds, columns=[...]) first (replaces "
+                    "NUL with U+FFFD), or derive NUL-free keys."
+                )
+
+
+def sanitize_nul_strings(
+    ds: "ray.data.Dataset", columns: list[str], replacement: str = "�"
+) -> "ray.data.Dataset":
+    """Replace U+0000 in the given string columns with ``replacement``
+    (default U+FFFD) — the explicit opt-in for corpora whose text
+    legitimately contains NULs, applied BEFORE any grouped operation keyed
+    on those columns (see assert_nul_free_keys). A vectorized Arrow kernel;
+    non-string columns named here are left untouched."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        for name in columns:
+            if name not in t.schema.names:
+                continue
+            col = t.column(name)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                t = t.set_column(
+                    t.schema.get_field_index(name),
+                    name,
+                    pc.replace_substring(col, pattern="\x00", replacement=replacement),
+                )
+        return t
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def bucketed_group_agg(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -257,6 +312,7 @@ def bucketed_group_agg(
         # for strings with embedded NULs); hot path, so no per-row Python
         import numpy as np
 
+        assert_nul_free_keys(t, keys)
         h = stable_hash64(t.select(keys))
         b = (h % np.uint64(n_buckets)).astype(np.int32)
         # drop schema metadata (parquet/pandas provenance blobs): pyarrow
@@ -443,6 +499,7 @@ def salted_group_agg(
     import pandas as pd
 
     def add_salt(t: pa.Table) -> pa.Table:
+        assert_nul_free_keys(t, keys)
         h = stable_hash64(t)
         return t.append_column("_salt", pa.array((h % np.uint64(n_salts)).astype(np.int32)))
 

@@ -59,6 +59,11 @@ def _hash_bucket(df: "pd.DataFrame", n_buckets: int) -> np.ndarray:
 
 
 def add_conv_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    # NUL guard: conv buckets feed pandas sorts/groupbys downstream, whose
+    # string hash tables merge at the first NUL (see assert_nul_free_keys)
+    from .common import assert_nul_free_keys
+
+    assert_nul_free_keys(batch, ["conv_id"])
     b = _hash_bucket(batch.select(["conv_id"]).to_pandas(), n_buckets)
     # strip schema metadata: metadata-carrying schemas are unhashable and
     # defeat Ray's schema-dedup fast path in the downstream shuffle reduce
@@ -263,6 +268,9 @@ def _bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def add_spo_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    from .common import assert_nul_free_keys
+
+    assert_nul_free_keys(batch, ["subj", "pred", "obj"])
     b = _hash_bucket(batch.select(["subj", "pred", "obj"]).to_pandas(), n_buckets)
     batch = batch.replace_schema_metadata(None)  # see add_conv_bucket
     return batch.append_column("bucket", pa.array(b, pa.int32()))

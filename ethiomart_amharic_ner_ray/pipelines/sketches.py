@@ -302,3 +302,48 @@ def approx_users_per_event_type(sf_dir: str) -> "ray.data.Dataset":
     at fixture scale."""
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     return approx_distinct_per_group(ds, ["event_type"], "user_id")
+
+
+def approx_audience_overlap(sf_dir: str, p: int = HLL_P) -> pd.DataFrame:
+    """HLL inclusion–exclusion overlap estimates for every event-type pair
+    — the sketch-sized answer to q105's exact audience-overlap matrix when
+    per-type audiences outgrow an exact distinct count:
+    |A ∩ B| ≈ hll(A) + hll(B) − hll(A ∪ B), where hll(A ∪ B) is the
+    element-wise max of the two register arrays (union is native to HLL —
+    no data pass beyond the one that built the per-type registers). One
+    scan builds |types| register blobs exactly like
+    approx_users_per_event_type; the pair math is driver-side on
+    |types|·2^p bytes. Intersection error compounds (three ±1.6%
+    estimates), so small intersections of large sets are noisy — the
+    standard HLL caveat, tested against exact q105 at fixture scale."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type"):
+            rows.append({"event_type": t, "regs": _hll_registers(g["user_id"], p).tobytes()})
+        return pd.DataFrame(rows)
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    merged: dict[str, np.ndarray] = {}
+    for b in ds.map_batches(partial, batch_format="pandas", batch_size=65536).iter_batches(
+        batch_format="pandas"
+    ):
+        for t, blob in zip(b["event_type"], b["regs"]):
+            r = np.frombuffer(blob, dtype=np.uint8)
+            merged[t] = np.maximum(merged[t], r) if t in merged else r.copy()
+
+    types = sorted(merged)
+    rows = []
+    for a in types:
+        for bt in types:
+            na = _hll_estimate(merged[a])
+            nb = _hll_estimate(merged[bt])
+            nu = _hll_estimate(np.maximum(merged[a], merged[bt]))
+            rows.append(
+                {
+                    "type_a": a,
+                    "type_b": bt,
+                    "approx_overlap": int(round(max(0.0, na + nb - nu))),
+                }
+            )
+    return pd.DataFrame(rows)

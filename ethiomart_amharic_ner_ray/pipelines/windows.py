@@ -637,3 +637,42 @@ def q104_rolling_distinct_users(sf_dir: str, window_days: int = 7) -> "ray.data.
         count_final,
         n_buckets=16,
     )
+
+
+def q106_purchase_attribution(sf_dir: str, horizon_days: int = 7) -> "ray.data.Dataset":
+    """Marketing attribution: each 'purchase' event is attributed to the
+    SAME user's latest 'click' within the preceding ``horizon_days`` —
+    a LEFT as-of join with a horizon (q62's as-of is inner and unbounded;
+    the horizon turns stale clicks into NULL attributions, which is what
+    makes it attribution rather than a plain as-of). ONE user-bucket
+    shuffle; in-bucket the latest-prior-click is a grouped cummax ffill
+    scan and the horizon is one vectorized timestamp compare. Output keeps
+    every purchase (left semantics): attributed_click_ts is NULL when no
+    click is in the window."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "purchase"])]
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        is_click = (df["event_type"] == "click").to_numpy()
+        click_ts = df["ts"].where(is_click)
+        last_click = click_ts.groupby(df["user_id"].to_numpy(), sort=False).ffill()
+        purch = df["event_type"].to_numpy() == "purchase"
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[purch],
+                "user_id": df["user_id"].to_numpy()[purch],
+                "ts": df["ts"].to_numpy()[purch],
+                "attributed_click_ts": last_click.to_numpy()[purch],
+            }
+        )
+        horizon = np.timedelta64(horizon_days * 86400 * 1_000_000, "us")
+        stale = (out["ts"].to_numpy() - out["attributed_click_ts"].to_numpy()) > horizon
+        out.loc[stale, "attributed_click_ts"] = np.datetime64("NaT")
+        out["ts"] = out["ts"].astype("datetime64[us]")
+        out["attributed_click_ts"] = out["attributed_click_ts"].astype("datetime64[us]")
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)

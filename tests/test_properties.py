@@ -308,3 +308,74 @@ class TestExtractorSpanLaws:
             last = m["start"]
             if m["etype"] == "LOC":
                 assert clean[m["start"] : m["end"]] == m["surface"]
+
+
+class TestNulBytesEndToEnd:
+    """NUL bytes in string GROUP KEYS cannot be grouped correctly by the
+    pandas kernels (pandas' string hash table merges keys at the first NUL
+    — 'a' and 'a\\x00' become one group, verified on pandas 2.2), and
+    before stable_hash64 the exchange could additionally send the same
+    NUL key to different buckets. The engine's contract: the exchange
+    REFUSES NUL-bearing keys loudly (assert_nul_free_keys), and
+    sanitize_nul_strings is the explicit opt-in fix. This tests both
+    halves end-to-end."""
+
+    def _data(self):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.RandomState(5)
+        keys = ["", "\x00", "\x00\x00", "a", "a\x00", "a\x00b", "ab", "ብር\x00"]
+        n = 20_000
+        k = np.array(keys, dtype=object)[rng.randint(0, len(keys), n)]
+        v = rng.rand(n)
+        return keys, pa.table({"k": pa.array(list(k)), "v": pa.array(v)})
+
+    def test_exchange_refuses_nul_keys(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+        from ray.exceptions import RayTaskError
+
+        from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+
+        _, t = self._data()
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("k", as_index=False).agg(n=("v", "size"))
+
+        with pytest.raises((RayTaskError, ValueError), match="NUL"):
+            bucketed_group_agg(rd.from_arrow(t).repartition(4), ["k"], agg, n_buckets=8).to_pandas()
+
+    def test_sanitized_grouping_is_repartition_invariant(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethiomart_amharic_ner_ray.pipelines.common import (
+            bucketed_group_agg,
+            sanitize_nul_strings,
+        )
+
+        keys, t = self._data()
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("k", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+
+        results = []
+        for width in (1, 4, 13):
+            ds = sanitize_nul_strings(rd.from_arrow(t).repartition(width), ["k"])
+            out = (
+                bucketed_group_agg(ds, ["k"], agg, n_buckets=8)
+                .to_pandas()
+                .groupby("k", as_index=False)
+                .agg(n=("n", "sum"), s=("s", "sum"))
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            results.append(out)
+        base = results[0]
+        # U+FFFD substitution keeps the 8 keys distinct (positional), and
+        # every width agrees with the single-partition truth
+        assert len(base) == len({k.replace("\x00", "�") for k in keys})
+        for r in results[1:]:
+            pd.testing.assert_frame_equal(r, base)

@@ -162,6 +162,7 @@ SQL_CHECKED = [
     "q103_time_weighted_avg",
     "q104_rolling_distinct_users",
     "q105_audience_overlap",
+    "q106_purchase_attribution",
     "er_canonical_names",
     "keyword_index_search",
 ]
@@ -262,3 +263,18 @@ def test_q43_exact_under_bloom_false_positives(entrymod, con, ray_session):
     got = _canon(_to_pandas(q43_bloom_semi_join(SF_DIR, bloom_bits=256)))
     want = _canon(con.sql(entrymod.oracle_sql()["q43_bloom_semi_join"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-9)
+
+
+def test_approx_audience_overlap_tracks_exact(entrymod, ray_session):
+    """HLL inclusion-exclusion overlap estimates must track q105's exact
+    matrix within the compounded sketch error at fixture cardinalities."""
+    import pandas as pd
+
+    exact = entrymod.queries()["q105_audience_overlap"](SF_DIR)
+    if not isinstance(exact, pd.DataFrame):
+        exact = exact.to_pandas()
+    approx = entrymod.queries()["approx_audience_overlap"](SF_DIR)
+    m = exact.merge(approx, on=["type_a", "type_b"])
+    assert len(m) == len(exact)
+    rel = (m["approx_overlap"] - m["n_users"]).abs() / m["n_users"].clip(lower=1)
+    assert rel.max() < 0.15, m[rel > 0.15]
