@@ -588,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q104_rolling_distinct_users": windows.q104_rolling_distinct_users,
         "q105_audience_overlap": relational.q105_audience_overlap,
         "q106_purchase_attribution": windows.q106_purchase_attribution,
+        "q107_daily_orders_vs_events": relational.q107_daily_orders_vs_events,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
@@ -1352,6 +1353,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "q107_daily_orders_vs_events": """
+            WITH o AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1),
+            e AS (
+                SELECT date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1)
+            SELECT CAST(coalesce(o.day, e.day) AS TIMESTAMP) AS day,
+                   CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
+            FROM o FULL OUTER JOIN e ON o.day = e.day
         """,
         "q106_purchase_attribution": """
             WITH cp AS (

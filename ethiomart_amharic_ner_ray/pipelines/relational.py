@@ -2251,3 +2251,54 @@ def q105_audience_overlap(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(parts, ["type_a", "type_b"], final, n_buckets=4)
+
+
+def q107_daily_orders_vs_events(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed FULL OUTER join: per-day order counts vs per-day event
+    counts, keeping days present on EITHER side (the reconciliation shape —
+    q56 is LEFT, q92 classifies a diff; this emits the coalesced outer
+    merge itself). Both sides pre-aggregate per batch (day partials), the
+    tagged union rides ONE day-bucket shuffle, and the in-bucket merge is a
+    pandas outer merge with zero-fill — no side is broadcast or
+    driver-read, so the shape joins two table-sized streams."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate"])
+    events = read_table(sf_dir, "events", columns=["ts"])
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({"day": df["o_orderdate"].dt.floor("D")})
+            .groupby("day", as_index=False)
+            .size()
+            .rename(columns={"size": "p_n"})
+        )
+        g["side"] = 0
+        return g
+
+    def e_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({"day": df["ts"].dt.floor("D")})
+            .groupby("day", as_index=False)
+            .size()
+            .rename(columns={"size": "p_n"})
+        )
+        g["side"] = 1
+        return g
+
+    u = orders.map_batches(o_partial, batch_format="pandas", batch_size=65536).union(
+        events.map_batches(e_partial, batch_format="pandas", batch_size=65536)
+    )
+
+    def outer_merge(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0].groupby("day", as_index=False)["p_n"].sum()
+        e = df[df["side"] == 1].groupby("day", as_index=False)["p_n"].sum()
+        m = o.merge(e, on="day", how="outer", suffixes=("_o", "_e")).fillna(0)
+        out = pd.DataFrame(
+            {
+                "day": m["day"].astype("datetime64[us]"),
+                "n_orders": m["p_n_o"].astype("int64"),
+                "n_events": m["p_n_e"].astype("int64"),
+            }
+        )
+        return out
+
+    return bucketed_group_agg(u, ["day"], outer_merge, n_buckets=16)

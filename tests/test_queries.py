@@ -163,6 +163,7 @@ SQL_CHECKED = [
     "q104_rolling_distinct_users",
     "q105_audience_overlap",
     "q106_purchase_attribution",
+    "q107_daily_orders_vs_events",
     "er_canonical_names",
     "keyword_index_search",
 ]
