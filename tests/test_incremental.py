@@ -263,3 +263,67 @@ class TestUpdateNerExtractor:
         # provenance extractor name flows through the update path too
         upd = _read_triples(out)
         assert set(p["extractor"] for p in upd["provenance"]) == {"ner_subword"}
+
+
+class TestCompactionComposesWithUpdates:
+    def test_compact_between_updates_preserves_equality_and_resume(self, ray_session, tmp_path):
+        """compact_hive_dir over the update checkpoints (candidates with
+        their sbucket sort, triples, mentions) must leave manifests valid:
+        a further update after compaction still matches a from-scratch
+        rebuild of base+d1+d2, and a no-op rerun still skips everything."""
+        import glob
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ethiomart_amharic_ner_ray.pipelines.export import compact_hive_dir
+        from ethiomart_amharic_ner_ray.pipelines.kg import run_kg_pipeline
+        from ethiomart_amharic_ner_ray.pipelines.kg_update import run_kg_update
+        from ethiomart_amharic_ner_ray.sources.transcripts import (
+            ensure_transcripts,
+            generate_transcripts,
+        )
+
+        base = ensure_transcripts(str(tmp_path / "base"), 1200, seed=21)
+        for i, seed in enumerate((22, 23)):
+            d = tmp_path / f"delta{i}"
+            d.mkdir()
+            pq.write_table(
+                generate_transcripts(300, seed=seed, conv_base=800000 + i * 10000),
+                str(d / "d.parquet"),
+            )
+
+        out = str(tmp_path / "out")
+        run_kg_pipeline(base, out, n_buckets=8)
+        run_kg_update(base, str(tmp_path / "delta0"), out)
+
+        # compact every checkpoint tree between updates
+        rep_c = compact_hive_dir(out + "/candidates", target_rows=10_000, sort_by=["sbucket"])
+        compact_hive_dir(out + "/triples", target_rows=10_000)
+        compact_hive_dir(out + "/mentions", target_rows=10_000)
+        assert len(rep_c) > 0
+
+        stats2 = run_kg_update(base, str(tmp_path / "delta1"), out)
+        assert stats2["triples_rows"] > 0
+
+        # rebuild base+d1+d2 from scratch and compare triple sets exactly
+        allin = tmp_path / "allin"
+        allin.mkdir()
+        for f in glob.glob(base + "/*.parquet") + glob.glob(str(tmp_path / "delta0/*.parquet")) + glob.glob(
+            str(tmp_path / "delta1/*.parquet")
+        ):
+            import shutil
+
+            shutil.copy(f, str(allin / f"{abs(hash(f))}.parquet"))
+        out2 = str(tmp_path / "out2")
+        run_kg_pipeline(str(allin), out2, n_buckets=8)
+
+        key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+        def read(o):
+            df = pd.concat(
+                [pq.read_table(f).to_pandas() for f in glob.glob(o + "/triples/bucket=*/*.parquet")]
+            )
+            return df[key].sort_values(key).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(read(out), read(out2))
