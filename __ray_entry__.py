@@ -658,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "pca_project": similarity.pca_project,
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
+        "ann_ivf_pq_index_topk": similarity.ann_ivf_pq_served,
         "mahalanobis_outliers": similarity.mahalanobis_outliers,
         "ann_ivf_partitioned_topk": _ann_ivf_partitioned,
         "ann_ivf_exact_topk": lambda sf_dir: similarity.ann_ivf_topk(sf_dir, nprobe=16),

@@ -549,3 +549,32 @@ class TestMahalanobis:
         order = np.argsort(ids)
         np.testing.assert_allclose(got["maha"].to_numpy(), want[order], atol=5e-5)
         assert (got["is_outlier"] == (got["maha"] > 3.0)).mean() > 0.99
+
+
+class TestIvfPqIndex:
+    def test_served_equals_inline_and_exact_at_full_probe(self, ray_session, tmp_path):
+        """The materialized IVF-PQ index (codes on disk, shortlist rerank by
+        point reads) must return the SAME result as the inline IVF-PQ scan
+        (same model seeds -> same codes -> same shortlist), and degrade to
+        exact brute force at nprobe=n_lists with a corpus-sized rerank."""
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import (
+            ann_ivf_pq_index_topk,
+            ann_ivf_pq_topk,
+            ivf_pq_build_index,
+            q16_knn_cosine,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        idx = str(tmp_path / "ivfpq")
+        ivf_pq_build_index(sf, idx)
+        served = ann_ivf_pq_index_topk(sf, idx)
+        inline = ann_ivf_pq_topk(sf)
+        pd.testing.assert_frame_equal(served, inline)
+
+        exact = q16_knn_cosine(sf)
+        if not isinstance(exact, pd.DataFrame):
+            exact = exact.to_pandas()
+        full = ann_ivf_pq_index_topk(sf, idx, nprobe=16, rerank=10_000)
+        assert full["vec_id"].tolist() == exact["vec_id"].tolist()
