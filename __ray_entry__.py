@@ -589,6 +589,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q105_audience_overlap": relational.q105_audience_overlap,
         "q106_purchase_attribution": windows.q106_purchase_attribution,
         "q107_daily_orders_vs_events": relational.q107_daily_orders_vs_events,
+        "q108_upsert_latest": windows.q108_upsert_latest,
+        "q109_scd2_intervals": windows.q109_scd2_intervals,
+        "q110_user_value_ewma": windows.q110_user_value_ewma,
+        "q111_chisq_independence": relational.q111_chisq_independence,
+        "q112_weighted_median": relational.q112_weighted_median,
+        "q113_linear_interp": relational.q113_linear_interp,
+        "q114_readability": textstats.q114_readability,
+        "q115_longest_streak": windows.q115_longest_streak,
+        "q116_session_conversion": windows.q116_session_conversion,
+        "q117_autocorr_lag1": relational.q117_autocorr_lag1,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
@@ -1368,6 +1378,194 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
                    CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
             FROM o FULL OUTER JOIN e ON o.day = e.day
+        """,
+        "q108_upsert_latest": """
+            SELECT user_id, event_type, event_id, ts, value FROM (
+                SELECT user_id, event_type, event_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "q109_scd2_intervals": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events),
+            c AS (
+                SELECT user_id, event_type, ts, event_id FROM o
+                WHERE prev_type IS NULL OR event_type <> prev_type)
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+            FROM c
+        """,
+        "q110_user_value_ewma": """
+            WITH o AS (
+                SELECT user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events)
+            SELECT user_id,
+                   round(sum((cents / 100.0) *
+                             (CASE WHEN rn = 1 THEN power(0.5, n - 1)
+                                   ELSE 0.5 * power(0.5, n - rn) END)), 4) AS ewma
+            FROM o GROUP BY user_id
+        """,
+        "q111_chisq_independence": """
+            WITH c AS (
+                SELECT event_type, isodow(ts) AS dow,
+                       CAST(count(*) AS DOUBLE) AS o
+                FROM events GROUP BY 1, 2),
+            t AS (
+                SELECT o,
+                       sum(o) OVER (PARTITION BY event_type) AS r,
+                       sum(o) OVER (PARTITION BY dow) AS k,
+                       sum(o) OVER () AS n
+                FROM c)
+            SELECT round(sum((o - r*k/n)*(o - r*k/n)/(r*k/n)), 4) AS chi2,
+                   (SELECT CAST((count(DISTINCT event_type) - 1)
+                                * (count(DISTINCT isodow(ts)) - 1) AS BIGINT)
+                    FROM events) AS dof
+            FROM t
+        """,
+        "q112_weighted_median": """
+            WITH w AS (
+                SELECT l_returnflag, l_extendedprice AS price,
+                       sum(l_quantity) AS wt
+                FROM lineitem GROUP BY 1, 2),
+            c AS (
+                SELECT l_returnflag, price,
+                       sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                       sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+                FROM w)
+            SELECT l_returnflag, round(min(price), 4) AS wmedian
+            FROM c WHERE cw >= tot / 2.0 GROUP BY l_returnflag
+        """,
+        "q113_linear_interp": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       round((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                              / 100.0) / count(*), 4) AS v
+                FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+            nums AS (
+                SELECT unnest(generate_series(
+                    0, (SELECT CAST(max(date_diff('day', lo, hi)) AS BIGINT) FROM b))) AS i),
+            spine AS (
+                SELECT b.event_type, b.lo + to_days(CAST(n.i AS INTEGER)) AS day
+                FROM b JOIN nums n ON n.i <= date_diff('day', b.lo, b.hi)),
+            j AS (
+                SELECT s.event_type, s.day, d.v FROM spine s
+                LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day),
+            w AS (
+                SELECT event_type, day, v,
+                       last_value(v IGNORE NULLS) OVER
+                           (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                       last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+                           (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                       first_value(v IGNORE NULLS) OVER
+                           (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                       first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+                           (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+                FROM j)
+            SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL OR nv IS NULL THEN NULL
+                              ELSE pv + (nv - pv) *
+                                   (date_diff('day', pd, day) / date_diff('day', pd, nd))
+                         END, 4) AS v_interp,
+                   (v IS NOT NULL) AS observed
+            FROM w
+        """,
+        "q114_readability": """
+            WITH m AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+')) AS n_words,
+                       greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS n_chars
+                FROM documents)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   round(4.71 * (CAST(n_chars AS DOUBLE) / n_words)
+                         + (0.5 * (CAST(n_words AS DOUBLE) / n_sentences) - 21.43), 4) AS ari
+            FROM m WHERE n_words > 0
+        """,
+        "q115_longest_streak": """
+            WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            r AS (SELECT user_id, day,
+                         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+                  FROM d),
+            g AS (SELECT user_id,
+                         date_diff('day', TIMESTAMP '1970-01-01', day) - rn AS grp
+                  FROM r),
+            s AS (SELECT user_id, grp, count(*) AS n FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(max(n) AS BIGINT) AS longest_streak FROM s GROUP BY user_id
+        """,
+        "q116_session_conversion": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o),
+            c AS (
+                SELECT user_id, sid, event_type,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS seen_click
+                FROM s),
+            f AS (
+                SELECT user_id, sid,
+                       max(CASE WHEN event_type = 'purchase' AND seen_click = 1
+                                THEN 1 ELSE 0 END) AS hit
+                FROM c GROUP BY 1, 2)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(hit) AS BIGINT) AS n_converted
+            FROM f GROUP BY user_id
+        """,
+        "q117_autocorr_lag1": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+            nums AS (
+                SELECT unnest(generate_series(
+                    0, (SELECT CAST(max(date_diff('day', lo, hi)) AS BIGINT) FROM b))) AS i),
+            spine AS (
+                SELECT b.event_type, b.lo + to_days(CAST(n.i AS INTEGER)) AS day
+                FROM b JOIN nums n ON n.i <= date_diff('day', b.lo, b.hi)),
+            j AS (
+                SELECT s.event_type, s.day, coalesce(d.cnt, 0) AS cnt
+                FROM spine s LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day),
+            p AS (
+                SELECT event_type, cnt AS x,
+                       lead(cnt) OVER (PARTITION BY event_type ORDER BY day) AS y
+                FROM j),
+            q AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL),
+            sums AS (
+                SELECT event_type, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy
+                FROM q GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                   round((n * sxy - sx * sy) /
+                         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS autocorr
+            FROM sums
+            WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
         """,
         "q106_purchase_attribution": """
             WITH cp AS (

@@ -2302,3 +2302,213 @@ def q107_daily_orders_vs_events(sf_dir: str) -> "ray.data.Dataset":
         return out
 
     return bucketed_group_agg(u, ["day"], outer_merge, n_buckets=16)
+
+def q111_chisq_independence(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-squared test of independence between event_type and
+    ISO day-of-week — the categorical-association screen a feature-audit
+    runs before trusting a column pair. The corpus-sized work is ONE
+    bucketed count aggregation to the (type × dow) contingency table
+    (≤ |types|·7 cells — bounded by the schema, not the data); the chi²
+    reduction over those cells is driver-side on the aggregate, like every
+    calendar-sized tail in this file. Expected counts e = row·col/N, the
+    statistic Σ(o−e)²/e and dof = (R−1)(C−1) use the identical expression
+    tree as the oracle."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "dow": df["ts"].dt.dayofweek + 1})
+            .groupby(["event_type", "dow"], as_index=False)
+            .size()
+            .rename(columns={"size": "p_n"})
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "dow"], as_index=False)["p_n"].sum()
+
+    c = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "dow"],
+        final,
+        n_buckets=8,
+    ).to_pandas()
+    o = c["p_n"].to_numpy(dtype=np.float64)
+    r = c.groupby("event_type")["p_n"].transform("sum").to_numpy(dtype=np.float64)
+    k = c.groupby("dow")["p_n"].transform("sum").to_numpy(dtype=np.float64)
+    n = float(c["p_n"].sum())
+    e = r * k / n
+    chi2 = float(np.sum((o - e) * (o - e) / e))
+    dof = (c["event_type"].nunique() - 1) * (c["dow"].nunique() - 1)
+    return pd.DataFrame({"chi2": [round_away(chi2, 4)], "dof": [int(dof)]})
+
+
+def q112_weighted_median(sf_dir: str) -> "ray.data.Dataset":
+    """Quantity-weighted median extendedprice per returnflag — the
+    holistic weighted-quantile shape (portfolio medians, weighted P50
+    latency) that no mergeable aggregate computes. Deterministic
+    definition: collapse weights per DISTINCT price first (so ties inside
+    one price never depend on row order), then the weighted median is the
+    smallest price whose running weight reaches half the total. Per-batch
+    (flag, price)→weight partials pre-aggregate BEFORE the one bucketed
+    shuffle, so the exchange moves distinct-price partials, not raw
+    lineitems; in-bucket one sort + grouped cumsum finds the crossing
+    row. Weights are integral quantities, so their float64 sums are exact
+    and both oracle sides see bit-identical running weights."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_extendedprice"], as_index=False)["l_quantity"]
+            .sum()
+            .rename(columns={"l_quantity": "wt"})
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.groupby(["l_returnflag", "l_extendedprice"], as_index=False)["wt"]
+            .sum()
+            .sort_values(["l_returnflag", "l_extendedprice"], kind="mergesort")
+        )
+        g = df.groupby("l_returnflag", sort=False)
+        cw = g["wt"].cumsum().to_numpy()
+        tot = g["wt"].transform("sum").to_numpy()
+        hit = df.loc[cw >= tot / 2.0]
+        out = hit.groupby("l_returnflag", as_index=False)["l_extendedprice"].min()
+        return pd.DataFrame(
+            {
+                "l_returnflag": out["l_returnflag"],
+                "wmedian": round_away(out["l_extendedprice"].to_numpy(), 4),
+            }
+        )
+
+    # flags are few — each bucket holds whole flags, which is the point:
+    # the crossing scan needs the flag's full (already price-collapsed)
+    # distribution in one place, and that distribution is |distinct price|
+    # sized, not row sized
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_returnflag"],
+        final,
+        n_buckets=4,
+    )
+
+
+def q113_linear_interp(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled daily mean event value per type with LINEAR INTERPOLATION
+    across missing days (q89 fills zeros; models reading a level signal
+    need the line between known points, with the leading/trailing edge
+    left NULL — no extrapolation). Distributed part: exact-cents daily
+    (type, day) mean partials through one bucketed reduce; the dense
+    per-type calendar + neighbor scan is driver-side on the aggregate
+    (calendar-sized, like q89). Means are rounded to 4dp BEFORE
+    interpolating on BOTH oracle sides, so the interpolation arithmetic —
+    prev + (next−prev)·gap_frac on identical inputs — is bit-identical."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": df["ts"].dt.normalize(),
+                "cents": np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64),
+            }
+        )
+        return d.groupby(["event_type", "day"], as_index=False).agg(
+            p_sum=("cents", "sum"), p_n=("cents", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "day"], as_index=False).agg(
+            p_sum=("p_sum", "sum"), p_n=("p_n", "sum")
+        )
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "day"],
+        final,
+        n_buckets=8,
+    ).to_pandas()
+    agg["v"] = round_away((agg["p_sum"].to_numpy() / 100.0) / agg["p_n"].to_numpy(), 4)
+    frames = []
+    for et, g in agg.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        cal = pd.DataFrame({"day": pd.date_range(g["day"].min(), g["day"].max(), freq="D")})
+        m = cal.merge(g[["day", "v"]], on="day", how="left")
+        dayn = m["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        v = m["v"].to_numpy(dtype=np.float64)
+        known = ~np.isnan(v)
+        idx = np.arange(len(m))
+        prev = np.where(known, idx, -1)
+        np.maximum.accumulate(prev, out=prev)
+        nxt = np.where(known, idx, len(m))
+        nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+        fillable = ~known & (prev >= 0) & (nxt < len(m))
+        out_v = v.copy()
+        p, q = prev[fillable], nxt[fillable]
+        frac = (dayn[fillable] - dayn[p]) / (dayn[q] - dayn[p])
+        out_v[fillable] = v[p] + (v[q] - v[p]) * frac
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_type": et,
+                    "day": m["day"].astype("datetime64[us]"),
+                    "v_interp": round_away(out_v, 4),
+                    "observed": known,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+def q117_autocorr_lag1(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of each event type's DENSE daily count series
+    (zeros on silent days — autocorrelation over a sparse series is a
+    different, wrong statistic) — the burstiness/seasonality screen run on
+    rate signals. Distributed part: one bucketed (type, day) count; the
+    dense fill + Pearson-on-pairs reduction is driver-side on the
+    calendar-sized aggregate (q89/q113 pattern). All sums (Σx, Σy, Σxy,
+    Σxx, Σyy) are exact int64, so only the final ratio is float and the
+    expression tree matches the oracle's q39-style explicit-sums form.
+    Types whose span has < 2 days or zero variance on either side are
+    dropped, matching the SQL WHERE."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "day": df["ts"].dt.normalize()})
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "p_n"})
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "day"], as_index=False)["p_n"].sum()
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "day"],
+        final,
+        n_buckets=8,
+    ).to_pandas()
+    rows = []
+    for et, g in agg.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        cal = pd.DataFrame({"day": pd.date_range(g["day"].min(), g["day"].max(), freq="D")})
+        m = cal.merge(g[["day", "p_n"]], on="day", how="left").fillna({"p_n": 0})
+        c = m["p_n"].to_numpy(dtype=np.int64)
+        if len(c) < 2:
+            continue
+        x, y = c[:-1], c[1:]
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            continue
+        r = (n * sxy - sx * sy) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+        rows.append({"event_type": et, "n_pairs": n, "autocorr": round_away(float(r), 4)})
+    out = pd.DataFrame(rows, columns=["event_type", "n_pairs", "autocorr"])
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out

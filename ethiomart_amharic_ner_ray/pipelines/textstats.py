@@ -1139,3 +1139,48 @@ def q101_bigram_logppl(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(scored, ["doc_id"], doc_final, n_buckets=32)
+
+def q114_readability(sf_dir: str) -> "ray.data.Dataset":
+    """Automated Readability Index per document — the grade-level screen a
+    training-corpus quality gate runs next to q13's ratio heuristics:
+    ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43, with chars =
+    non-whitespace characters, words = maximal non-space runs, sentences =
+    runs of [.!?] clamped to ≥ 1. Pure streaming map — three
+    pyarrow.compute regex-count kernels per batch (RE2 on both oracle
+    sides, so the token definitions agree by construction); documents with
+    no words are dropped (undefined grade), matching the oracle's WHERE."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        words = pc.cast(pc.count_substring_regex(txt, pattern=r"\S+"), pa.int64())
+        sents = pc.cast(pc.count_substring_regex(txt, pattern=r"[.!?]+"), pa.int64())
+        sents = pc.max_element_wise(sents, pa.scalar(1, pa.int64()))
+        n_ws = pc.count_substring_regex(txt, pattern=r"\s")
+        chars = pc.cast(pc.subtract(pc.utf8_length(txt), n_ws), pa.int64())
+        keep = pc.greater(words, 0)
+        words_f = pc.cast(words, pa.float64())
+        ari = pc.add(
+            pc.multiply(pa.scalar(4.71), pc.divide(pc.cast(chars, pa.float64()), words_f)),
+            pc.subtract(
+                pc.multiply(pa.scalar(0.5), pc.divide(words_f, pc.cast(sents, pa.float64()))),
+                pa.scalar(21.43),
+            ),
+        )
+        # round via round_away (numpy floor(s+0.5)) — bit-identical to
+        # DuckDB's round; pc.round lands 1 ulp off for some values
+        # (28.2735 → …50000002), which fails the exact value-hash
+        from .common import round_away
+
+        ari = pa.array(round_away(ari.combine_chunks().to_numpy(zero_copy_only=False), 4))
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": words,
+                "n_sentences": sents,
+                "ari": ari,
+            }
+        )
+        return out.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -676,3 +676,181 @@ def q106_purchase_attribution(sf_dir: str, horizon_days: int = 7) -> "ray.data.D
         return out
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q108_upsert_latest(sf_dir: str) -> "ray.data.Dataset":
+    """CDC upsert / MERGE-into-latest: treat the event log as a change
+    stream keyed by (user_id, event_type) and emit the LATEST version of
+    each key — the compaction every CDC sink (Hudi/Delta "merge on read",
+    Kafka log compaction) performs. Latest = max (ts, event_id) within the
+    key, so concurrent same-timestamp updates resolve deterministically by
+    event_id. ONE key-bucket shuffle; in-bucket one mergesort +
+    drop_duplicates(keep='last') — no per-key loop. At 100 TB the key
+    space shards across buckets and each bucket compacts independently,
+    which is exactly how an incremental snapshot-maintenance job would
+    partition."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        out = df.drop_duplicates(["user_id", "event_type"], keep="last")
+        return out[["user_id", "event_type", "event_id", "ts", "value"]].reset_index(drop=True)
+
+    return bucketed_group_agg(ds, ["user_id", "event_type"], final, n_buckets=64)
+
+
+def q109_scd2_intervals(sf_dir: str) -> "ray.data.Dataset":
+    """SCD-Type-2 construction: compress each user's event stream into
+    validity intervals of their event_type "state" — a new interval opens
+    whenever the type CHANGES (ordered by ts, event_id), valid_to is the
+    next change's valid_from, and the current state stays open (NULL
+    valid_to). The dimension-history shape warehouses build from change
+    logs. ONE user-bucket shuffle; in-bucket a grouped shift-compare marks
+    change rows and a second grouped shift(-1) over the kept rows closes
+    the intervals — all vectorized, no per-user loop."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        prev_type = df.groupby(uid, sort=False)["event_type"].shift(1)
+        keep = prev_type.isna() | (prev_type.to_numpy() != df["event_type"].to_numpy())
+        c = df[keep.to_numpy()]
+        valid_to = c.groupby(c["user_id"].to_numpy(), sort=False)["ts"].shift(-1)
+        return pd.DataFrame(
+            {
+                "user_id": c["user_id"].astype("int64").to_numpy(),
+                "event_type": c["event_type"].to_numpy(),
+                "valid_from": c["ts"].astype("datetime64[us]").to_numpy(),
+                "valid_to": valid_to.astype("datetime64[us]").to_numpy(),
+            }
+        )
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q110_user_value_ewma(sf_dir: str, alpha: float = 0.5) -> "ray.data.Dataset":
+    """Exponential smoothing: final EWMA of each user's event values in
+    (ts, event_id) order — s_1 = x_1, s_i = α·x_i + (1−α)·s_{i−1} — the
+    recency-weighted signal behind rate limiters and trend scores. The
+    recurrence is sequential, so the distributed form uses its CLOSED FORM
+    s_n = Σ_j w_j·x_j with w_j = α(1−α)^{n−j} (j>1) and w_1 = (1−α)^{n−1}:
+    one user-bucket shuffle, then a vectorized per-row weight (grouped
+    cumcount + group size) and ONE grouped weighted sum — no sequential
+    scan anywhere. α = 0.5 keeps every weight an exact power of two, so
+    term products are exact in float64 and the oracle's sum agrees to well
+    past the 4-decimal rounding on both sides. Values ride as exact int64
+    cents; users keep their raw last value too, so the smoothing is
+    auditable."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        cents = np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        pos = df.groupby(uid, sort=False).cumcount().to_numpy()  # 0-based j-1
+        size = df.groupby(uid, sort=False)["event_id"].transform("size").to_numpy()
+        # w_j = alpha*(1-alpha)^(n-j) for j>1, (1-alpha)^(n-1) for j=1
+        w = alpha * np.power(1.0 - alpha, (size - 1 - pos).astype(np.float64))
+        w[pos == 0] = np.power(1.0 - alpha, (size[pos == 0] - 1).astype(np.float64))
+        term = (cents / 100.0) * w
+        g = pd.DataFrame({"user_id": uid, "term": term}).groupby("user_id", as_index=False).agg(
+            ewma=("term", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "ewma": round_away(g["ewma"].to_numpy(), 4),
+            }
+        )
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q115_longest_streak(sf_dir: str) -> "ray.data.Dataset":
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days — the classic islands detection (rn-difference trick) that no
+    plain window frame expresses. Distributed form: two-phase DISTINCT
+    (user, day) first (the only corpus-sized exchange), then per user the
+    island id is day_number − rank (vectorized grouped cumcount), and the
+    streak is the max island size. Day arithmetic runs on integer
+    epoch-days, so there is no float or timezone hazard."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        uid = df["user_id"].to_numpy()
+        dayn = df["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        rn = df.groupby(uid, sort=False).cumcount().to_numpy()
+        island = dayn - rn
+        g = (
+            pd.DataFrame({"user_id": uid, "island": island})
+            .groupby(["user_id", "island"], as_index=False)
+            .size()
+            .groupby("user_id", as_index=False)["size"]
+            .max()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "longest_streak": g["size"].astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        final,
+        n_buckets=64,
+    )
+
+
+def q116_session_conversion(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Ordered-pattern matching inside session windows (MATCH_RECOGNIZE-
+    lite): a session CONVERTS when it contains a 'purchase' strictly after
+    a 'click' in the session's (ts, event_id) order — q21's gap
+    sessionization composed with a sequential pattern no plain aggregate
+    sees (a purchase-then-click session must NOT count). ONE user-bucket
+    shuffle; in-bucket: vectorized sessionize (diff > gap → cumsum), a
+    grouped cummax of the click flag gives "click seen so far" per row,
+    and the session converts iff any purchase row has it set. Output is
+    per-user session/conversion counts."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = pd.Timedelta(minutes=gap_minutes)
+        prev_ts = df.groupby("user_id")["ts"].shift()
+        new_session = (prev_ts.isna() | ((df["ts"] - prev_ts) > gap)).astype("int64")
+        sid = new_session.groupby(df["user_id"].to_numpy()).cumsum()
+        is_click = (df["event_type"] == "click").astype("int64")
+        uid = df["user_id"].to_numpy()
+        sid_np = sid.to_numpy()
+        # group by positional arrays, NOT fresh-index Series: pandas aligns
+        # Series groupers on index, and df's index is the pre-sort order
+        seen_click = is_click.groupby([uid, sid_np]).cummax()
+        hit = ((df["event_type"] == "purchase") & (seen_click == 1)).astype("int64")
+        per_session = (
+            pd.DataFrame({"user_id": uid, "sid": sid_np, "hit": hit.to_numpy()})
+            .groupby(["user_id", "sid"], as_index=False)["hit"]
+            .max()
+        )
+        out = per_session.groupby("user_id", as_index=False).agg(
+            n_sessions=("sid", "size"), n_converted=("hit", "sum")
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_converted"] = out["n_converted"].astype("int64")
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)

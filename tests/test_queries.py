@@ -164,6 +164,16 @@ SQL_CHECKED = [
     "q105_audience_overlap",
     "q106_purchase_attribution",
     "q107_daily_orders_vs_events",
+    "q108_upsert_latest",
+    "q109_scd2_intervals",
+    "q110_user_value_ewma",
+    "q111_chisq_independence",
+    "q112_weighted_median",
+    "q113_linear_interp",
+    "q114_readability",
+    "q115_longest_streak",
+    "q116_session_conversion",
+    "q117_autocorr_lag1",
     "er_canonical_names",
     "keyword_index_search",
 ]
