@@ -538,3 +538,74 @@ def get_broadcast(ref):
         while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_SLOTS:
             _BROADCAST_CACHE.popitem(last=False)
     return _BROADCAST_CACHE[key]
+
+
+def auto_join(
+    left_ds: "ray.data.Dataset",
+    right_ds: "ray.data.Dataset",
+    on: str,
+    n_buckets: int = 64,
+    broadcast_max_bytes: int = 128 << 20,
+    right_size_hint: int | None = None,
+    merge_fn=None,
+    schema_overrides: dict | None = None,
+    decision: dict | None = None,
+) -> "ray.data.Dataset":
+    """Adaptive join strategy — the planner decision every distributed
+    engine makes per join, exposed as a primitive: if the RIGHT side's
+    estimated in-memory size fits ``broadcast_max_bytes`` (a per-worker
+    heap budget, NOT a per-batch one), ship it ONCE via ray.put and
+    pandas-merge map-side against every left batch (zero shuffle, the
+    q03/q04 shape); otherwise fall back to the one-shuffle
+    ``bucketed_join``. Join semantics (inner on a same-named key,
+    disjoint non-key columns, optional ``merge_fn(left_df, right_df)``
+    override) are identical on both paths, so callers can let data size
+    pick the plan.
+
+    Size estimate: ``right_size_hint`` when the caller knows (always pass
+    it in metadata-driven pipelines); else ``Dataset.size_bytes()`` —
+    metadata-only for pure parquet reads, but may EXECUTE a transformed
+    right side, which is acceptable only because a broadcast would
+    materialize it anyway and the shuffle fallback re-streams from the
+    same plan. On an unknown (None) estimate the safe choice is the
+    shuffle. ``decision``, when passed, records {'strategy',
+    'estimated_bytes'} for tests/diagnostics."""
+    est = right_size_hint
+    if est is None:
+        try:
+            est = right_ds.size_bytes()
+        except Exception:
+            est = None
+    strategy = "broadcast" if (est is not None and est <= broadcast_max_bytes) else "shuffle"
+    if decision is not None:
+        decision["strategy"] = strategy
+        decision["estimated_bytes"] = est
+    if strategy == "shuffle":
+        return bucketed_join(
+            left_ds, right_ds, on, n_buckets=n_buckets,
+            schema_overrides=schema_overrides, merge_fn=merge_fn,
+        )
+
+    import pandas as pd
+
+    lschema = _arrow_schema(left_ds, schema_overrides)
+    rschema = _arrow_schema(right_ds, schema_overrides)
+    overlap = (set(lschema.names) & set(rschema.names)) - {on}
+    if overlap:
+        raise ValueError(f"non-key column overlap: {sorted(overlap)}")
+    right_tbl = pa.concat_tables(
+        [t.replace_schema_metadata(None) for t in ray.get(right_ds.to_arrow_refs())],
+        promote_options="default",
+    )
+    rdf = right_tbl.to_pandas()
+    ref = ray.put(rdf)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        r = get_broadcast(ref)
+        if merge_fn is not None:
+            return merge_fn(df, r)
+        return df.merge(r, on=on, how="inner")
+
+    # join_batch's closure holds ``ref``, which keeps the broadcast object
+    # alive exactly as long as the lazy plan that needs it
+    return left_ds.map_batches(join_batch, batch_format="pandas", batch_size=65536)

@@ -1,0 +1,86 @@
+"""auto_join: the adaptive broadcast-vs-shuffle planner primitive. Both
+strategies must produce identical rows; the decision must follow the size
+estimate against the budget."""
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _read(name, cols):
+    from ethiomart_amharic_ner_ray.pipelines.common import read_table
+
+    return read_table(SF_DIR, name, columns=cols)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture()
+def sides(ray_session):
+    left = _read("orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    right = _read("customer", ["c_custkey", "c_mktsegment"])
+    from ethiomart_amharic_ner_ray.pipelines.common import rename_cols
+
+    right = rename_cols(right, {"c_custkey": "o_custkey"})
+    return left, right
+
+
+def test_broadcast_and_shuffle_agree(sides):
+    from ethiomart_amharic_ner_ray.pipelines.common import auto_join
+
+    left, right = sides
+    d1, d2 = {}, {}
+    bc = auto_join(left, right, "o_custkey", decision=d1).to_pandas()
+    sh = auto_join(
+        left, right, "o_custkey", broadcast_max_bytes=0, decision=d2
+    ).to_pandas()
+    assert d1["strategy"] == "broadcast"  # customer at sf0.001 is tiny
+    assert d2["strategy"] == "shuffle"
+    pd.testing.assert_frame_equal(_canon(bc), _canon(sh), check_dtype=False)
+    # sanity: inner-join row count == orders rows with a matching customer
+    lo = left.to_pandas()
+    ro = right.to_pandas()
+    assert len(bc) == lo["o_custkey"].isin(set(ro["o_custkey"])).sum()
+
+
+def test_size_hint_overrides_estimate(sides):
+    from ethiomart_amharic_ner_ray.pipelines.common import auto_join
+
+    left, right = sides
+    d = {}
+    auto_join(left, right, "o_custkey", right_size_hint=1 << 40, decision=d)
+    assert d["strategy"] == "shuffle" and d["estimated_bytes"] == 1 << 40
+
+
+def test_non_key_overlap_rejected_on_both_paths(sides, ray_session):
+    from ethiomart_amharic_ner_ray.pipelines.common import auto_join
+
+    left, _ = sides
+    for budget in (0, 1 << 40):
+        with pytest.raises(ValueError, match="overlap"):
+            auto_join(left, left, "o_custkey", broadcast_max_bytes=budget)
+
+
+def test_merge_fn_applies_on_broadcast_path(sides):
+    from ethiomart_amharic_ner_ray.pipelines.common import auto_join
+
+    left, right = sides
+
+    def semi(ldf, rdf):
+        return ldf[ldf["o_custkey"].isin(set(rdf["o_custkey"]))]
+
+    d1, d2 = {}, {}
+    a = auto_join(left, right, "o_custkey", merge_fn=semi, decision=d1).to_pandas()
+    b = auto_join(
+        left, right, "o_custkey", merge_fn=semi, broadcast_max_bytes=0, decision=d2
+    ).to_pandas()
+    assert d1["strategy"] == "broadcast" and d2["strategy"] == "shuffle"
+    pd.testing.assert_frame_equal(_canon(a), _canon(b), check_dtype=False)
