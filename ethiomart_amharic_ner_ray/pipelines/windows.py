@@ -854,3 +854,54 @@ def q116_session_conversion(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dat
         return out
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def asof_join(
+    left_ds: "ray.data.Dataset",
+    right_ds: "ray.data.Dataset",
+    on: str,
+    by: str,
+    direction: str = "backward",
+    tolerance=None,
+    n_buckets: int = 64,
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Generic AS-OF join primitive (the custom-operator slot the Dataset
+    API lacks): every LEFT row is matched to at most ONE right row per
+    ``by`` key — backward: the latest right with right.on ≤ left.on;
+    forward: the earliest with right.on ≥ left.on; nearest: the minimal
+    |Δ| — optionally bounded by ``tolerance`` (unmatched → NULLs, LEFT
+    semantics). q17/q62/q106 are fixed instances of this; the primitive
+    exposes the direction/tolerance axes as API.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    both sides hash-bucket on ``by`` — ONE shuffle each, riding
+    bucketed_join's tagged-union exchange — and the in-bucket kernel is
+    pandas merge_asof (a vectorized galloping merge over the two sorted
+    frames; no per-key loop). Ties on equal ``on`` values within a key
+    take the LAST right row in (on, original-order) sort — pin ties with
+    a unique secondary column in ``on`` upstream if they matter. The
+    right time column arrives renamed ``on+suffix`` so the matched
+    timestamp is part of the output (and so the two sides never collide
+    on the key name)."""
+    from .common import bucketed_join, rename_cols
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    right_on = on + suffix
+    right2 = rename_cols(right_ds, {on: right_on})
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        ldf = ldf.sort_values(on, kind="mergesort")
+        rdf = rdf.sort_values(right_on, kind="mergesort")
+        return pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=on,
+            right_on=right_on,
+            by=by,
+            direction=direction,
+            tolerance=tolerance,
+        )
+
+    return bucketed_join(left_ds, right2, on=by, merge_fn=merge, n_buckets=n_buckets)

@@ -84,3 +84,117 @@ def test_merge_fn_applies_on_broadcast_path(sides):
     ).to_pandas()
     assert d1["strategy"] == "broadcast" and d2["strategy"] == "shuffle"
     pd.testing.assert_frame_equal(_canon(a), _canon(b), check_dtype=False)
+
+
+class TestAsofJoinPrimitive:
+    """Generic asof_join vs an O(n²) per-key brute force, all three
+    directions, with and without tolerance. Only the matched timestamp is
+    compared (equal-ts ties share it; payload tie-break is documented as
+    last-in-sort)."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, ray_session):
+        import pyarrow.parquet as pq
+
+        ev = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+        ).to_pandas()
+        left = ev[ev["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        right = ev[ev["event_type"] == "view"][["user_id", "ts"]].copy()
+        right["view_n"] = range(len(right))
+        return left, right
+
+    def _brute(self, left, right, direction, tolerance):
+        out = []
+        for _, row in left.iterrows():
+            cand = right[right["user_id"] == row["user_id"]]
+            if direction == "backward":
+                cand = cand[cand["ts"] <= row["ts"]]
+                pick = cand["ts"].max() if len(cand) else pd.NaT
+            elif direction == "forward":
+                cand = cand[cand["ts"] >= row["ts"]]
+                pick = cand["ts"].min() if len(cand) else pd.NaT
+            else:
+                if len(cand):
+                    d = (cand["ts"] - row["ts"]).abs()
+                    pick = cand.loc[d.idxmin(), "ts"]
+                else:
+                    pick = pd.NaT
+            if tolerance is not None and pd.notna(pick) and abs(pick - row["ts"]) > tolerance:
+                pick = pd.NaT
+            out.append(pick)
+        return pd.Series(out, index=left.index)
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    def test_direction(self, frames, ray_session, direction):
+        import ray.data
+
+        from ethiomart_amharic_ner_ray.pipelines.windows import asof_join
+
+        left, right = frames
+        got = (
+            asof_join(
+                ray.data.from_pandas(left.reset_index(drop=True)),
+                ray.data.from_pandas(right.reset_index(drop=True)),
+                on="ts",
+                by="user_id",
+                direction=direction,
+                n_buckets=8,
+            )
+            .to_pandas()
+            .set_index("event_id")["ts_r"]
+        )
+        want = self._brute(left, right, direction, None)
+        want.index = left["event_id"]
+        got = got.sort_index()
+        want = want.sort_index()
+        assert len(got) == len(want)
+        assert (got.isna() == want.isna()).all()
+        m = want.notna()
+        assert (got[m] == want[m]).all()
+
+    def test_tolerance_bounds_matches(self, frames, ray_session):
+        import ray.data
+
+        from ethiomart_amharic_ner_ray.pipelines.windows import asof_join
+
+        left, right = frames
+        tol = pd.Timedelta(hours=6)
+        got = (
+            asof_join(
+                ray.data.from_pandas(left.reset_index(drop=True)),
+                ray.data.from_pandas(right.reset_index(drop=True)),
+                on="ts",
+                by="user_id",
+                direction="backward",
+                tolerance=tol,
+                n_buckets=8,
+            )
+            .to_pandas()
+            .set_index("event_id")["ts_r"]
+            .sort_index()
+        )
+        want = self._brute(left, right, "backward", tol)
+        want.index = left["event_id"]
+        want = want.sort_index()
+        assert (got.isna() == want.isna()).all()
+        m = want.notna()
+        assert (got[m] == want[m]).all()
+        # tolerance must strictly reduce (or keep) the match count
+        unbounded = self._brute(left, right, "backward", None)
+        assert want.notna().sum() <= unbounded.notna().sum()
+
+    def test_bad_direction_raises(self, ray_session, frames):
+        import ray.data
+
+        from ethiomart_amharic_ner_ray.pipelines.windows import asof_join
+
+        left, right = frames
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on="ts",
+                by="user_id",
+                direction="sideways",
+            )
