@@ -599,6 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q115_longest_streak": windows.q115_longest_streak,
         "q116_session_conversion": windows.q116_session_conversion,
         "q117_autocorr_lag1": relational.q117_autocorr_lag1,
+        "q118_minmax_scale": relational.q118_minmax_scale,
+        "q119_seasonality_strength": relational.q119_seasonality_strength,
+        "q120_distinct_user_rollup": relational.q120_distinct_user_rollup,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
@@ -1566,6 +1569,43 @@ def oracle_sql() -> dict[str, str]:
                           sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS autocorr
             FROM sums
             WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        """,
+        "q118_minmax_scale": """
+            WITH b AS (
+                SELECT event_type, min(value) AS lo, max(value) AS hi
+                FROM events GROUP BY 1)
+            SELECT e.event_id,
+                   CASE WHEN b.hi > b.lo
+                        THEN round((e.value - b.lo) / (b.hi - b.lo), 4) END AS scaled
+            FROM events e JOIN b USING (event_type)
+        """,
+        "q119_seasonality_strength": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            dw AS (
+                SELECT event_type, isodow(day) AS dow,
+                       sum(n) AS s, count(*) AS c
+                FROM d GROUP BY 1, 2),
+            tot AS (
+                SELECT event_type, sum(n) AS sn, sum(n*n) AS snn,
+                       count(*) AS nd
+                FROM d GROUP BY 1),
+            bt AS (
+                SELECT event_type, sum(CAST(s*s AS DOUBLE) / c) AS sb
+                FROM dw GROUP BY 1)
+            SELECT t.event_type, CAST(t.nd AS BIGINT) AS n_days,
+                   round((bt.sb - CAST(t.sn*t.sn AS DOUBLE) / t.nd)
+                         / (t.snn - CAST(t.sn*t.sn AS DOUBLE) / t.nd), 4)
+                       AS seasonality_r2
+            FROM tot t JOIN bt USING (event_type)
+            WHERE (t.snn - CAST(t.sn*t.sn AS DOUBLE) / t.nd) > 0
+        """,
+        "q120_distinct_user_rollup": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY ROLLUP(event_type)
         """,
         "q106_purchase_attribution": """
             WITH cp AS (

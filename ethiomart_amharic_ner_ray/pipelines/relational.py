@@ -2512,3 +2512,160 @@ def q117_autocorr_lag1(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["event_type", "n_pairs", "autocorr"])
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out
+
+def q118_minmax_scale(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group min-max feature scaling (the normalization every
+    training-feature pipeline runs next to q70's z-score): each event's
+    value mapped to (v − min)/(max − min) within its event_type; constant
+    groups (max == min) scale to NULL. TWO passes, ZERO shuffles of raw
+    rows: pass 1 reduces per-batch (type, min, max) partials to a
+    schema-bounded bounds table (|types| rows), pass 2 broadcasts it and
+    maps every batch — the broadcast-small-side rule applied to an
+    aggregate the pipeline itself produced. Both oracle sides compute the
+    identical (v − lo)/(hi − lo) on identical exact bounds."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def bounds_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False)["value"].agg(["min", "max"])
+
+    def bounds_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            lo=("min", "min"), hi=("max", "max")
+        )
+
+    bounds = bucketed_group_agg(
+        ds.map_batches(bounds_partial, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        bounds_final,
+        n_buckets=4,
+    ).to_pandas()
+    lo = dict(zip(bounds["event_type"], bounds["lo"]))
+    hi = dict(zip(bounds["event_type"], bounds["hi"]))
+    ref = ray.put((lo, hi))
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import get_broadcast
+
+        lo_m, hi_m = get_broadcast(ref)
+        l = df["event_type"].map(lo_m).to_numpy(dtype=np.float64)
+        h = df["event_type"].map(hi_m).to_numpy(dtype=np.float64)
+        v = df["value"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (v - l) / (h - l)
+        s = round_away(s, 4)
+        s[h <= l] = np.nan
+        return pd.DataFrame({"event_id": df["event_id"].astype("int64"), "scaled": s})
+
+    return ds.map_batches(scale, batch_format="pandas", batch_size=65536)
+
+
+def q119_seasonality_strength(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality strength per event type: the R² of the
+    dow-means model over the type's OBSERVED daily counts — ss_between /
+    ss_total in the explicit-sums form (Σn, Σn², per-dow S and c), so
+    every operand is an exact int64 until the final two divisions. One
+    bucketed (type, day) count is the only corpus-sized work; the 7-dow
+    reduction is driver-side on the aggregate. Types with zero count
+    variance are dropped (R² undefined), matching the SQL WHERE."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "day": df["ts"].dt.normalize()})
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "p_n"})
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "day"], as_index=False)["p_n"].sum()
+
+    d = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "day"],
+        final,
+        n_buckets=8,
+    ).to_pandas()
+    d["dow"] = d["day"].dt.dayofweek + 1  # isodow
+    rows = []
+    for et, g in d.groupby("event_type", sort=True):
+        n = g["p_n"].to_numpy(dtype=np.int64)
+        nd = len(n)
+        sn = int(n.sum())
+        snn = int((n * n).sum())
+        corr = float(sn * sn) / nd
+        ss_total = snn - corr
+        dw = g.groupby("dow")["p_n"].agg(["sum", "size"])
+        sb = float(((dw["sum"].to_numpy(dtype=np.int64) ** 2) / dw["size"].to_numpy()).sum())
+        if ss_total <= 0:
+            continue
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": nd,
+                "seasonality_r2": round_away((sb - corr) / ss_total, 4),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["event_type", "n_days", "seasonality_r2"])
+    out["n_days"] = out["n_days"].astype("int64")
+    return out
+
+
+def q120_distinct_user_rollup(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) under ROLLUP — the aggregate where the grand-total
+    row is NOT the sum of the group rows (a user active in two types
+    counts once overall), so naive rollup re-aggregation is wrong by
+    construction. Distributed form: ONE two-phase DISTINCT (user, type)
+    pair reduction (the corpus-sized exchange), then per-type pair counts
+    AND a distinct-user count both read from that already-small pair set;
+    the '(all)' row is the latter. Driver assembles |types|+1 rows."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "event_type"]].drop_duplicates()
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=65536),
+        ["user_id", "event_type"],
+        pair_final,
+        n_buckets=16,
+    )
+    # the pair set is |users|·|types| — never driver-side. Per-type counts
+    # are a partial-count reduce over it; the '(all)' distinct-user count
+    # is a second two-phase distinct + distributed count().
+    def type_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).size().rename(columns={"size": "p_n"})
+
+    def type_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False)["p_n"].sum()
+
+    per_type = bucketed_group_agg(
+        pairs.map_batches(type_partial, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        type_final,
+        n_buckets=4,
+    ).to_pandas()
+
+    def user_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id"]].drop_duplicates()
+
+    def user_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    n_all = bucketed_group_agg(
+        pairs.map_batches(user_partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        user_final,
+        n_buckets=16,
+    ).count()
+    out = pd.DataFrame(
+        {
+            "event_type": list(per_type["event_type"]) + ["(all)"],
+            "n_users": list(per_type["p_n"]) + [n_all],
+        }
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out

@@ -230,3 +230,46 @@ def test_autocorr_matches_numpy_on_dense_series(entrymod, events):
         ref = np.corrcoef(c[:-1], c[1:])[0, 1]
         assert abs(got.loc[et, "autocorr"] - ref) < 1e-3
         assert int(got.loc[et, "n_pairs"]) == len(c) - 1
+
+
+def test_minmax_scale_bounds_and_endpoints(entrymod, events):
+    got = entrymod.queries()["q118_minmax_scale"](SF_DIR).to_pandas()
+    m = got.merge(events[["event_id", "event_type", "value"]], on="event_id")
+    ok = m["scaled"].notna()
+    assert (m.loc[ok, "scaled"] >= 0).all() and (m.loc[ok, "scaled"] <= 1).all()
+    for et, g in m[ok].groupby("event_type"):
+        vmin, vmax = g["value"].min(), g["value"].max()
+        assert g.loc[g["value"] == vmin, "scaled"].eq(0).all()
+        assert g.loc[g["value"] == vmax, "scaled"].eq(1).all()
+
+
+def test_seasonality_r2_matches_groupmeans_reference(entrymod, events):
+    got = entrymod.queries()["q119_seasonality_strength"](SF_DIR).set_index("event_type")
+    d = (
+        pd.DataFrame({"event_type": events["event_type"], "day": events["ts"].dt.normalize()})
+        .groupby(["event_type", "day"], as_index=False)
+        .size()
+    )
+    d["dow"] = d["day"].dt.dayofweek
+    for et, g in d.groupby("event_type"):
+        n = g["size"].to_numpy(dtype=float)
+        if n.var() == 0:
+            assert et not in got.index
+            continue
+        mean = n.mean()
+        ss_total = ((n - mean) ** 2).sum()
+        ss_between = sum(
+            len(gg) * (gg["size"].mean() - mean) ** 2 for _, gg in g.groupby("dow")
+        )
+        assert abs(got.loc[et, "seasonality_r2"] - ss_between / ss_total) < 1e-3
+        assert int(got.loc[et, "n_days"]) == len(g)
+
+
+def test_distinct_rollup_all_row_not_sum(entrymod, events):
+    got = entrymod.queries()["q120_distinct_user_rollup"](SF_DIR).set_index("event_type")
+    per_type = events.groupby("event_type")["user_id"].nunique()
+    for et, n in per_type.items():
+        assert int(got.loc[et, "n_users"]) == n
+    assert int(got.loc["(all)", "n_users"]) == events["user_id"].nunique()
+    # the defining property: overall distinct < sum of per-type distincts
+    assert got.loc["(all)", "n_users"] < per_type.sum()

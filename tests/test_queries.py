@@ -174,6 +174,9 @@ SQL_CHECKED = [
     "q115_longest_streak",
     "q116_session_conversion",
     "q117_autocorr_lag1",
+    "q118_minmax_scale",
+    "q119_seasonality_strength",
+    "q120_distinct_user_rollup",
     "er_canonical_names",
     "keyword_index_search",
 ]
