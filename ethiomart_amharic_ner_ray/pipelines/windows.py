@@ -905,3 +905,111 @@ def asof_join(
         )
 
     return bucketed_join(left_ds, right2, on=by, merge_fn=merge, n_buckets=n_buckets)
+
+
+def range_join(
+    left_ds: "ray.data.Dataset",
+    right_ds: "ray.data.Dataset",
+    on: str,
+    window,
+    by: str | None = None,
+    suffix: str = "_r",
+    n_buckets: int = 64,
+    merge_fn=None,
+) -> "ray.data.Dataset":
+    """Generic RANGE (band) join primitive: every left row pairs with every
+    right row whose ``on`` lies in [left.on − window, left.on) — strictly
+    earlier — optionally also matching an equality key ``by``. q27 is the
+    COUNT instance; this primitive emits the PAIRS (left columns + right
+    columns, shared names suffixed), with ``merge_fn(pairs_df) -> df`` as
+    the per-bin hook to aggregate BEFORE anything leaves the task — pass
+    it whenever the raw pair fan-out would be the biggest table in the
+    job (at 100 TB it usually is).
+
+    Distributed shape (q27's time-bin co-partition, via bucketed_join's
+    tagged-union exchange keyed on the bin): bin the time axis at
+    ``window`` width; a left row in bin k needs rights only from bins
+    {k−1, k}, so each right is emitted to its own bin and the next — ONE
+    shuffle co-locates every candidate pair exactly once. In-bin: sort
+    rights once, two searchsorted probes per left row bound its matching
+    slice, one repeat/take materializes the pairs — never an O(n²)
+    product. Skew: a hot window concentrates in one bin; shrink the bin
+    width below ``window`` and widen the right-emit fan-out at cluster
+    scale (same math, documented in q27)."""
+    import numpy as np
+
+    from .common import bucketed_join, rename_cols
+
+    w = window if isinstance(window, pd.Timedelta) else pd.Timedelta(window)
+    right_on = on + suffix
+    by_r = (by + suffix) if by else None
+    lnames = list(left_ds.schema().names)
+    rnames = list(right_ds.schema().names)
+    overlap = (set(lnames) & set(rnames)) - {on} - ({by} if by else set())
+    if overlap:
+        raise ValueError(f"non-key column overlap: {sorted(overlap)}")
+    ren = {on: right_on}
+    if by:
+        ren[by] = by_r
+    right1 = rename_cols(right_ds, ren)
+
+    def _bins(ts: pd.Series) -> pd.Series:
+        return (ts.astype("datetime64[ns]").astype("int64") // int(w.value)).astype("int64")
+
+    def stamp_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_bin"] = _bins(out[on])
+        return out
+
+    def stamp_right(df: pd.DataFrame) -> pd.DataFrame:
+        bins = _bins(df[right_on])
+        a = df.copy()
+        a["_bin"] = bins
+        b = df.copy()
+        b["_bin"] = bins + 1
+        return pd.concat([a, b], ignore_index=True)
+
+    left2 = left_ds.map_batches(stamp_left, batch_format="pandas", batch_size=65536)
+    right2 = right1.map_batches(stamp_right, batch_format="pandas", batch_size=65536)
+
+    out_lcols = lnames  # original order, no _bin
+    out_rcols = [right_on] + [c for c in rnames if c not in (on, by)]
+    lkeys = ["_bin"] + ([by] if by else [])
+    rkeys = ["_bin"] + ([by_r] if by else [])
+
+    def pairs_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        rgroups = dict(iter(rdf.groupby(rkeys, sort=False)))
+        for k, lg in ldf.groupby(lkeys, sort=False):
+            rg = rgroups.get(k)
+            if rg is None or lg.empty:
+                continue
+            rts = rg[right_on].to_numpy().astype("datetime64[ns]").astype("int64")
+            order = np.argsort(rts, kind="stable")
+            rts = rts[order]
+            lt = lg[on].to_numpy().astype("datetime64[ns]").astype("int64")
+            lo = np.searchsorted(rts, lt - int(w.value), side="left")
+            hi = np.searchsorted(rts, lt, side="left")
+            n = hi - lo
+            total = int(n.sum())
+            if not total:
+                continue
+            li = np.repeat(np.arange(len(lg)), n)
+            ri = order[
+                np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+            ]
+            lpart = lg.iloc[li][out_lcols].reset_index(drop=True)
+            rpart = rg.iloc[ri][out_rcols].reset_index(drop=True)
+            outs.append(pd.concat([lpart, rpart], axis=1))
+        if not outs:
+            out = pd.DataFrame(
+                {
+                    **{c: pd.Series(dtype=ldf[c].dtype) for c in out_lcols},
+                    **{c: pd.Series(dtype=rdf[c].dtype) for c in out_rcols},
+                }
+            )
+        else:
+            out = pd.concat(outs, ignore_index=True)
+        return merge_fn(out) if merge_fn is not None else out
+
+    return bucketed_join(left2, right2, on="_bin", merge_fn=pairs_merge, n_buckets=n_buckets)

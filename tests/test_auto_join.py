@@ -198,3 +198,108 @@ class TestAsofJoinPrimitive:
                 by="user_id",
                 direction="sideways",
             )
+
+
+class TestRangeJoinPrimitive:
+    """Generic range_join vs brute force, with/without the equality key,
+    and its COUNT instance cross-checked against q27 (independent
+    implementation of the same bin co-partition)."""
+
+    @pytest.fixture(scope="class")
+    def ev(self, ray_session):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+        ).to_pandas()
+
+    def test_pairs_match_brute_force(self, ev, ray_session):
+        import ray.data
+
+        from ethiomart_amharic_ner_ray.pipelines.windows import range_join
+
+        w = pd.Timedelta(minutes=30)
+        left = ev[["event_id", "ts"]].head(300)
+        right = ev[["ts", "value"]]
+        pairs = range_join(
+            ray.data.from_pandas(left.reset_index(drop=True)),
+            ray.data.from_pandas(right.reset_index(drop=True)),
+            on="ts",
+            window=w,
+            n_buckets=8,
+        ).to_pandas()
+        # brute force pair set
+        want = set()
+        rts = right["ts"].to_numpy()
+        rvs = right["value"].to_numpy()
+        for _, row in left.iterrows():
+            m = (rts >= row["ts"] - w) & (rts < row["ts"])
+            for t, v in zip(rts[m], rvs[m]):
+                want.add((row["event_id"], pd.Timestamp(t), v))
+        got = set(zip(pairs["event_id"], pairs["ts_r"], pairs["value"]))
+        assert got == want
+
+    def test_by_key_restricts_to_same_user(self, ev, ray_session):
+        import ray.data
+
+        from ethiomart_amharic_ner_ray.pipelines.windows import range_join
+
+        w = pd.Timedelta(hours=12)
+        left = ev[["event_id", "user_id", "ts"]].head(300)
+        right = ev[["user_id", "ts", "value"]]
+        pairs = range_join(
+            ray.data.from_pandas(left.reset_index(drop=True)),
+            ray.data.from_pandas(right.reset_index(drop=True)),
+            on="ts",
+            window=w,
+            by="user_id",
+            n_buckets=8,
+        ).to_pandas()
+        want = 0
+        for _, row in left.iterrows():
+            m = (
+                (ev["user_id"] == row["user_id"])
+                & (ev["ts"] >= row["ts"] - w)
+                & (ev["ts"] < row["ts"])
+            )
+            want += int(m.sum())
+        assert len(pairs) == want
+        # every pair really is same-user and in-window
+        m = pairs.merge(ev[["event_id", "user_id", "ts"]], on="event_id", suffixes=("", "_l"))
+        assert (m["user_id"] == m["user_id_l"]).all()
+        assert ((m["ts_r"] >= m["ts_l"] - w) & (m["ts_r"] < m["ts_l"])).all()
+
+    def test_count_instance_matches_q27(self, ray_session):
+        import __ray_entry__ as entrymod
+        import ray.data
+
+        from ethiomart_amharic_ner_ray.pipelines.common import read_table
+        from ethiomart_amharic_ner_ray.pipelines.windows import range_join
+
+        w = pd.Timedelta(minutes=5)
+        left = read_table(SF_DIR, "events", columns=["event_id", "ts"])
+        from ethiomart_amharic_ner_ray.pipelines.common import rename_cols
+
+        right = rename_cols(
+            read_table(SF_DIR, "events", columns=["event_id", "ts"]), {"event_id": "rhs_id"}
+        )
+
+        def count_per_left(pairs: pd.DataFrame) -> pd.DataFrame:
+            return pairs.groupby("event_id", as_index=False).size().rename(
+                columns={"size": "n_prior"}
+            )
+
+        got = (
+            range_join(left, right, on="ts", window=w, merge_fn=count_per_left, n_buckets=8)
+            .to_pandas()
+            .set_index("event_id")["n_prior"]
+        )
+        q27 = (
+            entrymod.queries()["q27_range_join_count"](SF_DIR)
+            .to_pandas()
+            .set_index("event_id")["n_prior"]
+        )
+        q27nz = q27[q27 > 0].sort_index()
+        got = got.sort_index()
+        assert got.index.tolist() == q27nz.index.tolist()
+        assert (got.to_numpy() == q27nz.to_numpy()).all()
