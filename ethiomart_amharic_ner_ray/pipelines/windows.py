@@ -1013,3 +1013,98 @@ def range_join(
         return merge_fn(out) if merge_fn is not None else out
 
     return bucketed_join(left2, right2, on="_bin", merge_fn=pairs_merge, n_buckets=n_buckets)
+
+
+def window_agg(
+    ds: "ray.data.Dataset",
+    on: str,
+    by: str | None,
+    aggs: dict,
+    kind: str = "tumbling",
+    width=None,
+    slide=None,
+    gap=None,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Generic WINDOWED AGGREGATE primitive — the third custom-operator
+    slot next to asof_join and range_join, unifying the three window
+    disciplines the per-query forms (q18/q28/q21) implement separately:
+
+      kind="tumbling": fixed ``width`` windows aligned to the epoch;
+      kind="sliding":  ``width`` windows every ``slide`` (width/slide
+                       overlapping windows per row);
+      kind="session":  per-``by`` gap sessions (> ``gap`` starts a new
+                       window) — requires ``by``.
+
+    ``aggs`` is a pandas named-agg dict {out_col: (in_col, fn)} where fn
+    is any DECOMPOSABLE pandas agg name ('sum', 'size', 'min', 'max') —
+    tumbling/sliding run per-batch partials BEFORE the one bucketed
+    shuffle and re-apply the same agg to combine, so only ('sum', 'size',
+    'min', 'max') are exact there (size combines by sum); session windows
+    group raw rows inside the by-bucket (gap assignment needs the key's
+    full ordered history), so any pandas agg name works. Window identity:
+    window_start (epoch-aligned timestamp for time windows; the session's
+    first event time for sessions)."""
+    import numpy as np
+
+    if kind not in ("tumbling", "sliding", "session"):
+        raise ValueError(f"unknown window kind {kind!r}")
+    keys = [by] if by else []
+
+    if kind == "session":
+        if by is None or gap is None:
+            raise ValueError("session windows require by= and gap=")
+        g = gap if isinstance(gap, pd.Timedelta) else pd.Timedelta(gap)
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values([by, on], kind="mergesort")
+            prev = df.groupby(by)[on].shift()
+            new_s = (prev.isna() | ((df[on] - prev) > g)).astype("int64")
+            sid = new_s.groupby(df[by].to_numpy()).cumsum()
+            df = df.assign(_sid=sid.to_numpy())
+            out = df.groupby([by, "_sid"], as_index=False).agg(
+                window_start=(on, "min"), **aggs
+            )
+            out["window_start"] = out["window_start"].astype("datetime64[us]")
+            return out.drop(columns=["_sid"])
+
+        return bucketed_group_agg(ds, [by], final, n_buckets=n_buckets)
+
+    w = width if isinstance(width, pd.Timedelta) else pd.Timedelta(width)
+    s = None
+    if kind == "sliding":
+        s = slide if isinstance(slide, pd.Timedelta) else pd.Timedelta(slide)
+        if int(w.value) % int(s.value):
+            raise ValueError("width must be a multiple of slide")
+
+    combine_fn = {name: ("sum" if spec[1] == "size" else spec[1]) for name, spec in aggs.items()}
+    allowed = {"sum", "size", "min", "max"}
+    bad = {spec[1] for spec in aggs.values()} - allowed
+    if bad:
+        raise ValueError(f"non-decomposable aggs for {kind} windows: {sorted(bad)}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df[on].astype("datetime64[ns]").astype("int64")
+        if kind == "tumbling":
+            starts = [ns // int(w.value) * int(w.value)]
+        else:
+            last = ns // int(s.value) * int(s.value)  # last window start <= t
+            k = int(w.value) // int(s.value)
+            starts = [last - i * int(s.value) for i in range(k)]
+        outs = []
+        for st in starts:
+            d = df.assign(window_start=st.astype("datetime64[ns]"))
+            outs.append(
+                d.groupby(keys + ["window_start"], as_index=False).agg(**aggs)
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys + ["window_start"], as_index=False).agg(
+            **{name: (name, fn) for name, fn in combine_fn.items()}
+        )
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, keys + ["window_start"], final, n_buckets=n_buckets)

@@ -303,3 +303,102 @@ class TestRangeJoinPrimitive:
         got = got.sort_index()
         assert got.index.tolist() == q27nz.index.tolist()
         assert (got.to_numpy() == q27nz.to_numpy()).all()
+
+
+class TestWindowAggPrimitive:
+    """window_agg must reproduce the three SQL-checked per-query window
+    forms (q18 tumbling, q28 sliding, q21 session) it generalizes."""
+
+    def _events(self):
+        from ethiomart_amharic_ner_ray.pipelines.common import read_table
+
+        return read_table(SF_DIR, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def test_tumbling_matches_q18(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        from ethiomart_amharic_ner_ray.pipelines.common import round_away
+        from ethiomart_amharic_ner_ray.pipelines.windows import window_agg
+
+        got = window_agg(
+            self._events(),
+            on="ts",
+            by="user_id",
+            aggs={"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+            kind="tumbling",
+            width=pd.Timedelta(hours=1),
+            n_buckets=8,
+        ).to_pandas()
+        got["sum_value"] = round_away(got["sum_value"].to_numpy(), 4)
+        want = entrymod.queries()["q18_hourly_windows"](SF_DIR).to_pandas()
+        k = ["user_id", "window_start"]
+        got = got.sort_values(k).reset_index(drop=True)
+        want = want.sort_values(k).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+    def test_sliding_matches_q28(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        from ethiomart_amharic_ner_ray.pipelines.common import round_away
+        from ethiomart_amharic_ner_ray.pipelines.windows import window_agg
+
+        got = window_agg(
+            self._events(),
+            on="ts",
+            by="user_id",
+            aggs={"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+            kind="sliding",
+            width=pd.Timedelta(seconds=3600),
+            slide=pd.Timedelta(seconds=900),
+            n_buckets=8,
+        ).to_pandas()
+        got["window_start"] = (
+            got["window_start"].astype("datetime64[ns]").astype("int64") // 10**9
+        )
+        got["sum_value"] = round_away(got["sum_value"].to_numpy(), 4)
+        want = entrymod.queries()["q28_sliding_windows"](SF_DIR).to_pandas()
+        k = ["user_id", "window_start"]
+        got = got.sort_values(k).reset_index(drop=True)
+        want = want.sort_values(k).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+    def test_session_matches_q21(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        from ethiomart_amharic_ner_ray.pipelines.common import round_away
+        from ethiomart_amharic_ner_ray.pipelines.windows import window_agg
+
+        got = window_agg(
+            self._events(),
+            on="ts",
+            by="user_id",
+            aggs={"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+            kind="session",
+            gap=pd.Timedelta(minutes=30),
+            n_buckets=8,
+        ).to_pandas()
+        got["sum_value"] = round_away(got["sum_value"].to_numpy(), 4)
+        want = entrymod.queries()["q21_sessionize"](SF_DIR).to_pandas()
+        k = ["user_id", "session_start"]
+        got = got.rename(columns={"window_start": "session_start"}).sort_values(k).reset_index(drop=True)
+        want = want.drop(columns=["session_id"]).sort_values(k).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+    def test_bad_specs_raise(self, ray_session):
+        from ethiomart_amharic_ner_ray.pipelines.windows import window_agg
+
+        ds = self._events()
+        with pytest.raises(ValueError, match="kind"):
+            window_agg(ds, on="ts", by=None, aggs={}, kind="hopping")
+        with pytest.raises(ValueError, match="require"):
+            window_agg(ds, on="ts", by=None, aggs={}, kind="session", gap="30min")
+        with pytest.raises(ValueError, match="multiple"):
+            window_agg(
+                ds, on="ts", by=None, aggs={}, kind="sliding",
+                width="50min", slide="15min",
+            )
+        with pytest.raises(ValueError, match="decomposable"):
+            window_agg(
+                ds, on="ts", by=None, aggs={"m": ("value", "median")},
+                kind="tumbling", width="1h",
+            )
