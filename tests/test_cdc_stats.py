@@ -273,3 +273,29 @@ def test_distinct_rollup_all_row_not_sum(entrymod, events):
     assert int(got.loc["(all)", "n_users"]) == events["user_id"].nunique()
     # the defining property: overall distinct < sum of per-type distincts
     assert got.loc["(all)", "n_users"] < per_type.sum()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q108_upsert_latest", "q110_user_value_ewma", "q115_longest_streak",
+     "q116_session_conversion", "q120_distinct_user_rollup"],
+)
+def test_row_order_invariance(entrymod, events, tmp_path, name):
+    """Shuffling the input row order must not change any of the ordered
+    operators' results — every order the semantics need is re-derived from
+    (ts, event_id), never from row position."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    shuf = events.iloc[rng.permutation(len(events))].reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(shuf, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    def run(sf_dir):
+        res = entrymod.queries()[name](sf_dir)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(SF_DIR), run(str(tmp_path)), check_dtype=False)
