@@ -602,6 +602,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q118_minmax_scale": relational.q118_minmax_scale,
         "q119_seasonality_strength": relational.q119_seasonality_strength,
         "q120_distinct_user_rollup": relational.q120_distinct_user_rollup,
+        "q121_dup_span_stats": textstats.q121_dup_span_stats,
+        "q122_order_ntile": relational.q122_order_ntile,
+        "q123_event_grouping_sets": relational.q123_event_grouping_sets,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
@@ -1606,6 +1609,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(event_type, '(all)') AS event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "q121_dup_span_stats": """
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+                FROM documents),
+            sp AS (
+                SELECT DISTINCT doc_id,
+                       a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]
+                            || ' ' || a[i+4] AS sh
+                FROM arr, unnest(generate_series(1, len(a) - 4)) AS t(i)),
+            dc AS (
+                SELECT sh, count(DISTINCT doc_id) AS nd FROM sp GROUP BY sh)
+            SELECT sp.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN dc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared,
+                   CAST(sum(CASE WHEN dc.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS shared_ratio
+            FROM sp JOIN dc USING (sh)
+            GROUP BY sp.doc_id
+        """,
+        "q122_order_ntile": """
+            SELECT o_orderkey,
+                   CAST(ntile(8) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice, o_orderkey)
+                        AS BIGINT) AS tile
+            FROM orders
+        """,
+        "q123_event_grouping_sets": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   CAST(coalesce(isodow(ts), -1) AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS ((event_type, isodow(ts)), (event_type),
+                                    (isodow(ts)))
         """,
         "q106_purchase_attribution": """
             WITH cp AS (

@@ -2669,3 +2669,132 @@ def q120_distinct_user_rollup(sf_dir: str) -> pd.DataFrame:
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out
+
+
+def q123_event_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow)) over
+    events — the general form CUBE (q76) and ROLLUP (q44) are special cases
+    of: an arbitrary list of grouping sets, here one that is NEITHER a cube
+    nor a rollup (no grand total, and (dow) alone is not a rollup prefix).
+    Same scale shape: ONE distributed two-phase pass to the finest set
+    (event_type x day-of-week — dimension-bounded), then each requested set
+    re-aggregates that bounded result driver-side, exactly how SQL engines
+    evaluate GROUPING SETS from the lowest common set. '(all)' / -1 mark
+    grouped-out levels."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                # ISO day of week (1=Mon..7=Sun), matching DuckDB isodow()
+                "dow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+                "value": df["value"],
+            }
+        )
+        return g.groupby(["event_type", "dow"], as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "dow"], as_index=False).agg(
+            n=("p_n", "sum"), s=("p_sum", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    fine = bucketed_group_agg(parts, ["event_type", "dow"], final, n_buckets=4).to_pandas()
+
+    sets = [("event_type", "dow"), ("event_type",), ("dow",)]
+    out = []
+    for keep in sets:
+        g = fine.copy()
+        if "event_type" not in keep:
+            g["event_type"] = "(all)"
+        if "dow" not in keep:
+            g["dow"] = -1
+        g = g.groupby(["event_type", "dow"], as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    res["n"] = res["n"].astype("int64")
+    res["dow"] = res["dow"].astype("int64")
+    res["sum_value"] = round_away(res["s"].to_numpy(dtype=np.float64), 4)
+    return res[["event_type", "dow", "n", "sum_value"]]
+
+
+def q122_order_ntile(sf_dir: str, k: int = 8, n_ranges: int = 64) -> "ray.data.Dataset":
+    """Distributed NTILE(k) within HOT partitions — equal-count tile
+    assignment per o_orderpriority ordered by (o_totalprice, o_orderkey).
+    Like q95's percent_rank, the partitions are ~20% of the table each, so
+    no group is ever co-located: the same distributed-ECDF shape computes a
+    GLOBAL row_number instead (the counting pass's prefix offsets plus an
+    in-range-bucket cumcount over the unique (price, orderkey) order), and
+    the SQL NTILE remainder rule — the first N % k tiles get one extra row
+    — is a closed-form vectorized map from row_number to tile."""
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ds = read_table(sf_dir, "orders", columns=cols)
+
+    mm = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"mn": [df["o_totalprice"].min()], "mx": [df["o_totalprice"].max()]}
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    ).to_pandas()
+    mn, mx = float(mm["mn"].min()), float(mm["mx"].max())
+    bounds = np.linspace(mn, mx, n_ranges + 1)[1:-1]
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rb = np.searchsorted(bounds, df["o_totalprice"].to_numpy(), side="right")
+        return (
+            pd.DataFrame({"prio": df["o_orderpriority"], "_rb": rb})
+            .groupby(["prio", "_rb"], as_index=False)
+            .size()
+        )
+
+    counts = (
+        ds.map_batches(cnt_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()  # <= n_batches x G x R partial rows — aggregate-sized
+        .groupby(["prio", "_rb"], as_index=False)["size"]
+        .sum()
+        .sort_values(["prio", "_rb"], kind="mergesort")
+    )
+    counts["offset"] = counts.groupby("prio")["size"].cumsum() - counts["size"]
+    n_per_prio = counts.groupby("prio")["size"].sum().to_dict()
+    offsets = {
+        (p, r): int(o) for p, r, o in zip(counts["prio"], counts["_rb"], counts["offset"])
+    }
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = np.searchsorted(
+            bounds, df["o_totalprice"].to_numpy(), side="right"
+        ).astype("int64")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_orderpriority", "_rb", "o_totalprice", "o_orderkey"], kind="mergesort"
+        )
+        pos = df.groupby(["o_orderpriority", "_rb"], sort=False).cumcount().to_numpy()
+        prio = df["o_orderpriority"].to_numpy()
+        rb = df["_rb"].to_numpy()
+        off = np.fromiter(
+            (offsets.get((p, r), 0) for p, r in zip(prio, rb)),
+            dtype=np.int64,
+            count=len(df),
+        )
+        rn = off + pos + 1  # global 1-based row_number within the partition
+        n = np.fromiter((n_per_prio[p] for p in prio), dtype=np.int64, count=len(df))
+        q, r = n // k, n % k
+        boundary = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+        tile = np.where(
+            rn <= boundary,
+            (rn + q) // (q + 1),  # ceil(rn / (q+1))
+            r + (rn - boundary + np.maximum(q, 1) - 1) // np.maximum(q, 1),
+        )
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(), "tile": tile.astype("int64")}
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(stamped, ["o_orderpriority", "_rb"], final, n_buckets=32)

@@ -1184,3 +1184,67 @@ def q114_readability(sf_dir: str) -> "ray.data.Dataset":
         return out.filter(keep)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q121_dup_span_stats(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Per-document duplicated-SPAN rollup — the substring-level dedup
+    decision view (Lee et al.'s "Deduplicating Training Data" measures
+    exactly this): for every document with at least one k-token span, how
+    many of its DISTINCT spans also occur in some OTHER document, and the
+    shared fraction. q67 is the span-centric view (which spans are
+    duplicated); this is the doc-centric rollup a filter thresholds on.
+
+    Shape: per-batch distinct (span, doc) pairs (a document never spans
+    batches, so per-batch distinct is globally distinct) ride ONE bucketed
+    shuffle on the span; inside the span bucket the per-span distinct-doc
+    count collapses straight to per-(doc, bucket) partial counts — the
+    second exchange on doc_id moves <= n_buckets rows per document, never
+    span-sized data. At 100 TB the span column would be a 128-bit hash
+    instead of the string (documented trade: the oracle compares exact
+    strings, hashes collide with ~2^-128 probability)."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sh": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+        )
+        rows, sh = _shingle_frame(t, k)
+        if not len(rows):
+            return empty
+        d = pd.DataFrame(
+            {"sh": sh.to_numpy(), "doc_id": t.column("doc_id").to_numpy()[rows]}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def span_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # pairs are globally distinct, so each span's row count IS its
+        # distinct-doc count
+        nd = df.groupby("sh")["doc_id"].transform("size")
+        g = (
+            pd.DataFrame({"doc_id": df["doc_id"], "shared": (nd >= 2).astype("int64")})
+            .groupby("doc_id", as_index=False)
+            .agg(p_spans=("shared", "size"), p_shared=("shared", "sum"))
+        )
+        return g
+
+    per_bucket = bucketed_group_agg(parts, ["sh"], span_bucket, n_buckets=16)
+
+    def doc_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_spans=("p_spans", "sum"), n_shared=("p_shared", "sum")
+        )
+        g["n_spans"] = g["n_spans"].astype("int64")
+        g["n_shared"] = g["n_shared"].astype("int64")
+        g["shared_ratio"] = g["n_shared"].to_numpy(dtype=np.float64) / g[
+            "n_spans"
+        ].to_numpy(dtype=np.float64)
+        return g
+
+    return bucketed_group_agg(per_bucket, ["doc_id"], doc_final, n_buckets=16)

@@ -177,6 +177,9 @@ SQL_CHECKED = [
     "q118_minmax_scale",
     "q119_seasonality_strength",
     "q120_distinct_user_rollup",
+    "q121_dup_span_stats",
+    "q122_order_ntile",
+    "q123_event_grouping_sets",
     "er_canonical_names",
     "keyword_index_search",
 ]
@@ -292,3 +295,41 @@ def test_approx_audience_overlap_tracks_exact(entrymod, ray_session):
     assert len(m) == len(exact)
     rel = (m["approx_overlap"] - m["n_users"]).abs() / m["n_users"].clip(lower=1)
     assert rel.max() < 0.15, m[rel > 0.15]
+
+
+def test_q122_ntile_remainder_rule(ray_session, tmp_path):
+    """The closed-form row_number→tile map must match SQL NTILE on the two
+    edges the fixture's big partitions never hit: a partition SMALLER than k
+    (every row its own tile) and one where N % k != 0 (the first N % k tiles
+    take the extra row)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.relational import q122_order_ntile
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for prio, n in (("1-SMALL", 5), ("2-RAGGED", 13), ("3-EXACT", 16)):
+        for i in range(n):
+            rows.append((len(rows) + 1, prio, float(rng.integers(1, 1000))))
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+
+    got = (
+        q122_order_ntile(str(tmp_path), k=8)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT o_orderkey,
+                   CAST(ntile(8) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+            FROM '{tmp_path}/orders.parquet' ORDER BY o_orderkey"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
