@@ -386,28 +386,30 @@ def _arrow_schema(ds: "ray.data.Dataset", overrides: dict | None = None) -> pa.S
 def bucketed_join(
     left_ds: "ray.data.Dataset",
     right_ds: "ray.data.Dataset",
-    on: str,
+    on: "str | list[str]",
     n_buckets: int = 64,
     schema_overrides: dict | None = None,
     merge_fn=None,
 ) -> "ray.data.Dataset":
-    """Inner hash-join on column ``on`` (same name on both sides) as ONE
-    bucketed shuffle — the engine's shuffle-join primitive for when neither
-    side is small enough to broadcast (candidate-pair verification ships
-    per-doc payloads this way; see pipelines/dedup.py).
+    """Inner hash-join on ``on`` — one column name or a COMPOSITE key list,
+    same names on both sides — as ONE bucketed shuffle: the engine's
+    shuffle-join primitive for when neither side is small enough to
+    broadcast (candidate-pair verification ships per-doc payloads this
+    way; see pipelines/dedup.py).
 
     Shape: tag each side, harmonize to the union schema (missing columns →
-    nulls), union, hash the key to B buckets, pandas-merge inside each
-    bucket. Non-key column names must be disjoint across sides. B scales
-    with the cluster, never with key cardinality.
+    nulls), union, hash the key tuple to B buckets, pandas-merge inside
+    each bucket. Non-key column names must be disjoint across sides. B
+    scales with the cluster, never with key cardinality.
 
     ``merge_fn(left_df, right_df) -> df`` replaces the default inner merge
     inside each bucket — the hook for joins that must bound their output
     (e.g. per-key fan-out caps in graph traversals, semi/anti variants)
     without giving up the one-shuffle shape."""
+    on_keys = [on] if isinstance(on, str) else list(on)
     lschema = _arrow_schema(left_ds, schema_overrides)
     rschema = _arrow_schema(right_ds, schema_overrides)
-    overlap = (set(lschema.names) & set(rschema.names)) - {on}
+    overlap = (set(lschema.names) & set(rschema.names)) - set(on_keys)
     if overlap:
         raise ValueError(f"non-key column overlap: {sorted(overlap)}")
     fields: list[pa.Field] = []
@@ -453,17 +455,17 @@ def bucketed_join(
         right_ds.map_batches(harmonize(1), batch_format="pyarrow")
     )
     lnames = list(lschema.names)
-    rextra = [n for n in rschema.names if n != on]
+    rextra = [n for n in rschema.names if n not in on_keys]
 
     def merge(df):
         import numpy as np
 
         left = df[df["_side"] == 0][lnames]
-        right = df[df["_side"] == 1][[on] + rextra]
+        right = df[df["_side"] == 1][on_keys + rextra]
         if merge_fn is not None:
             out = merge_fn(left, right)
         else:
-            out = left.merge(right, on=on, how="inner")
+            out = left.merge(right, on=on_keys, how="inner")
         # ndarray cells (pandas view of Arrow list columns) would re-enter
         # Ray as tensor-extension structs; normalize to Python lists so the
         # declared list<> types round-trip
@@ -472,7 +474,7 @@ def bucketed_join(
                 out[c] = [v.tolist() if isinstance(v, np.ndarray) else v for v in out[c]]
         return out
 
-    return bucketed_group_agg(u, [on], merge, n_buckets=n_buckets)
+    return bucketed_group_agg(u, on_keys, merge, n_buckets=n_buckets)
 
 
 def salted_group_agg(
@@ -543,7 +545,7 @@ def get_broadcast(ref):
 def auto_join(
     left_ds: "ray.data.Dataset",
     right_ds: "ray.data.Dataset",
-    on: str,
+    on: "str | list[str]",
     n_buckets: int = 64,
     broadcast_max_bytes: int = 128 << 20,
     right_size_hint: int | None = None,
@@ -557,7 +559,8 @@ def auto_join(
     heap budget, NOT a per-batch one), ship it ONCE via ray.put and
     pandas-merge map-side against every left batch (zero shuffle, the
     q03/q04 shape); otherwise fall back to the one-shuffle
-    ``bucketed_join``. Join semantics (inner on a same-named key,
+    ``bucketed_join``. Join semantics (inner on a same-named single or
+    composite key,
     disjoint non-key columns, optional ``merge_fn(left_df, right_df)``
     override) are identical on both paths, so callers can let data size
     pick the plan.
@@ -588,9 +591,10 @@ def auto_join(
 
     import pandas as pd
 
+    on_keys = [on] if isinstance(on, str) else list(on)
     lschema = _arrow_schema(left_ds, schema_overrides)
     rschema = _arrow_schema(right_ds, schema_overrides)
-    overlap = (set(lschema.names) & set(rschema.names)) - {on}
+    overlap = (set(lschema.names) & set(rschema.names)) - set(on_keys)
     if overlap:
         raise ValueError(f"non-key column overlap: {sorted(overlap)}")
     right_tbl = pa.concat_tables(
@@ -604,7 +608,7 @@ def auto_join(
         r = get_broadcast(ref)
         if merge_fn is not None:
             return merge_fn(df, r)
-        return df.merge(r, on=on, how="inner")
+        return df.merge(r, on=on_keys, how="inner")
 
     # join_batch's closure holds ``ref``, which keeps the broadcast object
     # alive exactly as long as the lazy plan that needs it

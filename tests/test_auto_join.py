@@ -402,3 +402,33 @@ class TestWindowAggPrimitive:
                 ds, on="ts", by=None, aggs={"m": ("value", "median")},
                 kind="tumbling", width="1h",
             )
+
+
+def test_composite_key_join_both_strategies(ray_session):
+    """bucketed_join / auto_join on a COMPOSITE key list: both strategies
+    must equal the pandas multi-key inner merge (events joined to a derived
+    per-(user, type) lookup)."""
+    import ray.data as rd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import auto_join, read_table
+
+    left = read_table(SF_DIR, "events", columns=["event_id", "user_id", "event_type", "value"])
+    lookup = (
+        left.to_pandas()
+        .groupby(["user_id", "event_type"], as_index=False)
+        .agg(grp_n=("value", "size"))
+    )
+    # keep only a subset of keys so the inner join actually filters
+    lookup = lookup[lookup["grp_n"] >= 3].reset_index(drop=True)
+    right = rd.from_pandas(lookup)
+
+    d1, d2 = {}, {}
+    bc = auto_join(left, right, ["user_id", "event_type"], decision=d1).to_pandas()
+    sh = auto_join(
+        left, right, ["user_id", "event_type"], broadcast_max_bytes=0, decision=d2
+    ).to_pandas()
+    assert d1["strategy"] == "broadcast" and d2["strategy"] == "shuffle"
+
+    want = left.to_pandas().merge(lookup, on=["user_id", "event_type"], how="inner")
+    pd.testing.assert_frame_equal(_canon(bc), _canon(want), check_dtype=False)
+    pd.testing.assert_frame_equal(_canon(sh), _canon(want), check_dtype=False)
