@@ -473,6 +473,18 @@ def _export_sorted_ranges(sf_dir: str):
     return export_sorted_ranges(sf_dir)
 
 
+def _export_shuffled_shards(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.export import export_shuffled_shards
+
+    return export_shuffled_shards(sf_dir)
+
+
+def _export_zorder(sf_dir: str):
+    from ethiomart_amharic_ner_ray.pipelines.export import export_zorder
+
+    return export_zorder(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ethiomart_amharic_ner_ray.pipelines import (
         bpe,
@@ -661,6 +673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": lambda sf_dir: bpe.bpe_train(sf_dir, n_merges=10),
         "bpe_token_counts": lambda sf_dir: bpe.bpe_token_counts(sf_dir, n_merges=10),
         "export_sorted_ranges": _export_sorted_ranges,
+        "export_shuffled_shards": _export_shuffled_shards,
+        "export_zorder": _export_zorder,
         "approx_distinct_report": sketches.approx_distinct_report,
         "approx_value_quantiles": lambda sf_dir: sketches.approx_quantiles(
             __import__(

@@ -251,3 +251,244 @@ def compact_hive_dir(
     done = ray.get([worker.remote(d, target_rows, sort_by) for d in todo])
     report = pd.DataFrame(report_rows + list(done))
     return report.sort_values("partition").reset_index(drop=True) if len(report) else report
+
+
+def shuffled_export(
+    ds: "ray.data.Dataset",
+    key: str,
+    out_dir: str,
+    n_shards: int = 8,
+    seed: int = 17,
+) -> pd.DataFrame:
+    """Deterministic GLOBAL shuffle into training shards — the last step
+    before a corpus feeds a trainer: every row is stamped with a seeded
+    split-invariant hash of its ``key``, hash-partitioned into ``n_shards``
+    shard files, and ordered by the hash inside each shard. Reading
+    shard-00000, shard-00001, … yields a pseudo-random permutation of the
+    corpus that is REPRODUCIBLE (same key + seed → same permutation,
+    regardless of input block layout, resharding, or rerun — no
+    ``random_shuffle`` nondeterminism) and re-seedable (a new ``seed`` is a
+    fresh independent permutation for the next epoch). ONE shuffle, same
+    atomic tmp+rename file discipline as sorted_export; shard sizes are
+    hash-uniform in the number of DISTINCT keys."""
+    from .common import _mix64, stable_hash64, strip_schema_meta
+
+    os.makedirs(out_dir, exist_ok=True)
+    seed_mixed = _mix64(np.array([seed & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64))[0]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        h = _mix64(stable_hash64(t.select([key])) ^ seed_mixed)
+        t = strip_schema_meta(t)
+        t = t.append_column("_h", pa.array(h.astype(np.uint64), pa.uint64()))
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(n_shards)).astype(np.int32), pa.int32())
+        )
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        shard = int(df["_shard"].iloc[0])
+        df = df.sort_values(["_h", key], kind="mergesort").drop(columns=["_shard", "_h"])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None), tmp
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "n_rows": [len(df)]})
+
+    stats = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    stats["shard"] = stats["shard"].astype("int64")
+    stats["n_rows"] = stats["n_rows"].astype("int64")
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "key": key,
+                "seed": int(seed),
+                "n_shards": int(n_shards),
+                "shards": [
+                    {"shard": int(r.shard), "n_rows": int(r.n_rows)} for r in stats.itertuples()
+                ],
+            },
+            f,
+        )
+    return stats
+
+
+def export_shuffled_shards(sf_dir: str, n_shards: int = 8, seed: int = 17) -> pd.DataFrame:
+    """Driver-surface wrapper: deterministic shuffle of documents into
+    training shards; returns the per-shard manifest (rows-only check — the
+    permutation invariants live in tests/test_sorted_export.py)."""
+    import shutil
+
+    from .common import read_table
+
+    out = "/tmp/graft_shuffled_export"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return shuffled_export(ds, "doc_id", out, n_shards=n_shards, seed=seed)
+
+
+def _zvalue(xbin: np.ndarray, ybin: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Interleave the low ``bits`` bits of two bin ids into a Morton
+    (Z-order) value — vectorized bit spread, no per-row Python."""
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64) & np.uint64((1 << bits) - 1)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return spread(xbin) | (spread(ybin) << np.uint64(1))
+
+
+def zorder_export(
+    ds: "ray.data.Dataset",
+    xcol: str,
+    ycol: str,
+    out_dir: str,
+    n_parts: int = 16,
+    n_bins: int = 1024,
+    samples_per_block: int = 256,
+) -> pd.DataFrame:
+    """Z-ORDER (Morton-curve) clustered export — the 2-D locality layout
+    that makes BOTH columns prunable from one file order, where a 1-D sort
+    (sorted_export) can prune only its sort column: each row's (x, y) is
+    quantile-binned (boundaries from one bounded sampling pass, so skew
+    can't collapse bins), the bin ids bit-interleave into a Morton value,
+    and the rows range-partition + sort by that value. Each part file's
+    manifest records min/max of BOTH columns; a 2-D box probe
+    (``zorder_prune``) selects files by manifest overlap — at production
+    scale the same min/max live in the parquet footers, so pruning works
+    row-group-level too. ONE shuffle, atomic writes, same discipline as
+    sorted_export."""
+    from .common import strip_schema_meta
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sample(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in (xcol, ycol):
+            v = np.sort(t.column(c).to_numpy(zero_copy_only=False))
+            idx = np.linspace(0, max(len(v) - 1, 0), min(samples_per_block, len(v))).astype(
+                np.int64
+            )
+            out[c] = v[idx] if len(v) else np.array([], dtype=np.float64)
+        n = min(len(out[xcol]), len(out[ycol]))
+        return pa.table({c: pa.array(out[c][:n]) for c in (xcol, ycol)})
+
+    smp = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    qs = np.linspace(0, 1, n_bins + 1)[1:-1]
+    xb = np.unique(np.quantile(smp[xcol].to_numpy(), qs))
+    yb = np.unique(np.quantile(smp[ycol].to_numpy(), qs))
+
+    # z-value part boundaries from the sampled rows themselves
+    zs = np.sort(
+        _zvalue(
+            np.searchsorted(xb, smp[xcol].to_numpy(), side="right"),
+            np.searchsorted(yb, smp[ycol].to_numpy(), side="right"),
+        )
+    )
+    cut = np.linspace(0, len(zs) - 1, n_parts + 1).astype(np.int64)[1:-1]
+    zbounds = zs[cut]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        z = _zvalue(
+            np.searchsorted(xb, t.column(xcol).to_numpy(zero_copy_only=False), side="right"),
+            np.searchsorted(yb, t.column(ycol).to_numpy(zero_copy_only=False), side="right"),
+        )
+        t = strip_schema_meta(t)
+        t = t.append_column("_z", pa.array(z, pa.uint64()))
+        part = np.searchsorted(zbounds, z, side="right").astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def write_part(df: pd.DataFrame) -> pd.DataFrame:
+        part = int(df["_part"].iloc[0])
+        df = df.sort_values("_z", kind="mergesort").drop(columns=["_part", "_z"])
+        path = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None), tmp
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "part": [part],
+                "n_rows": [len(df)],
+                "x_lo": [float(df[xcol].min())],
+                "x_hi": [float(df[xcol].max())],
+                "y_lo": [float(df[ycol].min())],
+                "y_hi": [float(df[ycol].max())],
+            }
+        )
+
+    stats = (
+        ds.map_batches(stamp, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(write_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    stats["part"] = stats["part"].astype("int64")
+    stats["n_rows"] = stats["n_rows"].astype("int64")
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "xcol": xcol,
+                "ycol": ycol,
+                "parts": [
+                    {
+                        "part": int(r.part),
+                        "n_rows": int(r.n_rows),
+                        "x_lo": r.x_lo,
+                        "x_hi": r.x_hi,
+                        "y_lo": r.y_lo,
+                        "y_hi": r.y_hi,
+                    }
+                    for r in stats.itertuples()
+                ],
+            },
+            f,
+        )
+    return stats
+
+
+def zorder_prune(out_dir: str, x_range=None, y_range=None) -> list[str]:
+    """Manifest-driven file pruning for a 2-D box probe over a
+    zorder_export directory: return only the part files whose recorded
+    [x_lo, x_hi] × [y_lo, y_hi] envelope intersects the box. The reader
+    then scans just those files (and parquet row-group stats prune further
+    inside them)."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        man = json.load(f)
+    keep = []
+    for p in man["parts"]:
+        if x_range and (p["x_hi"] < x_range[0] or p["x_lo"] > x_range[1]):
+            continue
+        if y_range and (p["y_hi"] < y_range[0] or p["y_lo"] > y_range[1]):
+            continue
+        keep.append(os.path.join(out_dir, f"part-{p['part']:05d}.parquet"))
+    return keep
+
+
+def export_zorder(sf_dir: str, n_parts: int = 16) -> pd.DataFrame:
+    """Driver-surface wrapper: Z-order-clustered export of events by
+    (user_id, value) into a scratch dir; returns the per-part manifest with
+    both columns' envelopes (rows-only check — the pruning invariants live
+    in tests/test_sorted_export.py)."""
+    import shutil
+
+    from .common import read_table
+
+    out = "/tmp/graft_zorder_export"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return zorder_export(ds, "user_id", "value", out, n_parts=n_parts)

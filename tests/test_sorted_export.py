@@ -188,3 +188,86 @@ class TestCompaction:
         pd.testing.assert_frame_equal(
             self._canon(got[9]), self._canon(want[0].to_pandas())
         )
+
+
+class TestShuffledExport:
+    def _run(self, tmp_path, name, seed=17, repartition=None):
+        from ethiomart_amharic_ner_ray.pipelines.export import shuffled_export
+
+        out = str(tmp_path / name)
+        ds = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+        if repartition:
+            ds = ds.repartition(repartition)
+        stats = shuffled_export(ds, "doc_id", out, n_shards=4, seed=seed)
+        files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+        frames = [pq.read_table(f).to_pandas() for f in files]
+        return stats, pd.concat(frames, ignore_index=True)
+
+    def test_deterministic_and_reshard_invariant(self, ray_session, tmp_path):
+        """Same key + seed must yield the SAME permutation regardless of
+        input block layout; the multiset must be preserved exactly."""
+        _, a = self._run(tmp_path, "a", seed=17)
+        _, b = self._run(tmp_path, "b", seed=17, repartition=7)
+        pd.testing.assert_frame_equal(a, b)
+
+        src = pq.read_table(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pandas()
+        got = a.sort_values("doc_id").reset_index(drop=True)
+        want = src.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_new_seed_is_new_permutation_and_shuffled(self, ray_session, tmp_path):
+        _, a = self._run(tmp_path, "a", seed=17)
+        _, c = self._run(tmp_path, "c", seed=18)
+        assert not a["doc_id"].equals(c["doc_id"])
+        # actually shuffled: the stream order is far from sorted id order
+        ids = a["doc_id"].to_numpy()
+        frac_asc = float((np.diff(ids) > 0).mean())
+        assert 0.3 < frac_asc < 0.7, frac_asc
+
+    def test_shard_sizes_hash_uniform(self, ray_session, tmp_path):
+        stats, a = self._run(tmp_path, "a", seed=17)
+        n = stats["n_rows"].to_numpy()
+        assert n.sum() == len(a)
+        # 500 docs over 4 shards: binomial spread, no shard pathological
+        assert n.min() > 0.5 * n.mean()
+        assert n.max() < 1.5 * n.mean()
+
+
+class TestZorderExport:
+    def test_multiset_and_2d_pruning(self, ray_session, tmp_path):
+        """Z-order layout must preserve the multiset exactly, and a 2-D box
+        probe must (a) be exact — pruned files contain every in-box row —
+        and (b) actually prune: a quadrant box reads well under half the
+        files, which a 1-D sort can only do for its own sort column."""
+        from ethiomart_amharic_ner_ray.pipelines.export import zorder_export, zorder_prune
+
+        out = str(tmp_path / "z")
+        ds = read_table(SF_DIR, "events", columns=["event_id", "user_id", "value"])
+        stats = zorder_export(ds, "user_id", "value", out, n_parts=16)
+        files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        assert len(files) == len(stats)
+
+        src = pq.read_table(
+            os.path.join(SF_DIR, "events.parquet"), columns=["event_id", "user_id", "value"]
+        ).to_pandas()
+        cat = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            cat.sort_values("event_id").reset_index(drop=True),
+            src.sort_values("event_id").reset_index(drop=True),
+            check_dtype=False,
+        )
+
+        # quadrant probe: low quarter of users x low quarter of values
+        xr = (float(src["user_id"].min()), float(src["user_id"].quantile(0.25)))
+        yr = (float(src["value"].min()), float(src["value"].quantile(0.25)))
+        keep = zorder_prune(out, x_range=xr, y_range=yr)
+        got = pd.concat([pq.read_table(f).to_pandas() for f in keep], ignore_index=True)
+        want = src[
+            src["user_id"].between(*xr) & src["value"].between(*yr)
+        ]
+        # exactness: every in-box row is in a kept file
+        assert set(want["event_id"]) <= set(got["event_id"])
+        # selectivity: the 1/16-area box must not touch most files
+        assert len(keep) < len(files) / 2, (len(keep), len(files))
