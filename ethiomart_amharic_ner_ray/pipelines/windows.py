@@ -1037,10 +1037,11 @@ def window_agg(
                        window) — requires ``by``.
 
     ``aggs`` is a pandas named-agg dict {out_col: (in_col, fn)} where fn
-    is any DECOMPOSABLE pandas agg name ('sum', 'size', 'min', 'max') —
-    tumbling/sliding run per-batch partials BEFORE the one bucketed
-    shuffle and re-apply the same agg to combine, so only ('sum', 'size',
-    'min', 'max') are exact there (size combines by sum); session windows
+    is any DECOMPOSABLE pandas agg name ('sum', 'size', 'min', 'max',
+    'mean') — tumbling/sliding run per-batch partials BEFORE the one
+    bucketed shuffle and re-apply the same agg to combine, so only those
+    are exact there (size combines by sum; mean decomposes to hidden
+    sum/size partials divided at combine); session windows
     group raw rows inside the by-bucket (gap assignment needs the key's
     full ordered history), so any pandas agg name works. Window identity:
     window_start (epoch-aligned timestamp for time windows; the session's
@@ -1077,9 +1078,24 @@ def window_agg(
         if int(w.value) % int(s.value):
             raise ValueError("width must be a multiple of slide")
 
-    combine_fn = {name: ("sum" if spec[1] == "size" else spec[1]) for name, spec in aggs.items()}
-    allowed = {"sum", "size", "min", "max"}
-    bad = {spec[1] for spec in aggs.values()} - allowed
+    # 'mean' decomposes to hidden (sum, size) partials combined by division;
+    # everything else must be self-combining
+    mean_names = [name for name, spec in aggs.items() if spec[1] == "mean"]
+    part_aggs = {
+        name: spec for name, spec in aggs.items() if spec[1] != "mean"
+    }
+    for name in mean_names:
+        col = aggs[name][0]
+        part_aggs[f"_{name}_s"] = (col, "sum")
+        # 'count' (not 'size'): pandas mean skips NaN, so the denominator
+        # must count non-null values only; counts combine by sum
+        part_aggs[f"_{name}_n"] = (col, "count")
+    combine_fn = {
+        name: ("sum" if spec[1] in ("size", "count") else spec[1])
+        for name, spec in part_aggs.items()
+    }
+    allowed = {"sum", "size", "count", "min", "max"}
+    bad = {spec[1] for spec in part_aggs.values()} - allowed
     if bad:
         raise ValueError(f"non-decomposable aggs for {kind} windows: {sorted(bad)}")
 
@@ -1095,7 +1111,7 @@ def window_agg(
         for st in starts:
             d = df.assign(window_start=st.astype("datetime64[ns]"))
             outs.append(
-                d.groupby(keys + ["window_start"], as_index=False).agg(**aggs)
+                d.groupby(keys + ["window_start"], as_index=False).agg(**part_aggs)
             )
         return pd.concat(outs, ignore_index=True)
 
@@ -1103,6 +1119,13 @@ def window_agg(
         out = df.groupby(keys + ["window_start"], as_index=False).agg(
             **{name: (name, fn) for name, fn in combine_fn.items()}
         )
+        for name in mean_names:
+            out[name] = out[f"_{name}_s"] / out[f"_{name}_n"]
+        if mean_names:
+            out = out.drop(
+                columns=[f"_{n}_s" for n in mean_names] + [f"_{n}_n" for n in mean_names]
+            )
+            out = out[keys + ["window_start"] + list(aggs)]
         out["window_start"] = out["window_start"].astype("datetime64[us]")
         return out
 

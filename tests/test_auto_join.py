@@ -432,3 +432,82 @@ def test_composite_key_join_both_strategies(ray_session):
     want = left.to_pandas().merge(lookup, on=["user_id", "event_type"], how="inner")
     pd.testing.assert_frame_equal(_canon(bc), _canon(want), check_dtype=False)
     pd.testing.assert_frame_equal(_canon(sh), _canon(want), check_dtype=False)
+
+
+def test_window_agg_mean_decomposition(ray_session):
+    """'mean' in a tumbling window must equal the per-window pandas mean
+    exactly despite running as distributed sum/size partials (the hidden
+    helper columns must not leak into the output)."""
+    import numpy as np
+
+    from ethiomart_amharic_ner_ray.pipelines.common import read_table
+    from ethiomart_amharic_ner_ray.pipelines.windows import window_agg
+
+    ds = read_table(SF_DIR, "events", columns=["user_id", "ts", "value"])
+    got = window_agg(
+        ds,
+        on="ts",
+        by="user_id",
+        aggs={"n": ("value", "size"), "avg_value": ("value", "mean")},
+        kind="tumbling",
+        width=pd.Timedelta(hours=6),
+        n_buckets=8,
+    ).to_pandas()
+    assert list(got.columns) == ["user_id", "window_start", "n", "avg_value"]
+
+    src = pd.read_parquet(SF_DIR + "/events.parquet", columns=["user_id", "ts", "value"])
+    w = int(pd.Timedelta(hours=6).value)
+    src["window_start"] = (
+        (src["ts"].astype("datetime64[ns]").astype("int64") // w * w).astype("datetime64[ns]")
+    ).astype("datetime64[us]")
+    want = src.groupby(["user_id", "window_start"], as_index=False).agg(
+        n=("value", "size"), avg_value=("value", "mean")
+    )
+    k = ["user_id", "window_start"]
+    got = got.sort_values(k).reset_index(drop=True)
+    want = want.sort_values(k).reset_index(drop=True)
+    assert got["n"].tolist() == want["n"].tolist()
+    assert np.allclose(got["avg_value"], want["avg_value"])
+
+
+def test_window_agg_mean_skips_nulls(ray_session):
+    """Decomposed mean must match pandas NaN-skipping mean when the value
+    column has nulls (denominator is non-null count, not row count)."""
+    import numpy as np
+    import ray
+
+    from ethiomart_amharic_ner_ray.pipelines.windows import window_agg
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 6,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 01:10",
+                 "2024-01-01 01:40", "2024-01-01 02:05", "2024-01-01 02:30"] * 2
+            ),
+            "v": [1.0, np.nan, 3.0, np.nan, np.nan, 6.0,
+                  np.nan, 2.0, np.nan, 4.0, 5.0, np.nan],
+        }
+    )
+    got = window_agg(
+        ray.data.from_pandas(df).repartition(4),
+        on="ts",
+        by="k",
+        aggs={"avg_v": ("v", "mean")},
+        kind="tumbling",
+        width=pd.Timedelta(hours=1),
+        n_buckets=4,
+    ).to_pandas().sort_values(["k", "window_start"]).reset_index(drop=True)
+
+    src = df.copy()
+    w = int(pd.Timedelta(hours=1).value)
+    src["window_start"] = (
+        (src["ts"].astype("int64") // w * w).astype("datetime64[ns]")
+    ).astype("datetime64[us]")
+    want = (
+        src.groupby(["k", "window_start"], as_index=False)
+        .agg(avg_v=("v", "mean"))
+        .sort_values(["k", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["avg_v"], want["avg_v"], equal_nan=True)
