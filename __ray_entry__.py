@@ -617,6 +617,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q121_dup_span_stats": textstats.q121_dup_span_stats,
         "q122_order_ntile": relational.q122_order_ntile,
         "q123_event_grouping_sets": relational.q123_event_grouping_sets,
+        "q124_bm25_topk": textstats.q124_bm25_topk,
+        "q125_source_divergence": textstats.q125_source_divergence,
+        "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
         "q93_referential_integrity": relational.q93_referential_integrity,
         "q94_skyline": relational.q94_skyline,
@@ -1643,6 +1646,67 @@ def oracle_sql() -> dict[str, str]:
                        / count(*) AS shared_ratio
             FROM sp JOIN dc USING (sh)
             GROUP BY sp.doc_id
+        """,
+        "q124_bm25_topk": r"""
+            WITH tok AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM tok) * 1.0
+                          / (SELECT count(*) FROM documents) AS avgdl),
+            nd AS (SELECT count(*) AS n FROM documents),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+                    WHERE token IN ('spark', 'join', 'fast') GROUP BY token),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                   WHERE token IN ('spark', 'join', 'fast')
+                   GROUP BY doc_id, token)
+            SELECT doc_id, ROUND(s, 4) AS bm25 FROM (
+                SELECT tf.doc_id,
+                       sum(ln((nd.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                           AS s
+                FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), nd, st
+                GROUP BY tf.doc_id)
+            ORDER BY ROUND(s, 4) DESC, doc_id
+            LIMIT 100
+        """,
+        "q125_source_divergence": r"""
+            WITH tok AS (
+                SELECT source, t AS token FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            cnt AS (SELECT source, token, count(*) AS n FROM tok
+                    GROUP BY source, token),
+            stot AS (SELECT source, sum(n) AS st FROM cnt GROUP BY source),
+            g AS (SELECT sum(n) AS gt FROM cnt),
+            ttot AS (SELECT token, sum(n) AS tt FROM cnt GROUP BY token),
+            kl AS (
+                SELECT cnt.source,
+                       sum((cnt.n * 1.0 / stot.st)
+                           * ln((cnt.n * 1.0 / stot.st)
+                                / (ttot.tt * 1.0 / g.gt))) AS kl_raw
+                FROM cnt JOIN stot USING (source) JOIN ttot USING (token), g
+                GROUP BY cnt.source)
+            SELECT source, CAST(st AS BIGINT) AS n_tokens,
+                   ROUND(kl_raw, 4) AS kl
+            FROM kl JOIN stot USING (source)
+            ORDER BY source
+        """,
+        "q126_mixture_budget": """
+            SELECT source, doc_id, n_chars FROM (
+                SELECT source, doc_id, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c
+                FROM documents)
+            WHERE c <= 20000
         """,
         "q122_order_ntile": """
             SELECT o_orderkey,

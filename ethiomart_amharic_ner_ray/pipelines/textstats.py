@@ -1248,3 +1248,206 @@ def q121_dup_span_stats(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         return g
 
     return bucketed_group_agg(per_bucket, ["doc_id"], doc_final, n_buckets=16)
+
+
+def q124_bm25_topk(
+    sf_dir: str,
+    terms: tuple = ("spark", "join", "fast"),
+    k: int = 100,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "pd.DataFrame":
+    """BM25 ranked retrieval over the corpus for a fixed term set — the
+    relevance-scored upgrade of q86's boolean keyword search (Robertson/
+    Lucene form: idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation k1,
+    length normalization b against the corpus mean doc length).
+
+    Two bounded passes, no shuffle of raw tokens: pass 1 collects the
+    corpus scalars (N from parquet footers; total token count and per-term
+    document frequencies as tiny per-batch partials summed on the driver —
+    len(terms)+1 rows per batch). Pass 2 re-tokenizes per batch, scores
+    each doc against the broadcast scalars, and keeps a per-batch top-k, so
+    the driver collect is k x n_blocks rows. Docs containing none of the
+    terms score nothing and are excluded on both sides (oracle's inner join
+    does the same). Ranking uses the ROUNDED score (desc, doc_id asc) on
+    both sides so a 1-ulp libm difference can't flip the boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import round_away
+
+    term_list = list(terms)
+    n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok_frame(t: pa.Table) -> "pd.DataFrame":
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        doc = pc.take(t.column("doc_id"), pc.list_parent_indices(toks))
+        d = pd.DataFrame(
+            {"doc_id": doc.to_numpy(zero_copy_only=False), "token": flat.to_pylist()}
+        )
+        return d[d["token"] != ""]
+
+    def scalars_partial(t: pa.Table) -> pa.Table:
+        d = _tok_frame(t)
+        hit = d[d["token"].isin(term_list)]
+        df_p = hit.groupby("token")["doc_id"].nunique()
+        rows = {"term": ["\0len"], "df": [0], "total_len": [int(len(d))]}
+        for term in term_list:
+            rows["term"].append(term)
+            rows["df"].append(int(df_p.get(term, 0)))
+            rows["total_len"].append(0)
+        return pa.table(
+            {
+                "term": pa.array(rows["term"], pa.string()),
+                "df": pa.array(rows["df"], pa.int64()),
+                "total_len": pa.array(rows["total_len"], pa.int64()),
+            }
+        )
+
+    sc = ds.map_batches(scalars_partial, batch_format="pyarrow").to_pandas()
+    total_len = int(sc.loc[sc["term"] == "\0len", "total_len"].sum())
+    avgdl = total_len / n_docs
+    df_map = sc[sc["term"] != "\0len"].groupby("term")["df"].sum().to_dict()
+    idf = {
+        t: float(np.log((n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5) + 1.0))
+        for t in term_list
+    }
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        d = _tok_frame(t)
+        dl = d.groupby("doc_id").size()
+        hit = d[d["token"].isin(term_list)]
+        if not len(hit):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())}
+            )
+        tf = hit.groupby(["doc_id", "token"], as_index=False).size()
+        tf["dl"] = dl.reindex(tf["doc_id"]).to_numpy()
+        n = tf["size"].to_numpy(dtype=np.float64)
+        denom = n + k1 * (1.0 - b + b * tf["dl"].to_numpy(dtype=np.float64) / avgdl)
+        tf["part"] = tf["token"].map(idf).to_numpy(dtype=np.float64) * n * (k1 + 1.0) / denom
+        g = tf.groupby("doc_id", as_index=False)["part"].sum()
+        g["bm25"] = round_away(g["part"].to_numpy(dtype=np.float64), 4)
+        g = g.sort_values(["bm25", "doc_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(
+            g[["doc_id", "bm25"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    return (
+        cand.sort_values(["bm25", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[["doc_id", "bm25"]]
+        .astype({"doc_id": "int64", "bm25": "float64"})
+    )
+
+
+def q125_source_divergence(sf_dir: str) -> "pd.DataFrame":
+    """Per-source token-distribution drift: KL(p_source || p_corpus) over
+    the whitespace-token unigram distribution — the domain-shift diagnostic
+    a training-mix curator runs before re-weighting sources (a source whose
+    KL spikes is drifting away from the blend it was weighted for).
+
+    Per-source token totals are tiny per-batch partials summed on the
+    driver (sources are a handful; the grand total is their sum). The
+    (source, token, n) counts collapse per batch BEFORE the one token-bucket
+    shuffle; inside a bucket every source's count for a token is present, so
+    the corpus probability p_g(t) is exact there and each row contributes
+    p_s ln(p_s/p_g) to its source's partial sum. The driver reduces
+    n_buckets x n_sources partial rows. KL >= 0 by construction; rounded to
+    4dp on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg, round_away
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        src = pc.take(t.column("source"), pc.list_parent_indices(toks))
+        d = pd.DataFrame(
+            {"source": src.to_pylist(), "token": flat.to_pylist()}
+        )
+        d = d[d["token"] != ""]
+        g = d.groupby(["source", "token"], as_index=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    counts = ds.map_batches(counts_partial, batch_format="pyarrow")
+
+    # tiny scalar pass: per-source token totals (one row per source per batch)
+    totals = (
+        counts.map_batches(
+            lambda df: df.groupby("source", as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source")["n"]
+        .sum()
+        .to_dict()
+    )
+    grand = float(sum(totals.values()))
+
+    def bucket_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "token"], as_index=False)["n"].sum()
+        tok_tot = g.groupby("token")["n"].transform("sum").to_numpy(dtype=np.float64)
+        n = g["n"].to_numpy(dtype=np.float64)
+        p_s = n / g["source"].map(totals).to_numpy(dtype=np.float64)
+        p_g = tok_tot / grand
+        g["kl_part"] = p_s * np.log(p_s / p_g)
+        return g.groupby("source", as_index=False)["kl_part"].sum()
+
+    parts = bucketed_group_agg(counts, ["token"], bucket_final, n_buckets=16).to_pandas()
+    out = parts.groupby("source", as_index=False)["kl_part"].sum()
+    out["n_tokens"] = out["source"].map(totals).astype("int64")
+    out["kl"] = round_away(out["kl_part"].to_numpy(dtype=np.float64), 4)
+    return (
+        out.sort_values("source").reset_index(drop=True)[["source", "n_tokens", "kl"]]
+    )
+
+
+def q126_mixture_budget(sf_dir: str, budget_chars: int = 20000) -> "ray.data.Dataset":
+    """Deterministic training-mix curation: per source, admit documents in
+    content-addressed (md5(doc_id), doc_id) order until the next doc would
+    push the source's cumulative n_chars past the budget — the reproducible
+    "take B bytes from each source" step of assembling a weighted training
+    blend (stable under resharding/resume like q34's sample; no RNG state).
+
+    The global selection is a PREFIX of each source's hash order, so any
+    globally admitted doc is also inside its batch's local budget-prefix:
+    the per-batch pruner keeps only each batch's local prefix, bounding the
+    shuffle to ~budget chars per source per block. The per-source final
+    (one bucketed shuffle) re-ranks the survivors and applies the exact
+    cumulative cutoff. At 100 TB the same two phases hold; if blocks are
+    many, a quantile pass over the hash column first narrows the candidate
+    band the way sorted_export samples its range bounds."""
+    import hashlib
+
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(i).encode("ascii")).hexdigest() for i in df["doc_id"]]
+        df = df.assign(_h=h).sort_values(["source", "_h", "doc_id"], kind="mergesort")
+        cum = df.groupby("source")["n_chars"].cumsum()
+        return df[cum <= budget_chars]
+
+    partials = ds.map_batches(
+        lambda df: prefix(df)[["doc_id", "source", "n_chars"]],
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return prefix(df)[["source", "doc_id", "n_chars"]]
+
+    return bucketed_group_agg(partials, ["source"], final, n_buckets=8)

@@ -180,6 +180,9 @@ SQL_CHECKED = [
     "q121_dup_span_stats",
     "q122_order_ntile",
     "q123_event_grouping_sets",
+    "q124_bm25_topk",
+    "q125_source_divergence",
+    "q126_mixture_budget",
     "er_canonical_names",
     "keyword_index_search",
 ]
