@@ -1413,41 +1413,60 @@ def q125_source_divergence(sf_dir: str) -> "pd.DataFrame":
 
 
 def q126_mixture_budget(sf_dir: str, budget_chars: int = 20000) -> "ray.data.Dataset":
+    """Driver-surface wrapper over :func:`mixture_budget` on the documents
+    table (doc_id / source / n_chars)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return mixture_budget(ds, budget_chars=budget_chars)
+
+
+def mixture_budget(
+    ds: "ray.data.Dataset", budget_chars: int = 20000, batch_size: int = 65536
+) -> "ray.data.Dataset":
     """Deterministic training-mix curation: per source, admit documents in
     content-addressed (md5(doc_id), doc_id) order until the next doc would
     push the source's cumulative n_chars past the budget — the reproducible
     "take B bytes from each source" step of assembling a weighted training
     blend (stable under resharding/resume like q34's sample; no RNG state).
 
-    The global selection is a PREFIX of each source's hash order, so any
-    globally admitted doc is also inside its batch's local budget-prefix:
-    the per-batch pruner keeps only each batch's local prefix, bounding the
-    shuffle to ~budget chars per source per block. The per-source final
-    (one bucketed shuffle) re-ranks the survivors and applies the exact
-    cumulative cutoff. At 100 TB the same two phases hold; if blocks are
-    many, a quantile pass over the hash column first narrows the candidate
-    band the way sorted_export samples its range bounds."""
+    The global selection is a PREFIX of each source's hash order (the
+    running sum is monotone), so any globally admitted doc is also inside
+    its batch's local budget-prefix — the per-batch pruner keeps that local
+    prefix PLUS the batch's first over-budget doc per source. The boundary
+    doc matters for exactness, not just the superset: a truly-rejected doc
+    whose mass the prune dropped would deflate later cumulative sums and
+    over-admit docs past the cutoff, but every kept boundary doc carries a
+    final cumsum > budget, and everything hash-after it is therefore
+    rejected too (no boundary or dropped doc can precede a truly admitted
+    doc — its true cumsum would have to be <= budget, contradicting the
+    local bound that dropped it). The per-source final (one bucketed
+    shuffle) re-ranks the survivors and applies the exact cumulative
+    cutoff, shuffling ~budget chars + one boundary row per source per
+    block. At 100 TB the same two phases hold; if blocks are many, a
+    quantile pass over the hash column first narrows the candidate band
+    the way sorted_export samples its range bounds."""
     import hashlib
 
     import pandas as pd
 
     from .common import bucketed_group_agg
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
-
-    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+    def prefix(df: pd.DataFrame, keep_boundary: bool) -> pd.DataFrame:
         h = [hashlib.md5(str(i).encode("ascii")).hexdigest() for i in df["doc_id"]]
         df = df.assign(_h=h).sort_values(["source", "_h", "doc_id"], kind="mergesort")
         cum = df.groupby("source")["n_chars"].cumsum()
-        return df[cum <= budget_chars]
+        keep = cum <= budget_chars
+        if keep_boundary:
+            over_rank = (~keep).groupby(df["source"].to_numpy()).cumsum()
+            keep = keep | (~keep & (over_rank == 1))
+        return df[keep]
 
     partials = ds.map_batches(
-        lambda df: prefix(df)[["doc_id", "source", "n_chars"]],
+        lambda df: prefix(df, keep_boundary=True)[["doc_id", "source", "n_chars"]],
         batch_format="pandas",
-        batch_size=65536,
+        batch_size=batch_size,
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        return prefix(df)[["source", "doc_id", "n_chars"]]
+        return prefix(df, keep_boundary=False)[["source", "doc_id", "n_chars"]]
 
     return bucketed_group_agg(partials, ["source"], final, n_buckets=8)

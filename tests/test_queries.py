@@ -336,3 +336,51 @@ def test_q122_ntile_remainder_rule(ray_session, tmp_path):
             FROM '{tmp_path}/orders.parquet' ORDER BY o_orderkey"""
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mixture_budget_boundary_doc_across_batches(ray_session):
+    """The per-batch prune must keep each batch's first over-budget doc:
+    without it, a truly-rejected doc's mass vanishes from the final
+    cumulative sums and docs past the cutoff get over-admitted. Planted
+    case: in hash order a source has chars (6, 6, 3) against budget 10 —
+    only the first doc is admitted (6+6 > 10 rejects the second, and the
+    window cumsum 15 > 10 rejects the third even though 6+3 <= 10). The
+    trigger layout puts the first two docs in ONE batch (so the second is
+    pruned there) and the third in another — without the boundary row the
+    pre-fix code admits the third doc (verified over-admitting)."""
+    import hashlib
+
+    import ray
+
+    from ethiomart_amharic_ner_ray.pipelines.textstats import mixture_budget
+
+    ids = list(range(1, 10))
+    ids.sort(key=lambda i: hashlib.md5(str(i).encode("ascii")).hexdigest())
+    adv = ids[:3]  # three ids in ascending hash order
+    b1 = pd.DataFrame({"doc_id": adv[:2], "source": ["adv"] * 2, "n_chars": [6, 6]})
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [adv[2]] + ids[3:],
+            "source": ["adv"] + ["fill"] * 6,
+            "n_chars": [3] + [2] * 6,
+        }
+    )
+    df = pd.concat([b1, b2], ignore_index=True)
+    got = (
+        mixture_budget(ray.data.from_pandas([b1, b2]), budget_chars=10, batch_size=2)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    # pandas window-cumsum oracle (the q126 SQL semantics)
+    h = [hashlib.md5(str(i).encode("ascii")).hexdigest() for i in df["doc_id"]]
+    d = df.assign(_h=h).sort_values(["source", "_h", "doc_id"], kind="mergesort")
+    c = d.groupby("source")["n_chars"].cumsum()
+    want = (
+        d[c <= 10][["source", "doc_id", "n_chars"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert want[want["source"] == "adv"]["doc_id"].tolist() == [adv[0]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
