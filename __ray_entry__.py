@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q122_order_ntile": relational.q122_order_ntile,
         "q123_event_grouping_sets": relational.q123_event_grouping_sets,
         "q124_bm25_topk": textstats.q124_bm25_topk,
+        "q127_hybrid_retrieval": similarity.q127_hybrid_retrieval,
         "q125_source_divergence": textstats.q125_source_divergence,
         "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
@@ -1673,6 +1674,42 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY tf.doc_id)
             ORDER BY ROUND(s, 4) DESC, doc_id
             LIMIT 100
+        """,
+        "q127_hybrid_retrieval": r"""
+            WITH tok AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM tok) * 1.0
+                          / (SELECT count(*) FROM documents) AS avgdl),
+            nd AS (SELECT count(*) AS n FROM documents),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+                    WHERE token IN ('spark', 'join', 'fast') GROUP BY token),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                   WHERE token IN ('spark', 'join', 'fast')
+                   GROUP BY doc_id, token),
+            bm AS (
+                SELECT doc_id, ROUND(s, 4) AS bm25 FROM (
+                    SELECT tf.doc_id,
+                           sum(ln((nd.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                               * tf.tf * 2.2
+                               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                               AS s
+                    FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), nd, st
+                    GROUP BY tf.doc_id)
+                ORDER BY ROUND(s, 4) DESC, doc_id
+                LIMIT 200),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT bm.doc_id, bm.bm25,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4)
+                       AS cos_sim
+            FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id, q
+            ORDER BY cos_sim DESC, bm.doc_id
+            LIMIT 10
         """,
         "q125_source_divergence": r"""
             WITH tok AS (

@@ -1363,3 +1363,73 @@ def ann_ivf_pq_served(sf_dir: str, query_id: int = 0, k: int = 10) -> pd.DataFra
     if not os.path.exists(os.path.join(index_dir, "_codebooks.parquet")):
         ivf_pq_build_index(sf_dir, index_dir)
     return ann_ivf_pq_index_topk(sf_dir, index_dir, query_id=query_id, k=k)
+
+
+def q127_hybrid_retrieval(
+    sf_dir: str,
+    terms: tuple = ("spark", "join", "fast"),
+    n_candidates: int = 200,
+    k: int = 10,
+    query_id: int = 0,
+) -> pd.DataFrame:
+    """Two-stage hybrid retrieval — the classic RAG serving shape: a cheap
+    sparse lexical pass for recall (BM25 over the term set, q124's bounded
+    two-pass machinery) followed by a dense rerank for precision (embedding
+    cosine vs the query vector over the candidate set only).
+
+    Stage 1's top-``n_candidates`` ids+scores are driver-sized; they ride to
+    stage 2 as ONE broadcast object next to the normalized query vector, so
+    the embeddings scan filters to candidates per batch (vec_id and doc_id
+    share the id space; docs without an embedding drop out on both sides —
+    the oracle's inner join) and reranks with a per-batch top-k. No shuffle
+    anywhere: candidate filter + matmul + bounded driver collect. Final
+    order: cosine desc, doc_id asc, rounded on both sides."""
+    from .textstats import q124_bm25_topk
+
+    cand = q124_bm25_topk(sf_dir, terms=terms, k=n_candidates)
+    cand_ids = cand["doc_id"].to_numpy(dtype=np.int64)
+    bm25_by_id = dict(zip(cand_ids.tolist(), cand["bm25"].tolist()))
+
+    q = _query_vector(sf_dir, query_id)
+    qn = q / np.linalg.norm(q)
+    ref = ray.put((qn, cand_ids, bm25_by_id))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class Rerank:
+        def __init__(self):
+            self._q, self._ids, self._bm = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy()
+            mask = np.isin(ids, self._ids)
+            if not mask.any():
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "bm25": pa.array([], pa.float64()),
+                        "cos_sim": pa.array([], pa.float64()),
+                    }
+                )
+            t2 = t.filter(pa.array(mask))
+            m = _embedding_matrix(t2)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (m @ self._q) / norms
+            kept = t2.column("vec_id").to_numpy()
+            df = pd.DataFrame(
+                {
+                    "doc_id": kept.astype("int64"),
+                    "bm25": [self._bm[int(i)] for i in kept],
+                    "cos_sim": round_away(cos, 4),
+                }
+            )
+            df = df.sort_values(["cos_sim", "doc_id"], ascending=[False, True]).head(k)
+            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    out = ds.map_batches(Rerank, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)).to_pandas()
+    return (
+        out.sort_values(["cos_sim", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "bm25": "float64", "cos_sim": "float64"})
+    )

@@ -181,6 +181,7 @@ SQL_CHECKED = [
     "q122_order_ntile",
     "q123_event_grouping_sets",
     "q124_bm25_topk",
+    "q127_hybrid_retrieval",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",

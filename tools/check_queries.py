@@ -12,6 +12,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import time
+
 import duckdb
 import pandas as pd
 
@@ -66,14 +68,18 @@ def main() -> int:
     for name, fn in qs.items():
         if name_filter and name_filter not in name:
             continue
+        t0 = time.perf_counter()
         try:
             raw = to_pandas(fn(sf_dir))
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             continue
+        dt = time.perf_counter() - t0
         if name not in sqls:
-            print(f"ok   {name}: rows-only, {len(raw)} rows, cols={sorted(raw.columns)}")
+            print(
+                f"ok   {name}: rows-only, {len(raw)} rows, {dt:.2f}s, cols={sorted(raw.columns)}"
+            )
             continue
         got = canon(raw)
         want = canon(con.sql(sqls[name]).df())
@@ -93,7 +99,7 @@ def main() -> int:
                 msgs.append(str(e).split("\n")[0])
         if status == "FAIL":
             failures.append(name)
-        print(f"{status} {name}: {len(got)} rows" + ("; " + "; ".join(msgs) if msgs else ""))
+        print(f"{status} {name}: {len(got)} rows, {dt:.2f}s" + ("; " + "; ".join(msgs) if msgs else ""))
 
     print(f"\n{len(failures)} failures: {failures}")
     ray.shutdown()
