@@ -1433,3 +1433,118 @@ def q127_hybrid_retrieval(
         .reset_index(drop=True)
         .astype({"doc_id": "int64", "bm25": "float64", "cos_sim": "float64"})
     )
+
+
+def _local_min_label_components(adj: np.ndarray) -> np.ndarray:
+    """Connected-component labels of a small dense adjacency matrix by
+    min-label propagation with pointer jumping. Used ONLY inside a
+    co-located cluster group (cluster-sized, never corpus-sized) — the
+    distributed counterpart for corpus-wide graphs is
+    graph.connected_components_minlabel."""
+    n = adj.shape[0]
+    labels = np.arange(n)
+    sentinel = n  # acts as +inf for the masked min
+    while True:
+        nbr = np.where(adj, labels[None, :], sentinel)
+        new = np.minimum(labels, nbr.min(axis=1))
+        new = np.minimum(new, new[new])  # pointer jump
+        if np.array_equal(new, labels):
+            return labels
+        labels = new
+
+
+def semdedup(
+    sf_dir: str,
+    k: int = 8,
+    threshold: float = 0.35,
+    iters: int = 10,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication as a k-means-bucketed near-dup prune, the published
+    composition of two operators this engine already has
+    (``kmeans_embeddings`` + in-group cosine verify):
+
+      1. spherical k-means over the embedding column (broadcast centroids,
+         shuffle-free partial-sum reduce — ``kmeans_embeddings``);
+      2. ONE cluster-bucket shuffle; within each cluster, pairwise cosine
+         ≥ ``threshold`` defines semantic-duplicate groups (connected
+         components of the in-cluster dup graph);
+      3. per dup group keep exactly one document — the paper's rule: the
+         member with the LOWEST cosine to its cluster centroid (keeps the
+         "edge" example, drops redundant near-centroid copies), vec_id
+         ascending as the deterministic tie-break.
+
+    Returns a per-vector decision view (vec_id, cluster, centroid_sim,
+    kept) that streams — never collected on the driver.
+
+    Partitioning assumption (the paper's too): the in-cluster all-pairs is
+    quadratic in CLUSTER size, so k must scale with the corpus (paper uses
+    k ≈ N/10k). Centroid similarity is stamped in the SAME pass that
+    assigns clusters, so stage 2 needs no centroid broadcast at all. A
+    pathological giant cluster degrades to q25's chunk-pair self-join
+    within that cluster; at fixture scale the direct form is exact and
+    the shapes are identical.
+
+    Reference anchor: the reference has no embedding dedup; this is the
+    §2.7-family LLM-pipeline extension (cf. dedup.py MinHash family).
+    Pinned against an in-process numpy reference in
+    tests/test_dedup_similarity.py."""
+    centroids, _ = kmeans_embeddings(sf_dir, k=k, iters=iters, seed=seed)
+    cref = ray.put(centroids)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        from .common import get_broadcast
+
+        cc = get_broadcast(cref)
+        m = _embedding_matrix(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ cc.T
+        a = np.argmax(sims, axis=1)
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+                "centroid_sim": pa.array(sims[np.arange(len(m)), a]),
+                "embedding": emb,
+            }
+        )
+
+    def prune_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("cluster", sort=False):
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mn = m / norms
+            cos = mn @ mn.T
+            np.fill_diagonal(cos, 0.0)
+            # deterministic component ids need a deterministic row order
+            order = np.argsort(g["vec_id"].to_numpy(), kind="mergesort")
+            comp = np.empty(len(g), dtype=np.int64)
+            comp[order] = _local_min_label_components(cos[np.ix_(order, order)] >= threshold)
+            gg = pd.DataFrame(
+                {
+                    "vec_id": g["vec_id"].to_numpy(),
+                    "cluster": g["cluster"].to_numpy(),
+                    "centroid_sim": g["centroid_sim"].to_numpy(),
+                    "_comp": comp,
+                }
+            )
+            # keep = lowest centroid_sim in the component, vec_id tie-break
+            rep = (
+                gg.sort_values(["centroid_sim", "vec_id"], kind="mergesort")
+                .groupby("_comp", sort=False)
+                .head(1)["vec_id"]
+            )
+            gg["kept"] = gg["vec_id"].isin(set(rep.tolist()))
+            gg["centroid_sim"] = round_away(gg["centroid_sim"].to_numpy(), 4)
+            outs.append(gg.drop(columns=["_comp"]))
+        return pd.concat(outs, ignore_index=True)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    stamped = ds.map_batches(stamp, batch_format="pyarrow", batch_size=4096)
+    return bucketed_group_agg(stamped, ["cluster"], prune_cluster, n_buckets=min(k, 64))

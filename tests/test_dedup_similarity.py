@@ -578,3 +578,86 @@ class TestIvfPqIndex:
             exact = exact.to_pandas()
         full = ann_ivf_pq_index_topk(sf, idx, nprobe=16, rerank=10_000)
         assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+
+
+class TestSemDeDup:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_inprocess_reference(self, ray_session):
+        """Distributed SemDeDup decisions == a single-process numpy
+        implementation of the paper's rule (cluster → in-cluster cosine
+        components → keep lowest-centroid-sim member per component)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import (
+            kmeans_embeddings,
+            semdedup,
+        )
+
+        k, threshold = 8, 0.35
+        got = (
+            semdedup(self.SF, k=k, threshold=threshold)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+        # in-process reference, reusing the (deterministic) centroids
+        centroids, _ = kmeans_embeddings(self.SF, k=k)
+        t = pq.read_table(
+            f"{self.SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_by("vec_id")
+        ids = t.column("vec_id").to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        csim = sims[np.arange(len(m)), assign]
+
+        kept_ref = {}
+        for c in range(k):
+            sel = np.where(assign == c)[0]
+            if len(sel) == 0:
+                continue
+            sub = mn[sel] @ mn[sel].T
+            np.fill_diagonal(sub, 0.0)
+            adj = sub >= threshold
+            # union-find
+            parent = list(range(len(sel)))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i in range(len(sel)):
+                for j in range(i + 1, len(sel)):
+                    if adj[i, j]:
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            parent[max(ri, rj)] = min(ri, rj)
+            comps = {}
+            for i in range(len(sel)):
+                comps.setdefault(find(i), []).append(i)
+            for members in comps.values():
+                best = min(members, key=lambda i: (csim[sel[i]], ids[sel[i]]))
+                for i in members:
+                    kept_ref[int(ids[sel[i]])] = i == best
+
+        assert len(got) == len(ids)
+        assert got["cluster"].to_numpy().tolist() == assign[np.argsort(ids)].tolist()
+        for vid, kept in zip(got["vec_id"], got["kept"]):
+            assert bool(kept) == kept_ref[int(vid)], vid
+        # the prune is real on this fixture: some dups dropped, most kept
+        n_kept = int(got["kept"].sum())
+        assert 0 < n_kept < len(got)
+
+    def test_threshold_one_keeps_everything(self, ray_session):
+        """threshold > max offdiag cosine ⇒ every doc is its own component
+        and survives."""
+        from ethiomart_amharic_ner_ray.pipelines.similarity import semdedup
+
+        got = semdedup(self.SF, k=4, threshold=1.01).to_pandas()
+        assert bool(got["kept"].all())
