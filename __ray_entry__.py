@@ -619,6 +619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_event_grouping_sets": relational.q123_event_grouping_sets,
         "q124_bm25_topk": textstats.q124_bm25_topk,
         "q127_hybrid_retrieval": similarity.q127_hybrid_retrieval,
+        "q128_token_fertility": textstats.q128_token_fertility,
+        "q129_temperature_mix": textstats.q129_temperature_mix,
         "q125_source_divergence": textstats.q125_source_divergence,
         "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
@@ -1648,6 +1650,31 @@ def oracle_sql() -> dict[str, str]:
                        / count(*) AS shared_ratio
             FROM sp JOIN dc USING (sh)
             GROUP BY sp.doc_id
+        """,
+        "q128_token_fertility": r"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(length(text)) AS total_chars,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\r\n]'))) AS total_tokens,
+                   round(sum(length(text)) * 1.0
+                         / sum(len(regexp_extract_all(text,
+                               '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\r\n]'))), 4)
+                       AS chars_per_token
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "q129_temperature_mix": r"""
+            WITH s AS (
+                SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY source)
+            SELECT source, n_docs,
+                   round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS raw_share,
+                   round(pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER (), 6)
+                       AS weight
+            FROM s
+            ORDER BY source
         """,
         "q124_bm25_topk": r"""
             WITH tok AS (

@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .common import read_table, stable_hash64
+from .common import read_table, round_away, stable_hash64
 
 
 def q12_token_count(sf_dir: str) -> "ray.data.Dataset":
@@ -1470,3 +1470,84 @@ def mixture_budget(
         return prefix(df, keep_boundary=False)[["source", "doc_id", "n_chars"]]
 
     return bucketed_group_agg(partials, ["source"], final, n_buckets=8)
+
+
+def q128_token_fertility(sf_dir: str) -> "pd.DataFrame":
+    """Per-source tokenizer fertility (chars per BPE-ish token) — the
+    tokenizer-fairness diagnostic run before fixing a training mix: a
+    source whose text costs systematically more tokens per char is
+    under-served by the tokenizer and over-billed by a token budget.
+
+    Uses q26's RE2-compatible GPT-2-shaped pre-tokenizer so the DuckDB
+    oracle runs the IDENTICAL pattern. Shape: each batch collapses to one
+    (source, n_docs, chars, tokens) partial row per source present — a
+    closed, schema-bounded key set, so the driver reduce is
+    dimension-sized and there is NO shuffle at all."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\r\n]"
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t.column("text"), pattern), pa.int64())
+        chars = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pandas(),
+                "chars": chars.to_pandas(),
+                "tokens": toks.to_pandas(),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("chars", "size"), total_chars=("chars", "sum"), total_tokens=("tokens", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        total_chars=("total_chars", "sum"),
+        total_tokens=("total_tokens", "sum"),
+    )
+    # exact int sums until this one division
+    out["chars_per_token"] = round_away(
+        out["total_chars"].to_numpy() / out["total_tokens"].to_numpy(), 4
+    )
+    return (
+        out.sort_values("source")
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "total_chars": "int64", "total_tokens": "int64"})
+    )
+
+
+def q129_temperature_mix(sf_dir: str, alpha: float = 0.5) -> "pd.DataFrame":
+    """Temperature-scaled source sampling weights (the multilingual-LM
+    mixing rule, e.g. mBERT/XLM-R exponent smoothing): w_i = n_i^alpha /
+    sum_j n_j^alpha. alpha < 1 up-weights small sources relative to their
+    raw share — the standard fix for head-source domination in a training
+    blend (q126 then realizes a chosen budget).
+
+    One schema-bounded count partial per batch, driver math on the
+    source-dimension frame; weights are summed in sorted-source order on
+    both sides (the oracle's window SUM over 4 values agrees at 6 dp)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": t.column("source").to_pandas()})
+        g = df.groupby("source", as_index=False).agg(n_docs=("source", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = (
+        parts.groupby("source", as_index=False)
+        .agg(n_docs=("n_docs", "sum"))
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n = out["n_docs"].to_numpy().astype("float64")
+    scaled = n**alpha
+    out["raw_share"] = round_away(n / n.sum(), 6)
+    out["weight"] = round_away(scaled / scaled.sum(), 6)
+    return out.astype({"n_docs": "int64"})

@@ -182,6 +182,8 @@ SQL_CHECKED = [
     "q123_event_grouping_sets",
     "q124_bm25_topk",
     "q127_hybrid_retrieval",
+    "q128_token_fertility",
+    "q129_temperature_mix",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
