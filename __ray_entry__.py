@@ -621,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q127_hybrid_retrieval": similarity.q127_hybrid_retrieval,
         "q128_token_fertility": textstats.q128_token_fertility,
         "q129_temperature_mix": textstats.q129_temperature_mix,
+        "q130_leakage_free_split": dedup.q130_leakage_free_split,
+        "q131_source_quality_gate": textstats.q131_source_quality_gate,
         "q125_source_divergence": textstats.q125_source_divergence,
         "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
@@ -1675,6 +1677,32 @@ def oracle_sql() -> dict[str, str]:
                        AS weight
             FROM s
             ORDER BY source
+        """,
+        "q130_leakage_free_split": r"""
+            WITH rep AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY text) AS cluster_rep
+                FROM documents)
+            SELECT doc_id, cluster_rep,
+                   CASE WHEN md5(CAST(cluster_rep AS VARCHAR))
+                             < 'cccccccc000000000000000000000000'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM rep
+            ORDER BY doc_id
+        """,
+        "q131_source_quality_gate": r"""
+            WITH s AS (
+                SELECT doc_id, source,
+                       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                             / greatest(length(text), 1), 4) AS alpha_ratio
+                FROM documents),
+            t AS (
+                SELECT source, quantile_disc(alpha_ratio, 0.75) AS thr
+                FROM s GROUP BY source)
+            SELECT s.doc_id, s.source, s.alpha_ratio
+            FROM s JOIN t USING (source)
+            WHERE s.alpha_ratio >= t.thr
+            ORDER BY s.doc_id
         """,
         "q124_bm25_topk": r"""
             WITH tok AS (

@@ -585,3 +585,50 @@ def q72_dedup_survivors(sf_dir: str, k: int = 5, threshold: float = 0.5) -> "ray
         return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q130_leakage_free_split(sf_dir: str, train_fraction: float = 0.8) -> "ray.data.Dataset":
+    """Dedup-aware train/val split: every member of an exact-duplicate
+    cluster lands in the SAME split, so no document can appear in train
+    while its copy sits in val — the train/test-contamination guard run
+    before any LM split (labeling.prepare_labeled's per-sentence hash
+    split has exactly this leakage under duplicated sentences; this is
+    the corpus-level fix).
+
+    Shape: q11's exact-dup grouping carried one step further — docs ride
+    ONE text-bucket shuffle, each text group picks cluster_rep =
+    min(doc_id), and the split decision hashes the REP (md5 hex compared
+    against the train_fraction prefix constant: lowercase hex is
+    ASCII-ordered by value, so `hex < 'cc…c'` ⟺ fraction < 0.8 exactly —
+    the same decision DuckDB's md5() makes, which keeps the whole op
+    SQL-checkable). Emits one row per document; nothing is driver-side."""
+    frac_hex = format(int(train_fraction * 16**8), "08x") + "0" * 24
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        # group by content hash (not raw text) so the shuffle ships 64-hex
+        # keys, not document bodies; sha256 collisions are out of model
+        df = pd.DataFrame(
+            {
+                "h": [hashlib.sha256(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()],
+                "doc_id": t.column("doc_id").to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("h")["doc_id"].transform("min")
+        split = [
+            "train" if hashlib.md5(str(int(r)).encode("ascii")).hexdigest() < frac_hex else "val"
+            for r in rep
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "cluster_rep": rep.to_numpy(),
+                "split": split,
+            }
+        )
+
+    return bucketed_group_agg(ds.map_batches(tag, batch_format="pyarrow"), ["h"], final, n_buckets=32)

@@ -1551,3 +1551,82 @@ def q129_temperature_mix(sf_dir: str, alpha: float = 0.5) -> "pd.DataFrame":
     out["raw_share"] = round_away(n / n.sum(), 6)
     out["weight"] = round_away(scaled / scaled.sum(), 6)
     return out.astype({"n_docs": "int64"})
+
+
+def q131_source_quality_gate(sf_dir: str, q: float = 0.75) -> "pd.DataFrame":
+    """Per-source quality gate: keep each source's top quality quartile
+    (docs with alpha_ratio >= that source's discrete p75) — the
+    FineWeb-style per-domain percentile filter, which beats one global
+    threshold because sources have different score distributions.
+
+    The per-source quantile is HOLISTIC but alpha_ratio is a 4-dp-rounded
+    ratio, so the exact score distribution per source is a bounded
+    (source, score) histogram: each batch emits count partials over that
+    grid (dimension-bounded, NO shuffle), the driver takes exact
+    order-statistic thresholds from cumulative counts (DuckDB
+    quantile_disc rank rule: 1-based ceil(q·n); q=0.75 is dyadic so the
+    float product is exact), and one broadcast-threshold re-scan emits the
+    surviving rows. Two streaming passes, nothing data-sized anywhere."""
+    import math
+
+    import pandas as pd
+
+    from .common import get_broadcast
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = pc.utf8_length(text)
+        alpha = pc.utf8_length(pc.replace_substring_regex(text, pattern=r"[^a-zA-Z]", replacement=""))
+        denom = pc.max_element_wise(pc.cast(n_chars, pa.float64()), pa.scalar(1.0))
+        ratio = pc.round(
+            pc.divide(pc.cast(alpha, pa.float64()), denom),
+            ndigits=4,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "alpha_ratio": ratio,
+            }
+        )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pandas(),
+                "alpha_ratio": t.column("alpha_ratio").to_pandas(),
+            }
+        )
+        g = df.groupby(["source", "alpha_ratio"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "alpha_ratio"], as_index=False)["n"]
+        .sum()
+    )
+
+    thr = {}
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("alpha_ratio")
+        n = int(g["n"].sum())
+        rank = math.ceil(q * n)  # 1-based; q dyadic ⇒ exact
+        cum = g["n"].cumsum().to_numpy()
+        thr[src] = float(g["alpha_ratio"].to_numpy()[(cum >= rank).argmax()])
+
+    tref = ray.put(thr)
+
+    def gate(t: pa.Table) -> pa.Table:
+        th = get_broadcast(tref)
+        src = t.column("source").to_pandas()
+        cut = src.map(th).to_numpy(dtype="float64")
+        keep = t.column("alpha_ratio").to_numpy() >= cut
+        return t.filter(pa.array(keep))
+
+    out = scored.map_batches(gate, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})

@@ -184,6 +184,8 @@ SQL_CHECKED = [
     "q127_hybrid_retrieval",
     "q128_token_fertility",
     "q129_temperature_mix",
+    "q130_leakage_free_split",
+    "q131_source_quality_gate",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
