@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q129_temperature_mix": textstats.q129_temperature_mix,
         "q130_leakage_free_split": dedup.q130_leakage_free_split,
         "q131_source_quality_gate": textstats.q131_source_quality_gate,
+        "q132_source_overlap": textstats.q132_source_overlap,
         "q125_source_divergence": textstats.q125_source_divergence,
         "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
@@ -1703,6 +1704,21 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN t USING (source)
             WHERE s.alpha_ratio >= t.thr
             ORDER BY s.doc_id
+        """,
+        "q132_source_overlap": r"""
+            WITH arr AS (
+                SELECT source, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents),
+            sp AS (
+                SELECT DISTINCT source,
+                       a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]
+                            || ' ' || a[i+4] AS sh
+                FROM arr, unnest(generate_series(1, len(a) - 4)) AS t(i))
+            SELECT x.source AS source_a, y.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sp x JOIN sp y ON x.sh = y.sh AND x.source < y.source
+            GROUP BY x.source, y.source
+            ORDER BY source_a, source_b
         """,
         "q124_bm25_topk": r"""
             WITH tok AS (

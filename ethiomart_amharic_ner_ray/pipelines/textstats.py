@@ -1630,3 +1630,69 @@ def q131_source_quality_gate(sf_dir: str, q: float = 0.75) -> "pd.DataFrame":
 
     out = scored.map_batches(gate, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def q132_source_overlap(sf_dir: str, k: int = 5) -> "pd.DataFrame":
+    """Cross-source contamination matrix: for every source pair, how many
+    DISTINCT k-token shingles appear in BOTH — the audit that tells you
+    which corpus components duplicate which (the pairwise generalization
+    of q54's one-blocklist decontamination scan and q125's distributional
+    drift: q125 says the mixes differ, this says who copies whom).
+
+    Shape: per-batch distinct (shingle, source) pairs → ONE shingle-bucket
+    shuffle; inside a bucket each shingle's distinct source set expands to
+    source PAIRS and collapses immediately to per-(pair, bucket) partial
+    counts, so both the second exchange and the driver reduce are bounded
+    by |sources|² × buckets. At 100 TB the shingle column becomes a
+    128-bit hash (same documented trade as q121)."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sh": pa.array([], pa.string()), "source": pa.array([], pa.string())})
+        rows, sh = _shingle_frame(t, k)
+        if not len(rows):
+            return empty
+        d = pd.DataFrame(
+            {"sh": sh.to_numpy(), "source": t.column("source").to_pandas().to_numpy()[rows]}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["sh", "source"])
+        outs = []
+        for _, g in df.groupby("sh", sort=False):
+            srcs = np.sort(g["source"].to_numpy())
+            if len(srcs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(srcs), 1)
+            outs.append(pd.DataFrame({"source_a": srcs[ii], "source_b": srcs[jj]}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "source_a": pd.array([], dtype="str"),
+                    "source_b": pd.array([], dtype="str"),
+                    "n_shared": pd.array([], dtype="int64"),
+                }
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            .groupby(["source_a", "source_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_shared"})
+        )
+
+    out = bucketed_group_agg(parts, ["sh"], bucket_pairs, n_buckets=16).to_pandas()
+    return (
+        out.groupby(["source_a", "source_b"], as_index=False)["n_shared"]
+        .sum()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+        .astype({"n_shared": "int64"})
+    )

@@ -186,6 +186,7 @@ SQL_CHECKED = [
     "q129_temperature_mix",
     "q130_leakage_free_split",
     "q131_source_quality_gate",
+    "q132_source_overlap",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
