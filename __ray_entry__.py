@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q130_leakage_free_split": dedup.q130_leakage_free_split,
         "q131_source_quality_gate": textstats.q131_source_quality_gate,
         "q132_source_overlap": textstats.q132_source_overlap,
+        "q133_span_removal": textstats.q133_span_removal,
         "q125_source_divergence": textstats.q125_source_divergence,
         "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
@@ -1719,6 +1720,40 @@ def oracle_sql() -> dict[str, str]:
             FROM sp x JOIN sp y ON x.sh = y.sh AND x.source < y.source
             GROUP BY x.source, y.source
             ORDER BY source_a, source_b
+        """,
+        "q133_span_removal": r"""
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents),
+            sp AS (
+                SELECT doc_id, i,
+                       a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]
+                            || ' ' || a[i+4] AS sh
+                FROM arr, unnest(generate_series(1, len(a) - 4)) AS t(i)),
+            own AS (
+                SELECT sh, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+                FROM sp GROUP BY sh),
+            rem AS (
+                SELECT DISTINCT sp.doc_id, sp.i
+                FROM sp JOIN own USING (sh)
+                WHERE own.nd >= 2 AND sp.doc_id <> own.owner),
+            cover AS (
+                SELECT DISTINCT doc_id, i + o AS p
+                FROM rem, unnest(generate_series(0, 4)) AS u(o)),
+            tok AS (
+                SELECT arr.doc_id, t.i AS p, arr.a[t.i] AS tk, len(arr.a) AS nt
+                FROM arr, unnest(generate_series(1, len(arr.a))) AS t(i)
+                WHERE arr.doc_id IN (SELECT doc_id FROM rem))
+            SELECT tok.doc_id,
+                   CAST(max(tok.nt) AS BIGINT) AS n_tokens,
+                   CAST(count(cover.p) AS BIGINT) AS n_removed,
+                   md5(coalesce(string_agg(
+                       CASE WHEN cover.p IS NULL THEN tok.tk END,
+                       ' ' ORDER BY tok.p), '')) AS clean_md5
+            FROM tok LEFT JOIN cover
+                 ON cover.doc_id = tok.doc_id AND cover.p = tok.p
+            GROUP BY tok.doc_id
+            ORDER BY tok.doc_id
         """,
         "q124_bm25_topk": r"""
             WITH tok AS (

@@ -1696,3 +1696,97 @@ def q132_source_overlap(sf_dir: str, k: int = 5) -> "pd.DataFrame":
         .reset_index(drop=True)
         .astype({"n_shared": "int64"})
     )
+
+
+def q133_span_removal(sf_dir: str, k: int = 5) -> "pd.DataFrame":
+    """Exact duplicated-substring REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the transform q121 only
+    measures): every k-token span that occurs in ≥2 documents keeps ALL
+    its occurrences in the lowest-doc_id owner and is cut from every other
+    document; a non-owner doc drops each token covered by any such span.
+    Emits one row per AFFECTED document: token counts and the md5 of the
+    rebuilt text (kept tokens joined in original order).
+
+    Shape: (shingle, doc, pos) occurrences ride ONE shingle-bucket shuffle
+    (positions must travel — this is a rewrite, not a count); each bucket
+    owns its shingles outright, so ownership and the distinct
+    (doc, start) removal set are decided in-bucket with no second pass
+    over the corpus. Removals then meet their documents in ONE
+    bucketed_join on doc_id (inner join == affected-docs filter for
+    free), and the rebuild is a per-doc coverage mask inside the join
+    bucket. At 100 TB the shingle string column becomes a 128-bit hash
+    (q121's documented trade)."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg, bucketed_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sh": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) < k:
+            return empty
+        m = len(flat) - k + 1
+        idx = np.nonzero(par[:m] == par[k - 1 :])[0]
+        if not len(idx):
+            return empty
+        s = pd.Series(flat[idx])
+        for j in range(1, k):
+            s = s + " " + pd.Series(flat[idx + j])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        pos = idx - offsets[par[idx]]  # 0-based token index within the doc
+        return pa.table(
+            {
+                "sh": pa.array(s.to_numpy(), pa.string()),
+                "doc_id": pa.array(t.column("doc_id").to_numpy()[par[idx]], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow")
+
+    def removal_starts(df: pd.DataFrame) -> pd.DataFrame:
+        owner = df.groupby("sh")["doc_id"].transform("min")
+        nd = df.groupby("sh")["doc_id"].transform("nunique")
+        out = df.loc[(nd >= 2) & (df["doc_id"] != owner), ["doc_id", "pos"]]
+        return out.drop_duplicates()
+
+    removals = bucketed_group_agg(occ, ["sh"], removal_starts, n_buckets=16)
+
+    def rebuild(docs: pd.DataFrame, rem: pd.DataFrame) -> pd.DataFrame:
+        merged = docs.merge(rem, on="doc_id", how="inner")
+        rows = []
+        for (did, text), g in merged.groupby(["doc_id", "text"], sort=False):
+            toks = text.strip().split()
+            cover = np.zeros(len(toks), dtype=bool)
+            for s in g["pos"].to_numpy():
+                cover[s : s + k] = True
+            clean = " ".join(np.asarray(toks, dtype=object)[~cover])
+            rows.append(
+                (
+                    did,
+                    len(toks),
+                    int(cover.sum()),
+                    hashlib.md5(clean.encode("utf-8")).hexdigest(),
+                )
+            )
+        return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_removed", "clean_md5"])
+
+    out = bucketed_join(ds, removals, on="doc_id", n_buckets=16, merge_fn=rebuild).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_tokens": "int64", "n_removed": "int64"})
+    )

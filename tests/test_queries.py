@@ -187,6 +187,7 @@ SQL_CHECKED = [
     "q130_leakage_free_split",
     "q131_source_quality_gate",
     "q132_source_overlap",
+    "q133_span_removal",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
