@@ -704,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exact_topk": lambda sf_dir: similarity.ann_ivf_topk(sf_dir, nprobe=16),
         "kmeans_assign": lambda sf_dir: similarity.kmeans_embeddings(sf_dir)[1],
         "semdedup": similarity.semdedup,
+        "join_size_estimate": sketches.join_size_estimate,
         "knn_self_join": similarity.knn_self_join,
         # multimodal plumbing (rows-only; decode stubbed per environment).
         # Sized from sf like the transcript fixture so the rows-only check

@@ -347,3 +347,85 @@ def approx_audience_overlap(sf_dir: str, p: int = HLL_P) -> pd.DataFrame:
                 }
             )
     return pd.DataFrame(rows)
+
+
+def cms_join_size(
+    left_ds: "ray.data.Dataset",
+    left_key: str,
+    right_ds: "ray.data.Dataset",
+    right_key: str,
+    width: int = 1 << 14,
+    depth: int = 4,
+) -> dict:
+    """Join-cardinality estimation by count-min inner product (Cormode &
+    Muthukrishnan 2005, §4.2): |L ⋈ R| = Σ_k f_L(k)·f_R(k), estimated as
+    min over the d rows of Σ_j CMS_L[r,j]·CMS_R[r,j]. The estimate is an
+    UPPER BOUND always (hash collisions only add non-negative cross
+    terms) and within ε·‖f_L‖₁·‖f_R‖₁ of truth with probability 1−δ at
+    width e/ε, depth ln(1/δ) — the planner statistic auto_join-style
+    decisions would use on a cluster where counting the join is the cost
+    you're trying to avoid.
+
+    Shape: one streaming CMS partial per side (O(width·depth) blobs,
+    driver element-wise sum — the sketch is mergeable), zero shuffle,
+    neither input materialized."""
+    import numpy as np
+
+    def build(ds, column):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cms = CountMinSketch(width, depth).add(df[column].astype(str))
+            return pd.DataFrame({"sketch": [cms.counts.tobytes()]})
+
+        merged = CountMinSketch(width, depth)
+        for b in ds.map_batches(partial, batch_format="pandas", batch_size=65536).iter_batches(
+            batch_format="pandas"
+        ):
+            for blob in b["sketch"]:
+                merged.counts += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+        return merged
+
+    l, r = build(left_ds, left_key), build(right_ds, right_key)
+    per_row = (l.counts.astype(np.float64) * r.counts.astype(np.float64)).sum(axis=1)
+    return {
+        "estimate": int(per_row.min()),
+        "n_left": int(l.counts[0].sum()),
+        "n_right": int(r.counts[0].sum()),
+    }
+
+
+def join_size_estimate(sf_dir: str) -> pd.DataFrame:
+    """Rows-only query: estimated vs exact |events ⋈ orders on user/cust
+    key| — both sides multi-row per key, so the inner product is
+    non-degenerate. The exact side is the same two-phase count shape as
+    q42 (per-key counts are catalog-sized), kept next to the estimate so
+    the upper-bound and error-band properties are visible in the output
+    (and pinned by tests/test_dedup_similarity.py)."""
+    from .common import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    od = read_table(sf_dir, "orders", columns=["o_custkey"])
+    est = cms_join_size(ev, "user_id", od, "o_custkey")
+
+    def cnt(ds, col):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(col, as_index=False).size()
+            g.columns = ["k", "n"]
+            return g
+
+        return (
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+            .to_pandas()
+            .groupby("k", as_index=False)["n"]
+            .sum()
+        )
+
+    lc, rc = cnt(ev, "user_id"), cnt(od, "o_custkey")
+    exact = int(lc.merge(rc, on="k", suffixes=("_l", "_r")).eval("n_l * n_r").sum())
+    return pd.DataFrame(
+        {
+            "estimate": [est["estimate"]],
+            "exact": [exact],
+            "n_left": [est["n_left"]],
+            "n_right": [est["n_right"]],
+        }
+    )

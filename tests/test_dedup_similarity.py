@@ -661,3 +661,29 @@ class TestSemDeDup:
 
         got = semdedup(self.SF, k=4, threshold=1.01).to_pandas()
         assert bool(got["kept"].all())
+
+
+class TestCmsJoinSize:
+    SF = "/root/testdata/sf0.001"
+
+    def test_upper_bound_and_error_band(self, ray_session):
+        """CMS inner-product estimate is always >= the exact join size and
+        within the eps * ||f_L||_1 * ||f_R||_1 analytic band."""
+        import duckdb
+        import math
+
+        from ethiomart_amharic_ner_ray.pipelines.sketches import join_size_estimate
+
+        df = join_size_estimate(self.SF)
+        est, exact = int(df["estimate"][0]), int(df["exact"][0])
+        nl, nr = int(df["n_left"][0]), int(df["n_right"][0])
+
+        con = duckdb.connect()
+        truth = con.sql(
+            f"SELECT count(*) FROM '{self.SF}/events.parquet' e "
+            f"JOIN '{self.SF}/orders.parquet' o ON e.user_id = o.o_custkey"
+        ).fetchone()[0]
+        assert exact == truth  # the distributed exact side matches SQL
+        assert est >= exact  # collisions only add
+        eps = math.e / (1 << 14)
+        assert est <= exact + eps * nl * nr + 1
