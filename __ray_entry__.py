@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q131_source_quality_gate": textstats.q131_source_quality_gate,
         "q132_source_overlap": textstats.q132_source_overlap,
         "q133_span_removal": textstats.q133_span_removal,
+        "q134_padding_waste": textstats.q134_padding_waste,
         "q125_source_divergence": textstats.q125_source_divergence,
         "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
@@ -705,6 +706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": lambda sf_dir: similarity.kmeans_embeddings(sf_dir)[1],
         "semdedup": similarity.semdedup,
         "join_size_estimate": sketches.join_size_estimate,
+        "doc_hash_embeddings": similarity.doc_hash_embeddings,
+        "text_semantic_search": similarity.text_semantic_search,
         "knn_self_join": similarity.knn_self_join,
         # multimodal plumbing (rows-only; decode stubbed per environment).
         # Sized from sf like the transcript fixture so the rows-only check
@@ -1755,6 +1758,27 @@ def oracle_sql() -> dict[str, str]:
                  ON cover.doc_id = tok.doc_id AND cover.p = tok.p
             GROUP BY tok.doc_id
             ORDER BY tok.doc_id
+        """,
+        "q134_padding_waste": r"""
+            WITH s AS (
+                SELECT source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS nt
+                FROM documents),
+            p AS (
+                SELECT source, nt,
+                       greatest(CAST(ceil(nt / 512.0) AS BIGINT), 1) * 512
+                           AS padded
+                FROM s)
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(nt) AS total_tokens,
+                   sum(padded) AS padded_tokens,
+                   round(1.0 - sum(nt) * 1.0 / sum(padded), 4) AS waste_ratio
+            FROM p
+            GROUP BY source
+            ORDER BY source
         """,
         "q124_bm25_topk": r"""
             WITH tok AS (

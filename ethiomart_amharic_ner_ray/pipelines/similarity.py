@@ -1548,3 +1548,81 @@ def semdedup(
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     stamped = ds.map_batches(stamp, batch_format="pyarrow", batch_size=4096)
     return bucketed_group_agg(stamped, ["cluster"], prune_cluster, n_buckets=min(k, 64))
+
+
+def _hash_embed(texts: pa.Array, dim: int = 64) -> np.ndarray:
+    """Deterministic hashing-trick bag-of-tokens embedding (Weinberger et
+    al. 2009 feature hashing): each token lands in bucket hash%dim with
+    sign ± from the next hash bit; rows are L2-normalized. No model, no
+    vocabulary, split-invariant (stable_hash64) — the torch-free way to
+    give every document a dense vector the ANN/near-dup family can index."""
+    import pyarrow.compute as pc
+
+    trimmed = pc.utf8_trim_whitespace(texts)
+    toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    if len(flat):
+        h = stable_hash64(flat)
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        np.add.at(out, (par, idx), sign)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+def doc_hash_embeddings(sf_dir: str, dim: int = 64) -> "ray.data.Dataset":
+    """Rows-only query: per-document hashing-trick embedding over the
+    documents table — a pure streaming map (one batch in, one batch of
+    (doc_id, embedding) out). Downstream, these vectors drop into the
+    same kmeans / IVF / near-dup operators as the embeddings table."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = _hash_embed(t.column("text").combine_chunks() if isinstance(t.column("text"), pa.ChunkedArray) else t.column("text"), dim)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float64(), dim)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
+def text_semantic_search(
+    sf_dir: str, query_text: str = "spark join fast", k: int = 10, dim: int = 64
+) -> pd.DataFrame:
+    """End-to-end model-free semantic search over raw text: embed the
+    query with the SAME hashing featurizer, broadcast the vector, and
+    brute-force cosine top-k over per-batch hash embeddings (q16's shape
+    with the embedding computed on the fly instead of read). Lexically
+    related docs rank high because they share hashed token buckets —
+    BM25's dense cousin; q127 composes the sparse and dense stages."""
+    qv = _hash_embed(pa.array([query_text], pa.string()), dim)[0]
+    ref = ray.put(qv)
+
+    def score(t: pa.Table) -> pa.Table:
+        from .common import get_broadcast
+
+        q = get_broadcast(ref)
+        m = _hash_embed(t.column("text").combine_chunks() if isinstance(t.column("text"), pa.ChunkedArray) else t.column("text"), dim)
+        cos = m @ q
+        top = np.argsort(-cos, kind="mergesort")[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(t.column("doc_id").to_numpy()[top], pa.int64()),
+                "cos_sim": pa.array(round_away(cos[top], 4)),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(score, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return (
+        out.sort_values(["cos_sim", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "cos_sim": "float64"})
+    )

@@ -1790,3 +1790,47 @@ def q133_span_removal(sf_dir: str, k: int = 5) -> "pd.DataFrame":
         .reset_index(drop=True)
         .astype({"doc_id": "int64", "n_tokens": "int64", "n_removed": "int64"})
     )
+
+
+def q134_padding_waste(sf_dir: str, seq_len: int = 512) -> "pd.DataFrame":
+    """Padding-waste audit for a fixed sequence length: if each document
+    were padded to a multiple of ``seq_len`` whitespace tokens (the
+    no-packing baseline), how many pad tokens does each source burn? The
+    cost argument FOR sequence packing (doc_pack_bins) made measurable —
+    sources with short docs dominate the waste. Per-batch partial sums
+    (schema-bounded), zero shuffle; empty docs cost one full pad row,
+    matching the ceil() convention both sides."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        n = pc.list_value_length(toks)
+        n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), n)
+        nt = n.to_numpy(zero_copy_only=False).astype("int64")
+        padded = np.maximum(np.ceil(nt / seq_len).astype("int64"), 1) * seq_len
+        df = pd.DataFrame(
+            {"source": t.column("source").to_pandas(), "nt": nt, "padded": padded}
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("nt", "size"), total_tokens=("nt", "sum"), padded_tokens=("padded", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        total_tokens=("total_tokens", "sum"),
+        padded_tokens=("padded_tokens", "sum"),
+    )
+    out["waste_ratio"] = round_away(
+        1.0 - out["total_tokens"].to_numpy() / out["padded_tokens"].to_numpy(), 4
+    )
+    return (
+        out.sort_values("source")
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "total_tokens": "int64", "padded_tokens": "int64"})
+    )

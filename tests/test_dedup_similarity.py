@@ -687,3 +687,39 @@ class TestCmsJoinSize:
         assert est >= exact  # collisions only add
         eps = math.e / (1 << 14)
         assert est <= exact + eps * nl * nr + 1
+
+
+class TestHashEmbeddings:
+    SF = "/root/testdata/sf0.001"
+
+    def test_identical_texts_cosine_one(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import _hash_embed
+
+        m = _hash_embed(pa.array(["the quick brown fox", "the quick brown fox", "totally different words here"]))
+        assert np.isclose(m[0] @ m[1], 1.0)
+        assert m[0] @ m[2] < 0.99
+        # unit rows
+        assert np.allclose(np.linalg.norm(m, axis=1), 1.0)
+
+    def test_search_finds_exact_duplicate_first(self, ray_session):
+        """Querying with a document's own text must rank that doc (or an
+        exact dup) at cosine ~1.0 first."""
+        import pyarrow.parquet as pq
+
+        from ethiomart_amharic_ner_ray.pipelines.similarity import text_semantic_search
+
+        t = pq.read_table(f"{self.SF}/documents.parquet", columns=["doc_id", "text"])
+        probe = t.column("text")[5].as_py()
+        out = text_semantic_search(self.SF, query_text=probe, k=5)
+        assert out["cos_sim"][0] >= 0.9999
+
+    def test_streaming_dataset_shape(self, ray_session):
+        from ethiomart_amharic_ner_ray.pipelines.similarity import doc_hash_embeddings
+
+        ds = doc_hash_embeddings(self.SF)
+        df = ds.to_pandas()
+        assert len(df) == 1000 or len(df) > 0
+        assert len(df["embedding"][0]) == 64

@@ -188,6 +188,7 @@ SQL_CHECKED = [
     "q131_source_quality_gate",
     "q132_source_overlap",
     "q133_span_removal",
+    "q134_padding_waste",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
