@@ -488,6 +488,7 @@ def _export_zorder(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from ethiomart_amharic_ner_ray.pipelines import (
         bpe,
+        curate,
         dedup,
         graph,
         multimodal,
@@ -708,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": sketches.join_size_estimate,
         "doc_hash_embeddings": similarity.doc_hash_embeddings,
         "text_semantic_search": similarity.text_semantic_search,
+        "curation_summary": curate.curation_summary,
         "knn_self_join": similarity.knn_self_join,
         # multimodal plumbing (rows-only; decode stubbed per environment).
         # Sized from sf like the transcript fixture so the rows-only check

@@ -1,0 +1,195 @@
+"""End-to-end corpus curation: the pipeline a training run actually
+consumes, composed from the engine's SQL-checked curation operators —
+
+    read documents
+      → exact dedup            (q11's one content-hash shuffle, payloads
+                                ride; min-doc_id survivor per text)
+      → checkpoint survivors   (Parquet — the quality gate needs two
+                                passes, and the checkpoint is the resume
+                                point)
+      → per-source quality gate (q131's bounded histogram → exact
+                                discrete-quantile thresholds → broadcast
+                                filter re-scan)
+      → leakage-free split     (q130's md5-prefix rule; after exact dedup
+                                every cluster is a singleton, so the rep
+                                is the doc itself — a near-dup-aware
+                                variant feeds minhash cluster reps in)
+      → deterministic shard export per split (export.shuffled_export:
+                                seeded split-invariant permutation,
+                                atomic shard files + manifest)
+
+Every stage is a streaming Dataset transform; the only materialized
+artifact is the survivor checkpoint (itself the resume point). Stats are
+aggregate-sized. This is the 100 TB shape: one wide shuffle (dedup), one
+bounded histogram reduce, one filtered re-scan, one shard shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .common import bucketed_group_agg, get_broadcast, read_table
+from .export import shuffled_export
+
+_TRAIN_HEX = "cccccccc" + "0" * 24  # 0.8 as an md5-hex prefix constant
+
+
+def _dedup_survivors(ds: "ray.data.Dataset", n_buckets: int = 32) -> "ray.data.Dataset":
+    """Exact dedup with payloads riding the one content-hash shuffle:
+    each text group keeps its min-doc_id row intact."""
+    import hashlib
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = [hashlib.sha256(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()]
+        t = t.replace_schema_metadata(None)
+        return t.append_column("_ch", pa.array(h, pa.string()))
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby("_ch")["doc_id"].idxmin()
+        return df.loc[idx].drop(columns=["_ch"])
+
+    return bucketed_group_agg(
+        ds.map_batches(tag, batch_format="pyarrow"), ["_ch"], keep_min, n_buckets=n_buckets
+    )
+
+
+def _alpha_ratio(t: pa.Table) -> pa.Array:
+    text = t.column("text")
+    n_chars = pc.utf8_length(text)
+    alpha = pc.utf8_length(pc.replace_substring_regex(text, pattern=r"[^a-zA-Z]", replacement=""))
+    denom = pc.max_element_wise(pc.cast(n_chars, pa.float64()), pa.scalar(1.0))
+    return pc.round(
+        pc.divide(pc.cast(alpha, pa.float64()), denom),
+        ndigits=4,
+        round_mode="half_towards_infinity",
+    )
+
+
+def _quality_thresholds(ds: "ray.data.Dataset", q: float) -> dict:
+    """q131's exact bounded-histogram discrete quantile per source."""
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": t.column("source").to_pandas(), "score": _alpha_ratio(t).to_pandas()}
+        )
+        g = df.groupby(["source", "score"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "score"], as_index=False)["n"]
+        .sum()
+    )
+    thr = {}
+    for src, g in h.groupby("source"):
+        g = g.sort_values("score")
+        rank = math.ceil(q * int(g["n"].sum()))
+        cum = g["n"].cumsum().to_numpy()
+        thr[src] = float(g["score"].to_numpy()[(cum >= rank).argmax()])
+    return thr
+
+
+def run_curation_pipeline(
+    input_dir: str,
+    out_dir: str,
+    quality_q: float = 0.75,
+    train_fraction: float = 0.8,
+    n_shards: int = 8,
+    seed: int = 17,
+) -> dict:
+    """Run the full curation flow over ``<input_dir>/documents.parquet``;
+    returns aggregate stats and writes ``out_dir/{train,val}/shard-*.parquet``
+    plus per-split manifests and a run-level ``curation_manifest.json``.
+    Deterministic end to end: same input + params → byte-stable shard
+    contents (pinned by tests/test_curation.py)."""
+    import hashlib
+
+    assert train_fraction == 0.8, "md5-prefix constant is built for 0.8"
+    os.makedirs(out_dir, exist_ok=True)
+    docs = read_table(input_dir, "documents", columns=["doc_id", "source", "text"])
+    n_input = docs.count()
+
+    # stage 1: exact dedup → Parquet checkpoint (quality needs two passes)
+    ckpt = os.path.join(out_dir, "dedup_survivors")
+    surv = _dedup_survivors(docs)
+    surv = surv.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    os.makedirs(ckpt, exist_ok=True)
+    surv.write_parquet(ckpt)
+    surv_ds = ray.data.read_parquet(ckpt, columns=["doc_id", "source", "text"])
+    n_dedup = surv_ds.count()
+
+    # stage 2: per-source quality thresholds → broadcast filter
+    thr = _quality_thresholds(surv_ds, quality_q)
+    tref = ray.put(thr)
+
+    def gate_and_split(t: pa.Table) -> pa.Table:
+        th = get_broadcast(tref)
+        src = t.column("source").to_pandas()
+        keep = _alpha_ratio(t).to_numpy() >= src.map(th).to_numpy(dtype="float64")
+        t = t.filter(pa.array(keep))
+        split = [
+            "train"
+            if hashlib.md5(str(int(d)).encode("ascii")).hexdigest() < _TRAIN_HEX
+            else "val"
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    gated = surv_ds.map_batches(gate_and_split, batch_format="pyarrow")
+
+    # stage 3: deterministic shard export per split
+    stats = {}
+    for split in ("train", "val"):
+        sds = gated.filter(expr=f"split == '{split}'").drop_columns(["split"])
+        stats[split] = shuffled_export(
+            sds, "doc_id", os.path.join(out_dir, split), n_shards=n_shards, seed=seed
+        )
+
+    n_train = int(stats["train"]["n_rows"].sum())
+    n_val = int(stats["val"]["n_rows"].sum())
+    manifest = {
+        "n_input": int(n_input),
+        "n_after_dedup": int(n_dedup),
+        "n_after_quality": n_train + n_val,
+        "n_train": n_train,
+        "n_val": n_val,
+        "quality_q": quality_q,
+        "thresholds": thr,
+        "n_shards": n_shards,
+        "seed": seed,
+    }
+    with open(os.path.join(out_dir, "curation_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def curation_summary(sf_dir: str) -> pd.DataFrame:
+    """Rows-only query: run the curation pipeline into /tmp and return its
+    stage-count summary (one row) — counts pinned by tests/test_curation.py."""
+    import shutil
+
+    out = "/tmp/graft_curation"
+    shutil.rmtree(out, ignore_errors=True)
+    m = run_curation_pipeline(sf_dir, out)
+    return pd.DataFrame(
+        {
+            "n_input": [m["n_input"]],
+            "n_after_dedup": [m["n_after_dedup"]],
+            "n_after_quality": [m["n_after_quality"]],
+            "n_train": [m["n_train"]],
+            "n_val": [m["n_val"]],
+        }
+    )

@@ -1,0 +1,88 @@
+"""End-to-end curation pipeline: stage-count consistency, determinism of
+the exported shards, and the per-stage rules (dedup uniqueness, quality
+thresholds, md5 split)."""
+
+import glob
+import hashlib
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.001"
+TRAIN_HEX = "cccccccc" + "0" * 24
+
+
+@pytest.fixture(scope="module")
+def run(ray_session, tmp_path_factory):
+    from ethiomart_amharic_ner_ray.pipelines.curate import run_curation_pipeline
+
+    out = str(tmp_path_factory.mktemp("curation"))
+    shutil.rmtree(out, ignore_errors=True)
+    m = run_curation_pipeline(SF, out)
+    return out, m
+
+
+class TestCuration:
+    def test_stage_counts_consistent(self, run):
+        out, m = run
+        assert m["n_input"] >= m["n_after_dedup"] >= m["n_after_quality"]
+        assert m["n_after_quality"] == m["n_train"] + m["n_val"] > 0
+        assert 0 < m["n_val"] < m["n_train"]  # ~80/20
+
+    def test_survivor_texts_unique(self, run):
+        out, _ = run
+        t = pq.read_table(f"{out}/dedup_survivors", columns=["text"])
+        texts = t.column("text").to_pylist()
+        assert len(texts) == len(set(texts))
+
+    def test_split_respects_md5_rule(self, run):
+        out, _ = run
+        for split, want_train in (("train", True), ("val", False)):
+            for f in glob.glob(f"{out}/{split}/shard-*.parquet"):
+                for d in pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist():
+                    is_train = hashlib.md5(str(d).encode()).hexdigest() < TRAIN_HEX
+                    assert is_train == want_train, (split, d)
+
+    def test_quality_gate_matches_q131_thresholds(self, run):
+        out, m = run
+        # at sf0.001 the documents table has no exact dups, so the
+        # survivor set == input and the thresholds must equal q131's
+        from ethiomart_amharic_ner_ray.pipelines.textstats import q131_source_quality_gate
+
+        if m["n_input"] != m["n_after_dedup"]:
+            pytest.skip("fixture has exact dups; thresholds differ by design")
+        gated = q131_source_quality_gate(SF)
+        assert len(gated) == m["n_after_quality"]
+
+    def test_deterministic_rerun(self, run, tmp_path):
+        out, m = run
+        from ethiomart_amharic_ner_ray.pipelines.curate import run_curation_pipeline
+
+        out2 = str(tmp_path / "rerun")
+        m2 = run_curation_pipeline(SF, out2)
+        assert {k: m[k] for k in ("n_input", "n_train", "n_val")} == {
+            k: m2[k] for k in ("n_input", "n_train", "n_val")
+        }
+        for split in ("train", "val"):
+            a = sorted(glob.glob(f"{out}/{split}/shard-*.parquet"))
+            b = sorted(glob.glob(f"{out2}/{split}/shard-*.parquet"))
+            assert [Path(p).name for p in a] == [Path(p).name for p in b]
+            for pa_, pb in zip(a, b):
+                ta = pq.read_table(pa_).to_pandas()
+                tb = pq.read_table(pb).to_pandas()
+                pd.testing.assert_frame_equal(ta, tb)
+
+    def test_manifest_written(self, run):
+        out, m = run
+        j = json.load(open(f"{out}/curation_manifest.json"))
+        assert j["n_train"] == m["n_train"]
+        for split in ("train", "val"):
+            sj = json.load(open(f"{out}/{split}/manifest.json"))
+            assert sum(s["n_rows"] for s in sj["shards"]) == m[f"n_{split}"]
