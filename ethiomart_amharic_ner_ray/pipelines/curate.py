@@ -107,12 +107,24 @@ def run_curation_pipeline(
     train_fraction: float = 0.8,
     n_shards: int = 8,
     seed: int = 17,
+    near_dup_jaccard: float | None = None,
 ) -> dict:
     """Run the full curation flow over ``<input_dir>/documents.parquet``;
     returns aggregate stats and writes ``out_dir/{train,val}/shard-*.parquet``
     plus per-split manifests and a run-level ``curation_manifest.json``.
     Deterministic end to end: same input + params → byte-stable shard
-    contents (pinned by tests/test_curation.py)."""
+    contents (pinned by tests/test_curation.py).
+
+    ``near_dup_jaccard`` upgrades the split from exact-dup-aware to
+    NEAR-dup-aware: MinHash-LSH pairs over the dedup-survivor checkpoint
+    (one banding shuffle, in-bucket exact-Jaccard verify) → distributed
+    min-label connected components (Parquet-checkpointed under out_dir,
+    resumable) → the split decision hashes each doc's cluster_rep instead
+    of its own id, so a paraphrased copy can never straddle train/val.
+    The rep map is bounded by the NEAR-DUP count (not the corpus) and
+    broadcasts via one ray.put — the same budget argument as
+    q72_dedup_survivors' drop set; a corpus whose near-dup set outgrew
+    broadcast would switch the rep lookup to a bucketed join on doc_id."""
     import hashlib
 
     assert train_fraction == 0.8, "md5-prefix constant is built for 0.8"
@@ -131,18 +143,52 @@ def run_curation_pipeline(
     surv_ds = ray.data.read_parquet(ckpt, columns=["doc_id", "source", "text"])
     n_dedup = surv_ds.count()
 
+    # stage 1b (optional): near-dup clusters over the survivors — exact
+    # dups are already gone, so these edges are purely the paraphrase set
+    n_near_dup = 0
+    rep_ref = None
+    if near_dup_jaccard is not None:
+        from .dedup import minhash_lsh_pairs_ds
+        from .graph import connected_components_minlabel
+
+        pairs = minhash_lsh_pairs_ds(
+            input_dir,
+            jaccard_threshold=near_dup_jaccard,
+            docs_ds=ray.data.read_parquet(ckpt, columns=["doc_id", "text"]),
+        )
+        labels = connected_components_minlabel(
+            pairs,
+            n_buckets=16,
+            checkpoint_dir=os.path.join(out_dir, "near_dup_cc"),
+            fingerprint=f"curate-cc|{near_dup_jaccard}|{n_dedup}",
+        ).to_pandas()
+        rep_map = (
+            {}
+            if labels.empty
+            else dict(
+                zip(
+                    labels["doc_id"].astype(int).tolist(),
+                    labels["cluster_rep"].astype(int).tolist(),
+                )
+            )
+        )
+        n_near_dup = len(rep_map)
+        rep_ref = ray.put(rep_map)
+
     # stage 2: per-source quality thresholds → broadcast filter
     thr = _quality_thresholds(surv_ds, quality_q)
     tref = ray.put(thr)
 
     def gate_and_split(t: pa.Table) -> pa.Table:
         th = get_broadcast(tref)
+        reps = get_broadcast(rep_ref) if rep_ref is not None else {}
         src = t.column("source").to_pandas()
         keep = _alpha_ratio(t).to_numpy() >= src.map(th).to_numpy(dtype="float64")
         t = t.filter(pa.array(keep))
         split = [
             "train"
-            if hashlib.md5(str(int(d)).encode("ascii")).hexdigest() < _TRAIN_HEX
+            if hashlib.md5(str(reps.get(int(d), int(d))).encode("ascii")).hexdigest()
+            < _TRAIN_HEX
             else "val"
             for d in t.column("doc_id").to_pylist()
         ]
@@ -170,6 +216,8 @@ def run_curation_pipeline(
         "thresholds": thr,
         "n_shards": n_shards,
         "seed": seed,
+        "near_dup_jaccard": near_dup_jaccard,
+        "n_near_dup_clustered": n_near_dup,
     }
     with open(os.path.join(out_dir, "curation_manifest.json"), "w") as f:
         json.dump(manifest, f)

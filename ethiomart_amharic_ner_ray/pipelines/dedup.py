@@ -120,7 +120,11 @@ def q11_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
 
 
 def minhash_signatures(
-    sf_dir: str, seed: int = 42, with_shingles: bool = False, shingle: str = "word"
+    sf_dir: str,
+    seed: int = 42,
+    with_shingles: bool = False,
+    shingle: str = "word",
+    docs_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Per-doc MinHash signature rows exploded to (band, band_key, doc_id).
 
@@ -128,8 +132,10 @@ def minhash_signatures(
     array (int64 view) on every band row, so exact-Jaccard verification can
     happen INSIDE the band bucket — one shuffle end-to-end instead of extra
     join hops, at the cost of ×N_BANDS shingle payload through the exchange
-    (the same payload-vs-hops tradeoff as embedding_neardup_lsh)."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    (the same payload-vs-hops tradeoff as embedding_neardup_lsh).
+    ``docs_ds`` overrides the documents read with any (doc_id, text)
+    Dataset (e.g. the curation pipeline's dedup-survivor checkpoint)."""
+    ds = docs_ds if docs_ds is not None else read_table(sf_dir, "documents", columns=["doc_id", "text"])
     a, b = _perm_params(seed)
     build_strings = SHINGLE_STRING_BUILDERS[shingle]
 
@@ -217,7 +223,11 @@ def doc_shingle_sets(sf_dir: str) -> "ray.data.Dataset":
 
 
 def minhash_lsh_pairs_ds(
-    sf_dir: str, seed: int = 42, jaccard_threshold: float = 0.7, shingle: str = "word"
+    sf_dir: str,
+    seed: int = 42,
+    jaccard_threshold: float = 0.7,
+    shingle: str = "word",
+    docs_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Verified near-dup pairs, end-to-end distributed (round-1 verdict
     finding #2: nothing driver-sized anywhere).
@@ -230,7 +240,7 @@ def minhash_lsh_pairs_ds(
     shingles onto candidate pairs afterwards is available from the same
     primitives (doc_shingle_sets + common.bucketed_join) when shingle
     payloads outweigh the extra exchange hops."""
-    sigs = minhash_signatures(sf_dir, seed, with_shingles=True, shingle=shingle)
+    sigs = minhash_signatures(sf_dir, seed, with_shingles=True, shingle=shingle, docs_ds=docs_ds)
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         a_l: list[int] = []

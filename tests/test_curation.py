@@ -86,3 +86,57 @@ class TestCuration:
         for split in ("train", "val"):
             sj = json.load(open(f"{out}/{split}/manifest.json"))
             assert sum(s["n_rows"] for s in sj["shards"]) == m[f"n_{split}"]
+
+
+@pytest.fixture(scope="module")
+def run_neardup(ray_session, tmp_path_factory):
+    from ethiomart_amharic_ner_ray.pipelines.curate import run_curation_pipeline
+
+    out = str(tmp_path_factory.mktemp("curation_nd"))
+    m = run_curation_pipeline(SF, out, near_dup_jaccard=0.5)
+    return out, m
+
+
+def _split_of(out: str) -> dict:
+    split_of = {}
+    for split in ("train", "val"):
+        for f in glob.glob(f"{out}/{split}/shard-*.parquet"):
+            for d in pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist():
+                split_of[int(d)] = split
+    return split_of
+
+
+class TestNearDupSplit:
+    def test_no_cluster_straddles_splits(self, run_neardup):
+        out, m = run_neardup
+        from ethiomart_amharic_ner_ray.pipelines.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(SF, jaccard_threshold=0.5)
+        if pairs.empty:
+            pytest.skip("fixture has no near-dup pairs at 0.5")
+        split_of = _split_of(out)
+        checked = 0
+        for a, b in zip(pairs["a"], pairs["b"]):
+            sa, sb = split_of.get(int(a)), split_of.get(int(b))
+            if sa is not None and sb is not None:  # both survived the gate
+                assert sa == sb, (a, b, sa, sb)
+                checked += 1
+        assert m["n_near_dup_clustered"] >= 2
+        assert m["near_dup_jaccard"] == 0.5
+
+    def test_non_clustered_docs_keep_md5_rule(self, run_neardup):
+        # docs outside any near-dup cluster still hash their OWN id —
+        # the near-dup option must not perturb the base split
+        out, m = run_neardup
+        from ethiomart_amharic_ner_ray.pipelines.dedup import minhash_lsh_pairs
+
+        clustered = set()
+        pairs = minhash_lsh_pairs(SF, jaccard_threshold=0.5)
+        clustered.update(int(x) for x in pairs["a"])
+        clustered.update(int(x) for x in pairs["b"])
+        split_of = _split_of(out)
+        for d, s in split_of.items():
+            if d in clustered:
+                continue
+            want = "train" if hashlib.md5(str(d).encode()).hexdigest() < TRAIN_HEX else "val"
+            assert s == want, (d, s, want)
