@@ -627,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q132_source_overlap": textstats.q132_source_overlap,
         "q133_span_removal": textstats.q133_span_removal,
         "q134_padding_waste": textstats.q134_padding_waste,
+        "q135_dsir_logratio": textstats.q135_dsir_logratio,
+        "q136_gopher_repetition": textstats.q136_gopher_repetition,
         "q125_source_divergence": textstats.q125_source_divergence,
         "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
@@ -1781,6 +1783,84 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             GROUP BY source
             ORDER BY source
+        """,
+        "q135_dsir_logratio": r"""
+            WITH toks AS (
+                SELECT doc_id, lang, t AS token FROM (
+                    SELECT doc_id, lang,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            cnt AS (
+                SELECT token, count(*)::DOUBLE AS c_raw,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                           AS c_tgt
+                FROM toks GROUP BY token),
+            tot AS (
+                SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt,
+                       count(*)::DOUBLE AS v
+                FROM cnt)
+            SELECT toks.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   round(sum(ln(cnt.c_tgt + 1) - ln(cnt.c_raw + 1)
+                             + ln(tot.n_raw + tot.v)
+                             - ln(tot.n_tgt + tot.v)), 4) AS logw
+            FROM toks JOIN cnt USING (token), tot
+            GROUP BY toks.doc_id
+            ORDER BY toks.doc_id
+        """,
+        "q136_gopher_repetition": r"""
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) <> ''),
+            tok AS (
+                SELECT doc_id, t.i AS p, a[t.i] AS tk, length(a[t.i]) AS ln
+                FROM arr, unnest(generate_series(1, len(a))) AS t(i)),
+            base AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                       CAST(sum(ln) AS BIGINT) AS total_chars
+                FROM tok GROUP BY doc_id),
+            g3 AS (
+                SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g,
+                       length(a[i]) + length(a[i+1]) + length(a[i+2]) AS gc
+                FROM arr, unnest(generate_series(1, len(a) - 2)) AS t(i)),
+            top3 AS (
+                SELECT doc_id, max(cnt * gc) AS cov FROM (
+                    SELECT doc_id, g, count(*) AS cnt, max(gc) AS gc
+                    FROM g3 GROUP BY doc_id, g)
+                GROUP BY doc_id),
+            g5 AS (
+                SELECT doc_id, i,
+                       a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                            || a[i+3] || ' ' || a[i+4] AS g
+                FROM arr, unnest(generate_series(1, len(a) - 4)) AS t(i)),
+            dup AS (
+                SELECT doc_id, i FROM (
+                    SELECT doc_id, i,
+                           count(*) OVER (PARTITION BY doc_id, g) AS c
+                    FROM g5)
+                WHERE c > 1),
+            cover AS (
+                SELECT DISTINCT doc_id, i + o AS p
+                FROM dup, unnest(generate_series(0, 4)) AS u(o)),
+            dupc AS (
+                SELECT tok.doc_id, sum(tok.ln) AS dchars
+                FROM tok JOIN cover
+                     ON cover.doc_id = tok.doc_id AND cover.p = tok.p
+                GROUP BY tok.doc_id)
+            SELECT doc_id, n_tok, total_chars, top3_frac, dup5_frac,
+                   CAST(CASE WHEN top3_frac <= 0.18 AND dup5_frac <= 0.15
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM (
+                SELECT base.doc_id, base.n_tok, base.total_chars,
+                       round(coalesce(top3.cov, 0) / base.total_chars, 4)
+                           AS top3_frac,
+                       round(coalesce(dupc.dchars, 0) / base.total_chars, 4)
+                           AS dup5_frac
+                FROM base
+                LEFT JOIN top3 USING (doc_id)
+                LEFT JOIN dupc USING (doc_id))
+            ORDER BY doc_id
         """,
         "q124_bm25_topk": r"""
             WITH tok AS (

@@ -1834,3 +1834,226 @@ def q134_padding_waste(sf_dir: str, seq_len: int = 512) -> "pd.DataFrame":
         .reset_index(drop=True)
         .astype({"n_docs": "int64", "total_tokens": "int64", "padded_tokens": "int64"})
     )
+
+
+def q135_dsir_logratio(sf_dir: str, target_lang: str = "en") -> "ray.data.Dataset":
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): per document, the log-likelihood
+    ratio of the doc under a smoothed unigram model of the TARGET slice
+    (docs with ``lang == target_lang``) vs the RAW corpus,
+
+        logw(d) = sum_t [ln((c_tgt(t)+1)/(N_tgt+V)) − ln((c_raw(t)+1)/(N_raw+V))]
+
+    with add-one smoothing over the raw vocabulary V (raw ⊇ target, so V
+    covers every scanned token). High logw = looks like the target domain;
+    the resampling step then keeps docs with probability ∝ exp(logw)
+    (a top-k / Gumbel-top-k over this output).
+
+    Same two-pass shape as q80_unigram_logppl: pass 1 fits the model — per
+    batch (token, c_raw, c_tgt) partials ride ONE bucketed shuffle, so
+    vocab rows (not corpus rows) are shuffled and collected; the fitted
+    per-token weight vector is broadcast ONCE via ray.put as a prebuilt
+    pd.Index + float64 array. Pass 2 re-scans and scores each batch
+    vectorized (get_indexer + bincount). At web scale the documented DSIR
+    trick bounds the model: hash tokens/n-grams into 2^k buckets (hashed
+    n-gram features) so the broadcast is O(2^k) regardless of vocab growth
+    — the scoring pass is unchanged, only the index becomes a modulo."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    # ---- pass 1: (token, c_raw, c_tgt), pre-combined per batch -----------
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_tgt = pc.equal(t.column("lang"), target_lang).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame(
+            {
+                "token": pc.list_flatten(toks).to_pandas(),
+                "tgt": is_tgt[parent].astype(np.int64),
+            }
+        )
+        d = d[d["token"] != ""]
+        g = d.groupby("token", as_index=False).agg(c_raw=("tgt", "size"), c_tgt=("tgt", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def cnt_final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("token", as_index=False).agg(
+            c_raw=("c_raw", "sum"), c_tgt=("c_tgt", "sum")
+        )
+
+    vocab = bucketed_group_agg(partials, ["token"], cnt_final, n_buckets=16).to_pandas()
+    n_raw = float(vocab["c_raw"].sum())
+    n_tgt = float(vocab["c_tgt"].sum())
+    v = float(len(vocab))
+    # per-token weight, evaluated in the oracle's left-to-right expression
+    # order so each token's float64 value is bit-identical to DuckDB's
+    w = (
+        np.log(vocab["c_tgt"].to_numpy(np.float64) + 1.0)
+        - np.log(vocab["c_raw"].to_numpy(np.float64) + 1.0)
+        + np.log(n_raw + v)
+        - np.log(n_tgt + v)
+    )
+    ref = ray.put((pd.Index(vocab["token"]), w))
+
+    # ---- pass 2: score every document against the broadcast model --------
+    def score(t: pa.Table) -> pa.Table:
+        from .common import get_broadcast
+
+        idx, wv = get_broadcast(ref)
+        t = t.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tok = pc.list_flatten(toks).to_pandas()
+        keep = (tok != "").to_numpy()
+        parent = parent[keep]
+        pos = idx.get_indexer(pd.Index(tok[keep]))
+        n_rows = t.num_rows
+        sums = np.bincount(parent, weights=wv[pos], minlength=n_rows)
+        cnts = np.bincount(parent, minlength=n_rows)
+        has = cnts > 0
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").take(pa.array(np.flatnonzero(has))),
+                "n_tok": pa.array(cnts[has].astype(np.int64)),
+                "logw": pa.array(round_away(sums[has], 4)),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def q136_gopher_repetition(
+    sf_dir: str, top3_max: float = 0.18, dup5_max: float = 0.15
+) -> "ray.data.Dataset":
+    """Gopher repetition-rule gate (Rae et al. 2021, table A1): the two
+    duplicate-content signals a pretraining quality filter applies per doc —
+    (a) top3_frac: fraction of token characters covered by the single most
+    repeated 3-gram (occurrences × gram chars / total token chars), and
+    (b) dup5_frac: fraction of token characters lying inside ANY duplicated
+    5-gram (position-union, so overlapping duplicates are not double-
+    counted). A doc passes (`keep` = 1) when both rounded fractions are
+    under their thresholds (Gopher's 0.18 / 0.15 defaults).
+
+    Purely within-document: embarrassingly parallel, zero shuffle. Each
+    batch is one vectorized pass — arrow split + flatten, pandas grouped
+    shifts to form the 3/5-gram frames, one groupby per signal; the
+    position-union rides a drop_duplicates + merge, never a Python loop
+    over rows."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tok", pa.int64()),
+            ("total_chars", pa.int64()),
+            ("top3_frac", pa.float64()),
+            ("dup5_frac", pa.float64()),
+            ("keep", pa.int64()),
+        ]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        tok = flat.to_pandas().to_numpy()
+        m = tok != ""
+        d = pd.DataFrame(
+            {"p": parent[m], "tk": tok[m], "ln": lens[m].astype(np.int64)}
+        )
+        if d.empty:
+            return OUT_SCHEMA.empty_table()
+        d["pos"] = d.groupby("p").cumcount()
+        agg = d.groupby("p").agg(n_tok=("tk", "size"), total=("ln", "sum"))
+
+        g = d.copy()
+        for o in (1, 2, 3, 4):
+            g[f"tk{o}"] = g.groupby("p")["tk"].shift(-o)
+            g[f"l{o}"] = g.groupby("p")["ln"].shift(-o)
+
+        # (a) most-repeated 3-gram coverage
+        g3 = g.dropna(subset=["tk2"])
+        if len(g3):
+            t3 = pd.DataFrame(
+                {
+                    "p": g3["p"].to_numpy(),
+                    "g": (g3["tk"] + " " + g3["tk1"] + " " + g3["tk2"]).to_numpy(),
+                    "gc": (
+                        g3["ln"].to_numpy()
+                        + g3["l1"].to_numpy(np.int64)
+                        + g3["l2"].to_numpy(np.int64)
+                    ),
+                }
+            )
+            per = t3.groupby(["p", "g"], as_index=False).agg(
+                cnt=("gc", "size"), gc=("gc", "first")
+            )
+            top3 = (per["cnt"] * per["gc"]).groupby(per["p"]).max()
+        else:
+            top3 = pd.Series(dtype=np.int64)
+
+        # (b) duplicated-5-gram character coverage (position union)
+        g5 = g.dropna(subset=["tk4"])
+        dupchars = pd.Series(dtype=np.int64)
+        if len(g5):
+            t5 = pd.DataFrame(
+                {
+                    "p": g5["p"].to_numpy(),
+                    "pos": g5["pos"].to_numpy(),
+                    "g": (
+                        g5["tk"] + " " + g5["tk1"] + " " + g5["tk2"]
+                        + " " + g5["tk3"] + " " + g5["tk4"]
+                    ).to_numpy(),
+                }
+            )
+            c = t5.groupby(["p", "g"])["g"].transform("size").to_numpy()
+            dup = t5[c > 1]
+            if len(dup):
+                cover = pd.concat(
+                    [
+                        pd.DataFrame({"p": dup["p"].to_numpy(), "pos": dup["pos"].to_numpy() + o})
+                        for o in range(5)
+                    ]
+                ).drop_duplicates()
+                dupchars = (
+                    cover.merge(d[["p", "pos", "ln"]], on=["p", "pos"], how="inner")
+                    .groupby("p")["ln"]
+                    .sum()
+                )
+
+        total = agg["total"].to_numpy(np.float64)
+        top3v = top3.reindex(agg.index, fill_value=0).to_numpy(np.float64)
+        dupv = dupchars.reindex(agg.index, fill_value=0).to_numpy(np.float64)
+        top3_frac = round_away(top3v / total, 4)
+        dup5_frac = round_away(dupv / total, 4)
+        keep = ((top3_frac <= top3_max) & (dup5_frac <= dup5_max)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").take(pa.array(agg.index.to_numpy())),
+                "n_tok": pa.array(agg["n_tok"].to_numpy(np.int64)),
+                "total_chars": pa.array(agg["total"].to_numpy(np.int64)),
+                "top3_frac": pa.array(top3_frac),
+                "dup5_frac": pa.array(dup5_frac),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

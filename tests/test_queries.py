@@ -189,6 +189,8 @@ SQL_CHECKED = [
     "q132_source_overlap",
     "q133_span_removal",
     "q134_padding_waste",
+    "q135_dsir_logratio",
+    "q136_gopher_repetition",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
@@ -392,3 +394,58 @@ def test_mixture_budget_boundary_doc_across_batches(ray_session):
     )
     assert want[want["source"] == "adv"]["doc_id"].tolist() == [adv[0]]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q136_gopher_planted_repetition(ray_session, tmp_path):
+    """Hand-checkable Gopher-gate cases the fixture's word soup can't pin:
+    a doc whose repeated 5-gram spans OVERLAP (position-union must not
+    double-count the shared tokens), a short all-distinct doc (Gopher's
+    literal 'most frequently-occurring n-gram' includes singletons, so a
+    SHORT clean doc still trips the top-3-gram rule — the rule is meant
+    for long web docs), and a long all-distinct doc that passes.
+    Doc A = 'a b c d e a b c d e a' (11 tokens, 11 chars): the 5-gram
+    'a b c d e' occurs at positions 0 and 5, plus 'b c d e a' at 1 and 6
+    etc. — every position is covered, dup5_frac = 1.0; top 3-gram 'a b c'
+    occurs 2x covering 6 of 11 chars. Doc B (6 distinct tokens): top
+    singleton 3-gram is 'two three four'+1 chars = 13 of 22. Doc C (30
+    distinct 3-char tokens): top3_frac = 9/90 = 0.1 <= 0.18, keep = 1."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.textstats import q136_gopher_repetition
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b c d e a b c d e a",
+                "one two three four five six",
+                " ".join(f"t{i:02d}" for i in range(30)),
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["src0", "src0", "src0"],
+            "n_chars": [21, 27, 119],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "documents.parquet")
+    )
+    got = (
+        q136_gopher_repetition(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a = got.iloc[0]
+    assert a["n_tok"] == 11 and a["total_chars"] == 11
+    # top 3-gram by count*chars: any of the 2x 3-grams covers 2*3=6 chars
+    assert a["top3_frac"] == round(6 / 11, 4)
+    assert a["dup5_frac"] == 1.0 and a["keep"] == 0
+    b = got.iloc[1]
+    # singleton top 3-gram by chars: 'three four five' = 5+4+4 = 13 of 22
+    assert b["top3_frac"] == round(13 / 22, 4)
+    assert b["dup5_frac"] == 0.0 and b["keep"] == 0
+    c = got.iloc[2]
+    assert c["n_tok"] == 30 and c["total_chars"] == 90
+    assert c["top3_frac"] == 0.1 and c["dup5_frac"] == 0.0 and c["keep"] == 1
