@@ -629,6 +629,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q134_padding_waste": textstats.q134_padding_waste,
         "q135_dsir_logratio": textstats.q135_dsir_logratio,
         "q136_gopher_repetition": textstats.q136_gopher_repetition,
+        "q137_zipf_alpha": textstats.q137_zipf_alpha,
+        "q138_ppl_buckets": textstats.q138_ppl_buckets,
+        "q139_boilerplate_ngrams": textstats.q139_boilerplate_ngrams,
         "q125_source_divergence": textstats.q125_source_divergence,
         "q126_mixture_budget": textstats.q126_mixture_budget,
         "q92_snapshot_diff": relational.q92_snapshot_diff,
@@ -1861,6 +1864,74 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN top3 USING (doc_id)
                 LEFT JOIN dupc USING (doc_id))
             ORDER BY doc_id
+        """,
+        "q137_zipf_alpha": r"""
+            WITH toks AS (
+                SELECT source, t AS token FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            tf AS (
+                SELECT source, token, count(*)::DOUBLE AS tf
+                FROM toks GROUP BY source, token),
+            ranked AS (
+                SELECT source, tf,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY tf DESC, token) AS r
+                FROM tf),
+            v AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab
+                  FROM tf GROUP BY source)
+            SELECT ranked.source, v.n_vocab,
+                   round(regr_slope(ln(tf), ln(r)), 4) AS alpha
+            FROM ranked JOIN v USING (source)
+            WHERE r <= 100
+            GROUP BY ranked.source, v.n_vocab
+            ORDER BY source
+        """,
+        "q138_ppl_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, t AS token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            tf AS (SELECT token, count(*)::DOUBLE AS tf FROM toks GROUP BY token),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+            scored AS (
+                SELECT toks.doc_id,
+                       round(-avg(ln(tf.tf / tot.n)), 4) AS logppl
+                FROM toks JOIN tf USING (token), tot
+                GROUP BY toks.doc_id),
+            pr AS (
+                SELECT s.doc_id, d.lang, s.logppl,
+                       percent_rank() OVER (PARTITION BY d.lang
+                                            ORDER BY s.logppl) AS pct
+                FROM scored s JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, logppl,
+                   CASE WHEN pct < 1.0 / 3 THEN 'head'
+                        WHEN pct < 2.0 / 3 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM pr
+            ORDER BY doc_id
+        """,
+        "q139_boilerplate_ngrams": r"""
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) <> ''),
+            sp AS (
+                SELECT doc_id,
+                       a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                            || a[i+3] || ' ' || a[i+4] || ' ' || a[i+5]
+                            || ' ' || a[i+6] || ' ' || a[i+7] AS ngram
+                FROM arr, unnest(generate_series(1, len(a) - 7)) AS t(i))
+            SELECT ngram,
+                   CAST(count(*) AS BIGINT) AS occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM sp
+            GROUP BY ngram
+            ORDER BY occurrences DESC, ngram
+            LIMIT 50
         """,
         "q124_bm25_topk": r"""
             WITH tok AS (

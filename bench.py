@@ -228,11 +228,23 @@ def run_scaling() -> dict:
     # interpretable against the ceiling measured around the same runs, so
     # it is embedded in the record: engine_over_hw ≈ 1.0 means the engine
     # scales as well as this box physically allows.
+    from tools.cpu_ceiling import membw_gbps as _hw_membw_n
     from tools.cpu_ceiling import rate as _hw_rate
 
     def _ceiling() -> float:
         r_l, r_h = _hw_rate(lo, seconds=8.0), _hw_rate(hi, seconds=8.0)
         return round((r_h / r_l) / (hi / lo), 3)
+
+    # The ALU ceiling alone misses the dominant throttle mode on this VM:
+    # the hypervisor caps TOTAL memory bandwidth, so membw(hi procs) can
+    # sit at ~2x membw(lo procs) while the ALU ratio reads ~1.0 (observed
+    # 2026-08-19: ALU 0.93-1.00 with membw 19.3@4 -> 37.6@16, a 0.49
+    # bandwidth scaling ceiling — and the engine's hi legs pinned at the
+    # bandwidth wall). A membw-bound pipeline cannot scale past
+    # membw_scaling no matter how it is written, so record it per run.
+    def _membw_pair() -> tuple:
+        m_l, m_h = _hw_membw_n(lo, seconds=4.0), _hw_membw_n(hi, seconds=4.0)
+        return round(m_l, 1), round(m_h, 1), round((m_h / m_l) / (hi / lo), 3)
 
     # GRAFT_SCALING_ORDER=hi_first runs the 4N leg before the N leg.
     # Rationale: this VM behaves like a credit/burst-throttled instance —
@@ -253,6 +265,7 @@ def run_scaling() -> dict:
     # (unthrottled) cluster would produce.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
     hw_before = _ceiling()
+    mb_lo_b, mb_hi_b, mb_scale_b = _membw_pair()
     legs = [hi, lo] if order == "hi_first" else [lo, hi]
     samples: dict[int, list[dict]] = {lo: [], hi: []}
     # inter-leg cooldown: back-to-back legs poison each other on this
@@ -270,6 +283,7 @@ def run_scaling() -> dict:
     r_lo = min(samples[lo], key=lambda r: r["value"])
     r_hi = min(samples[hi], key=lambda r: r["value"])
     hw_after = _ceiling()
+    mb_lo_a, mb_hi_a, mb_scale_a = _membw_pair()
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     hw = (hw_before + hw_after) / 2
     return {
@@ -285,6 +299,15 @@ def run_scaling() -> dict:
         "hw_ceiling_before": hw_before,
         "hw_ceiling_after": hw_after,
         "engine_over_hw": round(eff / hw, 3),
+        # total-membw ceiling around the pair: membw GB/s at lo/hi proc
+        # counts and the implied bandwidth scaling ratio — the binding
+        # physical limit for the shuffle-heavy legs (see comment above)
+        "hw_membw_at_procs": {
+            str(lo): [mb_lo_b, mb_lo_a],
+            str(hi): [mb_hi_b, mb_hi_a],
+        },
+        "hw_membw_scaling": [mb_scale_b, mb_scale_a],
+        "engine_over_membw": round(eff / max((mb_scale_b + mb_scale_a) / 2, 1e-9), 3),
         # per-leg probes from the child runs: the 8 s ceiling probes around
         # the PAIR can miss a throttle window that opens inside one
         # minutes-long leg (observed: hi leg slower than lo leg in absolute

@@ -2057,3 +2057,255 @@ def q136_gopher_repetition(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q137_zipf_alpha(sf_dir: str, top_k: int = 100) -> "pd.DataFrame":
+    """Per-source Zipf fit — the corpus-health diagnostic of a pretraining
+    mix (natural language sits near alpha ≈ −1 on log-freq vs log-rank;
+    boilerplate/spam sources bend the head, OCR noise fattens the tail):
+    OLS slope of ln(tf) on ln(rank) over each source's top-K tokens,
+    computed as covar_pop/var_pop to mirror SQL regr_slope.
+
+    One bucketed shuffle of pre-combined (source, token) partials → the
+    exact count table (vocab × sources rows, bounded — the q35/q80 model
+    bound; a top-V cap keeps it bounded when vocab grows with the data);
+    the rank-and-fit step runs on that aggregate, never on corpus rows.
+    Rank ties (equal tf) don't affect the fit: permuting equal-y points
+    among ranks leaves the OLS sums unchanged, so the tf-desc/token
+    tie-break only pins WHICH tokens cross the top-K cut, not the slope."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pandas().to_numpy()
+        d = pd.DataFrame({"source": src[parent], "token": pc.list_flatten(toks).to_pandas()})
+        d = d[d["token"] != ""]
+        g = d.groupby(["source", "token"], as_index=False).size().rename(columns={"size": "tf"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def tf_final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(["source", "token"], as_index=False).agg(tf=("tf", "sum"))
+
+    counts = bucketed_group_agg(partials, ["source", "token"], tf_final, n_buckets=16).to_pandas()
+
+    rows = []
+    for source, g in counts.groupby("source"):
+        n_vocab = len(g)
+        g = g.sort_values(["tf", "token"], ascending=[False, True], kind="mergesort").head(top_k)
+        y = np.log(g["tf"].to_numpy(np.float64))
+        x = np.log(np.arange(1, len(g) + 1, dtype=np.float64))
+        xm, ym = x.mean(), y.mean()
+        slope = ((x - xm) * (y - ym)).mean() / ((x - xm) ** 2).mean()
+        rows.append((source, n_vocab, round_away(slope, 4)))
+    return pd.DataFrame(rows, columns=["source", "n_vocab", "alpha"]).sort_values(
+        "source"
+    ).reset_index(drop=True)
+
+
+def q138_ppl_buckets(sf_dir: str, n_ranges: int = 64) -> "ray.data.Dataset":
+    """CCNet-style perplexity partition (Wenzek et al. 2020): score every
+    doc with the corpus unigram LM (the q80 logppl), then split each
+    language into head / middle / tail terciles by percent_rank of the
+    score — the standard "keep head+middle, drop tail" pretraining gate.
+
+    Three passes, all distributed: (1) the q80 model fit (vocab rows ride
+    one bucketed shuffle, fitted model broadcast once); (2) a scoring scan
+    producing (doc_id, lang, logppl), materialized once — doc-count rows,
+    ~1e-3 of corpus bytes; the cluster path Parquet-checkpoints this
+    barrier exactly like kg.py's triples checkpoint; (3) the q95
+    distributed-ECDF percent_rank over HOT per-lang partitions:
+    range-partition logppl, one tiny (lang, range) counting pass prefix-
+    summed on the driver (G×R rows), one range shuffle with local
+    min-rank counts lifted by broadcast offsets. Ranks are computed over
+    the 4dp-ROUNDED score on both engine and oracle sides, so tie classes
+    are identical; tercile edges compare k/(n−1) doubles against literal
+    1/3 and 2/3 doubles — correctly-rounded division makes the engine and
+    SQL comparisons bit-identical."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .common import bucketed_group_agg
+
+    # ---- pass 1: unigram model (the q80 fit) ------------------------------
+    partials = _token_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def tf_final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("token", as_index=False).agg(tf=("tf", "sum"))
+
+    vocab = bucketed_group_agg(partials, ["token"], tf_final, n_buckets=16).to_pandas()
+    n_total = float(vocab["tf"].sum())
+    ref = ray.put((pd.Index(vocab["token"]), vocab["tf"].to_numpy(dtype=np.float64), n_total))
+
+    # ---- pass 2: score (doc_id, lang, logppl), materialized once ----------
+    def score(t: pa.Table) -> pa.Table:
+        from .common import get_broadcast
+
+        idx, tf, n = get_broadcast(ref)
+        t = t.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tok = pc.list_flatten(toks).to_pandas()
+        keep = (tok != "").to_numpy()
+        parent = parent[keep]
+        pos = idx.get_indexer(pd.Index(tok[keep]))
+        x = np.log(tf[pos] / n)
+        sums = np.bincount(parent, weights=x, minlength=t.num_rows)
+        cnts = np.bincount(parent, minlength=t.num_rows)
+        has = cnts > 0
+        sel = pa.array(np.flatnonzero(has))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").take(sel),
+                "lang": t.column("lang").take(sel),
+                "logppl": pa.array(round_away(-(sums[has] / cnts[has]), 4)),
+            }
+        )
+
+    scored = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+        .map_batches(score, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # ---- pass 3: per-lang distributed ECDF tercile (the q95 shape) --------
+    mm = scored.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["logppl"].min()], "mx": [df["logppl"].max()]}),
+        batch_format="pandas",
+        batch_size=65536,
+    ).to_pandas()
+    mn, mx = float(mm["mn"].min()), float(mm["mx"].max())
+    bounds = np.linspace(mn, mx, n_ranges + 1)[1:-1]
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rb = np.searchsorted(bounds, df["logppl"].to_numpy(), side="right")
+        return (
+            pd.DataFrame({"lang": df["lang"], "_rb": rb})
+            .groupby(["lang", "_rb"], as_index=False)
+            .size()
+        )
+
+    counts = (
+        scored.map_batches(cnt_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["lang", "_rb"], as_index=False)["size"]
+        .sum()
+        .sort_values(["lang", "_rb"], kind="mergesort")
+    )
+    counts["offset"] = counts.groupby("lang")["size"].cumsum() - counts["size"]
+    n_per_lang = counts.groupby("lang")["size"].sum().to_dict()
+    offsets = {(l, r): int(o) for l, r, o in zip(counts["lang"], counts["_rb"], counts["offset"])}
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = np.searchsorted(bounds, df["logppl"].to_numpy(), side="right").astype("int64")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "_rb", "logppl"], kind="mergesort")
+        pos = df.groupby(["lang", "_rb"], sort=False).cumcount().to_numpy()
+        val = df["logppl"].to_numpy()
+        lang = df["lang"].to_numpy()
+        rb = df["_rb"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            first[1:] = (lang[1:] != lang[:-1]) | (rb[1:] != rb[:-1]) | (val[1:] != val[:-1])
+        local_lt = pd.Series(np.where(first, pos, -1)).replace(-1, np.nan).ffill().to_numpy()
+        off = np.fromiter(
+            (offsets.get((l, r), 0) for l, r in zip(lang, rb)), dtype=np.float64, count=len(df)
+        )
+        n = np.fromiter((n_per_lang[l] for l in lang), dtype=np.float64, count=len(df))
+        pct = (off + local_lt) / np.maximum(n - 1.0, 1.0)
+        bucket = np.where(pct < 1.0 / 3.0, "head", np.where(pct < 2.0 / 3.0, "middle", "tail"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "logppl": val,
+                "bucket": bucket,
+            }
+        )
+
+    stamped = scored.map_batches(stamp, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(stamped, ["_rb"], final, n_buckets=32)
+
+
+def q139_boilerplate_ngrams(sf_dir: str, n: int = 8, k: int = 50) -> "pd.DataFrame":
+    """Boilerplate n-gram mining (the filter-list builder of a web-corpus
+    pipeline): the K most frequent token 8-grams corpus-wide with total
+    occurrences and distinct-doc counts — the repeated headers/footers/
+    templates a cleaning pass then strips. Per batch, docs explode to
+    (ngram, doc_id, occurrences-within-doc) rows — already deduped to one
+    row per (ngram, doc) so the distinct-doc count is a plain row count
+    after the shuffle; ONE bucketed shuffle on the ngram key, per-bucket
+    exact top-K (each ngram's rows complete within its bucket), then a
+    driver merge of B×K candidate rows. Ties break occurrences-desc then
+    ngram-asc, so the top-K SET is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tok = pc.list_flatten(toks).to_pandas().to_numpy()
+        m = tok != ""
+        d = pd.DataFrame({"p": parent[m], "tk": tok[m]})
+        if d.empty:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64()),
+                 "occ": pa.array([], pa.int64())}
+            )
+        g = d.copy()
+        for o in range(1, n):
+            g[f"tk{o}"] = g.groupby("p")["tk"].shift(-o)
+        g = g.dropna(subset=[f"tk{n-1}"])
+        if g.empty:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64()),
+                 "occ": pa.array([], pa.int64())}
+            )
+        gram = g["tk"].str.cat([g[f"tk{o}"] for o in range(1, n)], sep=" ")
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)[g["p"].to_numpy()]
+        out = (
+            pd.DataFrame({"ngram": gram.to_numpy(), "doc_id": doc})
+            .groupby(["ngram", "doc_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "occ"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def topk_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", as_index=False).agg(
+            occurrences=("occ", "sum"), n_docs=("doc_id", "nunique")
+        )
+        return g.sort_values(
+            ["occurrences", "ngram"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = bucketed_group_agg(partials, ["ngram"], topk_final, n_buckets=16).to_pandas()
+    out = (
+        cand.sort_values(["occurrences", "ngram"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"occurrences": "int64", "n_docs": "int64"})
+    )
+    return out

@@ -191,6 +191,9 @@ SQL_CHECKED = [
     "q134_padding_waste",
     "q135_dsir_logratio",
     "q136_gopher_repetition",
+    "q137_zipf_alpha",
+    "q138_ppl_buckets",
+    "q139_boilerplate_ngrams",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
