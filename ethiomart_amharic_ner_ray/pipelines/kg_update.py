@@ -179,7 +179,12 @@ def _changed_spo_buckets(old_files: list[str], new_files: list[str]) -> set[int]
             continue
         ds = ray.data.read_parquet(files, columns=TRIPLE_COLS + ["sbucket"])
         ds = ds.map_batches(
-            lambda t, s=side: t.append_column("side", pa.array(np.full(t.num_rows, s, np.int8))),
+            # metadata strip: stores written before the pandas-metadata fix
+            # carry dict-bearing schema metadata that breaks Ray's reduce-side
+            # schema hashing (see kg.py add_conv_bucket)
+            lambda t, s=side: t.replace_schema_metadata(None).append_column(
+                "side", pa.array(np.full(t.num_rows, s, np.int8))
+            ),
             batch_format="pyarrow",
         )
         sides.append(ds)
@@ -240,6 +245,10 @@ def _write_candidates(
         fn_kwargs={"extractor_name": extractor_name, "n_buckets": n_buckets},
         batch_format="pandas",
     )
+    # pandas map_groups blocks carry pandas schema metadata; strip it so the
+    # sort shuffle below can hash schemas AND the stored files stay clean for
+    # every later read (kg.py strips the same way before its checkpoint write)
+    ds = ds.map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
     ds = ds.materialize()
     if ds.count() == 0:
         return
@@ -527,6 +536,8 @@ def run_kg_update(
         )
         tds = tds.rename_columns({"sbucket": "bucket"})
         tds = tds.map_batches(_partial_dedup, batch_format="pandas")
+        # strip pandas block metadata before the groupby shuffle (schema hash)
+        tds = tds.map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
         tds = tds.materialize()
         # O(delta) evidence in the sidecar: rows entering the re-dedup
         # shuffle (touched spo buckets only) vs the whole candidate store
