@@ -488,6 +488,7 @@ def _export_zorder(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from ethiomart_amharic_ner_ray.pipelines import (
         bpe,
+        classifier,
         curate,
         dedup,
         graph,
@@ -715,6 +716,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_embeddings": similarity.doc_hash_embeddings,
         "text_semantic_search": similarity.text_semantic_search,
         "curation_summary": curate.curation_summary,
+        # distributed-trained quality classifier (rows-only: trained model
+        # scores have no SQL form; pinned vs an in-process reference in
+        # tests/test_classifier.py)
+        "quality_classifier_scores": classifier.quality_classifier_scores,
         "knn_self_join": similarity.knn_self_join,
         # multimodal plumbing (rows-only; decode stubbed per environment).
         # Sized from sf like the transcript fixture so the rows-only check
