@@ -619,6 +619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q121_dup_span_stats": textstats.q121_dup_span_stats,
         "q122_order_ntile": relational.q122_order_ntile,
         "q123_event_grouping_sets": relational.q123_event_grouping_sets,
+        "q140_validation_report": relational.q140_validation_report,
+        "q141_global_median_exact": relational.q141_global_median_exact,
+        "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
         "q127_hybrid_retrieval": similarity.q127_hybrid_retrieval,
         "q128_token_fertility": textstats.q128_token_fertility,
@@ -631,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q135_dsir_logratio": textstats.q135_dsir_logratio,
         "q136_gopher_repetition": textstats.q136_gopher_repetition,
         "q137_zipf_alpha": textstats.q137_zipf_alpha,
+        "q143_fuzzy_decontaminate": textstats.q143_fuzzy_decontaminate,
         "q138_ppl_buckets": textstats.q138_ppl_buckets,
         "q139_boilerplate_ngrams": textstats.q139_boilerplate_ngrams,
         "q125_source_divergence": textstats.q125_source_divergence,
@@ -2050,6 +2054,81 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY GROUPING SETS ((event_type, isodow(ts)), (event_type),
                                     (isodow(ts)))
+        """,
+        "q140_validation_report": """
+            WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+            dups AS (
+                SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS d FROM (
+                    SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+                WHERE c > 1)
+            SELECT rule, (SELECT n FROM base) AS n_checked,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+            FROM (
+                SELECT 'o_orderkey_not_null' AS rule,
+                       (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations
+                UNION ALL
+                SELECT 'o_orderkey_unique', (SELECT d FROM dups)
+                UNION ALL
+                SELECT 'o_orderpriority_format',
+                       (SELECT count(*) FROM orders
+                        WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'))
+                UNION ALL
+                SELECT 'o_orderstatus_in_set',
+                       (SELECT count(*) FROM orders
+                        WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+                UNION ALL
+                SELECT 'o_totalprice_range',
+                       (SELECT count(*) FROM orders
+                        WHERE o_totalprice < 1000.0 OR o_totalprice > 300000.0
+                           OR o_totalprice IS NULL))
+            ORDER BY rule
+        """,
+        "q141_global_median_exact": """
+            SELECT CAST(count(l_extendedprice) AS BIGINT) AS n,
+                   round(median(l_extendedprice), 4) AS median
+            FROM lineitem
+        """,
+        "q143_fuzzy_decontaminate": r"""
+            WITH tk AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            csh AS (
+                SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s
+                FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+                WHERE len(toks) >= 5 AND source <> 'src0'),
+            bsh AS (
+                SELECT DISTINCT doc_id AS bdoc, array_to_string(toks[i : i + 4], ' ') AS s
+                FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+                WHERE len(toks) >= 5 AND source = 'src0'),
+            csz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+            bsz AS (SELECT bdoc, count(*) AS bsz FROM bsh GROUP BY bdoc),
+            inter AS (
+                SELECT c.doc_id, b.bdoc, count(*) AS i
+                FROM csh c JOIN bsh b ON c.s = b.s
+                GROUP BY 1, 2),
+            scored AS (
+                SELECT doc_id, bdoc,
+                       i::DOUBLE / (csz.sz + bsz.bsz - i) AS jac
+                FROM inter
+                JOIN csz USING (doc_id)
+                JOIN bsz USING (bdoc))
+            SELECT doc_id, block_doc, round(jac, 4) AS jaccard
+            FROM (
+                SELECT doc_id, bdoc AS block_doc, jac,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY jac DESC, bdoc) AS rn
+                FROM scored WHERE jac >= 0.1)
+            WHERE rn = 1
+        """,
+        "q142_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS class_n,
+                   CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+                       AS anonymous
+            FROM customer GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q106_purchase_attribution": """
             WITH cp AS (

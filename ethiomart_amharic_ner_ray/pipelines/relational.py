@@ -2798,3 +2798,195 @@ def q122_order_ntile(sf_dir: str, k: int = 8, n_ranges: int = 64) -> "ray.data.D
 
     stamped = ds.map_batches(stamp, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(stamped, ["o_orderpriority", "_rb"], final, n_buckets=32)
+
+
+def q140_validation_report(sf_dir: str) -> pd.DataFrame:
+    """Expectation-suite-style data validation (the Great-Expectations /
+    dbt-test family an ingest gate runs before anything downstream): a
+    fixed rule set over ``orders`` — not-null, value range, closed value
+    set, format regex, and EXACT column uniqueness — emitting one row per
+    rule with checked/violation counts. The scalar rules ride ONE
+    map_batches partial pass (num_blocks × n_rules ints to the driver);
+    uniqueness is the one rule that genuinely needs a shuffle, and it
+    ships per-batch (key, count) partials through bucketed_group_agg so
+    only distinct-key rows travel — violations = Σ (multiplicity − 1),
+    i.e. rows beyond each key's first. The range rule is deliberately
+    tighter than the data (violations > 0) so the counting path is
+    value-checked, not just the zeros."""
+    ds = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+    STATUS = {"O", "F", "P"}
+    LO, HI = 1000.0, 300000.0
+    PRIO_RE = r"^[1-5]-[A-Z ]+$"
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key_null = pc.sum(pc.cast(pc.is_null(t.column("o_orderkey")), pa.int64())).as_py() or 0
+        price = t.column("o_totalprice")
+        bad_range = pc.sum(
+            pc.cast(
+                pc.or_kleene(
+                    pc.or_kleene(pc.less(price, LO), pc.greater(price, HI)),
+                    pc.is_null(price),
+                ),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        status = t.column("o_orderstatus")
+        bad_set = n - (
+            pc.sum(pc.cast(pc.is_in(status, value_set=pa.array(sorted(STATUS))), pa.int64())).as_py()
+            or 0
+        )
+        prio = t.column("o_orderpriority")
+        bad_fmt = n - (
+            pc.sum(
+                pc.cast(pc.match_substring_regex(pc.cast(prio, pa.string()), PRIO_RE), pa.int64())
+            ).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "key_null": pa.array([key_null], pa.int64()),
+                "bad_range": pa.array([bad_range], pa.int64()),
+                "bad_set": pa.array([bad_set], pa.int64()),
+                "bad_fmt": pa.array([bad_fmt], pa.int64()),
+            }
+        )
+
+    scal = ds.map_batches(scalar_partial, batch_format="pyarrow").to_pandas().sum()
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def dup_final(df: pd.DataFrame) -> pd.DataFrame:
+        per_key = df.groupby("o_orderkey")["c"].sum()
+        return pd.DataFrame({"dups": [int((per_key - 1).clip(lower=0).sum())]})
+
+    keyed = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        key_partial, batch_format="pandas", batch_size=65536
+    )
+    dups = int(
+        bucketed_group_agg(keyed, ["o_orderkey"], dup_final, n_buckets=16)
+        .to_pandas()["dups"]
+        .sum()
+    )
+
+    n = int(scal["n"])
+    rules = [
+        ("o_orderkey_not_null", int(scal["key_null"])),
+        ("o_orderkey_unique", dups),
+        ("o_orderpriority_format", int(scal["bad_fmt"])),
+        ("o_orderstatus_in_set", int(scal["bad_set"])),
+        ("o_totalprice_range", int(scal["bad_range"])),
+    ]
+    return pd.DataFrame(
+        {
+            "rule": [r for r, _ in rules],
+            "n_checked": np.int64(n),
+            "n_violations": np.array([v for _, v in rules], dtype=np.int64),
+            "ok": np.array([int(v == 0) for _, v in rules], dtype=np.int64),
+        }
+    )
+
+
+def q141_global_median_exact(sf_dir: str, n_bins: int = 128, tail_cap: int = 65536) -> pd.DataFrame:
+    """EXACT global median of ``l_extendedprice`` by distributed selection —
+    no global sort, no value ever shuffled. Classic iterative refinement:
+    pass 0 gets (count, min, max); each round broadcasts ``n_bins`` bin
+    edges, every batch emits one bincount row (searchsorted — vectorized),
+    and the driver narrows to the bin(s) holding order statistics
+    k1=⌈n/2⌉ and k2=⌈(n+1)/2⌉. When the candidate range holds ≤
+    ``tail_cap`` rows, ONE filtered pass collects just that sliver and the
+    driver reads the two order stats off a sort of it. O(log_bins(range))
+    passes, driver traffic = n_bins ints per pass — at 100 TB this is the
+    only way to an exact quantile without an all-to-all. Interpolation
+    mirrors DuckDB's quantile_cont: lower + 0.5·(upper−lower) for even n."""
+    col = "l_extendedprice"
+    ds = read_table(sf_dir, "lineitem", columns=[col])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(t.column(col))
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()), "lo": pa.array([np.inf]), "hi": pa.array([-np.inf])})
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "lo": pa.array([pc.min(v).as_py()]),
+                "hi": pa.array([pc.max(v).as_py()]),
+            }
+        )
+
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    n = int(mm["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"n": [0], "median": [np.nan]})
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    k1, k2 = (n + 1) // 2, (n + 2) // 2  # 1-based order stats; equal for odd n
+
+    # rank offset: values < lo already accounted for
+    below = 0
+    while True:
+        # would the final pass fit? (can't know exactly without counting;
+        # the loop's own bin counts tell us — see narrowing below)
+        edges = np.linspace(lo, hi, n_bins + 1)
+        ref = ray.put(edges)
+
+        def bin_partial(t: pa.Table, ref=ref) -> pa.Table:
+            e = get_broadcast(ref)
+            v = pc.drop_null(t.column(col)).to_numpy(zero_copy_only=False)
+            v = v[(v >= e[0]) & (v <= e[-1])]
+            # right-open bins, last bin closed
+            ix = np.clip(np.searchsorted(e, v, side="right") - 1, 0, len(e) - 2)
+            return pa.table({"cnt": pa.array([np.bincount(ix, minlength=len(e) - 1).tolist()], pa.list_(pa.int64(), len(e) - 1))})
+
+        agg = ds.map_batches(bin_partial, batch_format="pyarrow").to_pandas()
+        counts = np.sum([np.asarray(r) for r in agg["cnt"]], axis=0)
+        cum = below + np.cumsum(counts)
+        b1 = int(np.searchsorted(cum, k1))
+        b2 = int(np.searchsorted(cum, k2))
+        new_lo, new_hi = edges[b1], edges[b2 + 1]
+        in_range = int(counts[b1 : b2 + 1].sum())
+        new_below = below + int(counts[:b1].sum())
+        if in_range <= tail_cap or (new_lo, new_hi) == (lo, hi):
+            lo, hi, below = new_lo, new_hi, new_below
+            break
+        lo, hi, below = new_lo, new_hi, new_below
+
+    def tail(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(t.column(col)).to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(v[(v >= lo) & (v <= hi)])})
+
+    sliver = np.sort(ds.map_batches(tail, batch_format="pyarrow").to_pandas()["v"].to_numpy())
+    x1 = float(sliver[k1 - 1 - below])
+    x2 = float(sliver[k2 - 1 - below])
+    med = x1 + 0.5 * (x2 - x1)  # quantile_cont interpolation
+    return pd.DataFrame({"n": np.array([n], dtype=np.int64), "median": [round_away(med, 4)]})
+
+
+def q142_k_anonymity(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """k-anonymity audit over the (c_nationkey, c_mktsegment)
+    quasi-identifier pair — the privacy-release check: every equivalence
+    class's size, flagged when it re-identifies (size < k). Two-phase
+    grouped count (per-batch partials → one bucketed exchange on the
+    closed QI vocabulary); the report is class-vocabulary-sized, never
+    row-sized."""
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["c_nationkey", "c_mktsegment"], as_index=False).size()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_nationkey", "c_mktsegment"], as_index=False)["size"].sum()
+        g = g.rename(columns={"size": "class_n"})
+        g["anonymous"] = (g["class_n"] >= k).astype("int64")
+        g["class_n"] = g["class_n"].astype("int64")
+        return g
+
+    part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(part, ["c_nationkey", "c_mktsegment"], final, n_buckets=8)

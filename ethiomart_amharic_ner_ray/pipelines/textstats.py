@@ -2309,3 +2309,86 @@ def q139_boilerplate_ngrams(sf_dir: str, n: int = 8, k: int = 50) -> "pd.DataFra
         .astype({"occurrences": "int64", "n_docs": "int64"})
     )
     return out
+
+
+def q143_fuzzy_decontaminate(
+    sf_dir: str, blocklist_source: str = "src0", k: int = 5, threshold: float = 0.1
+) -> "ray.data.Dataset":
+    """FUZZY test-set decontamination (the GPT-3/Llama-report variant of
+    q54's exact-overlap scan): a corpus document is contaminated when its
+    k-token-shingle Jaccard against ANY blocklist document reaches
+    ``threshold`` — per hit, emit the best-matching blocklist doc (highest
+    Jaccard, ties to the lowest block doc id). q54 counts shared shingles;
+    this scores whole-document similarity, catching paraphrase-level leaks
+    a few shared shingles understate.
+
+    Shape: the blocklist (a test set — small by definition) ships ONCE as a
+    broadcast (shingle → block doc, block size) frame; the corpus side is a
+    single shuffle-free scan — per batch one pandas merge on the shingle,
+    per-(doc, block-doc) intersection counts, exact Jaccard from the two
+    set sizes riding the rows, per-doc argmax. A document never spans
+    batches, so batch-local results are final. If the blocklist outgrew
+    broadcast, the fallback is jaccard_pairs_exact's bucketed
+    inverted-index join restricted to corpus×blocklist pairs."""
+    import pandas as pd
+    import ray
+
+    from .common import get_broadcast, read_small, read_table, round_away
+
+    bl = read_small(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    bl = bl.filter(pc.equal(bl.column("source"), blocklist_source))
+    rows, sh = _shingle_frame(bl, k)
+    bl_df = pd.DataFrame(
+        {"bdoc": bl.column("doc_id").to_numpy()[rows], "s": sh.to_numpy()}
+    ).drop_duplicates()
+    bl_df["bsz"] = bl_df.groupby("bdoc")["s"].transform("size").astype("int64")
+    ref = ray.put(bl_df)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "block_doc": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.filter(pc.not_equal(t.column("source"), blocklist_source))
+        if t.num_rows == 0:
+            return EMPTY
+        rows, sh = _shingle_frame(t, k)
+        if not len(rows):
+            return EMPTY
+        d = pd.DataFrame(
+            {"doc_id": t.column("doc_id").to_numpy()[rows], "s": sh.to_numpy()}
+        ).drop_duplicates()
+        d["sz"] = d.groupby("doc_id")["s"].transform("size").astype("int64")
+        m = d.merge(get_broadcast(ref), on="s")
+        if m.empty:
+            return EMPTY
+        g = m.groupby(["doc_id", "bdoc"], as_index=False).agg(
+            i=("s", "size"), sz=("sz", "first"), bsz=("bsz", "first")
+        )
+        jac = g["i"].to_numpy(np.float64) / (
+            g["sz"].to_numpy(np.float64) + g["bsz"].to_numpy(np.float64) - g["i"].to_numpy(np.float64)
+        )
+        g["jac"] = jac
+        g = g[jac >= threshold]
+        if g.empty:
+            return EMPTY
+        best = g.sort_values(
+            ["doc_id", "jac", "bdoc"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(best["doc_id"].to_numpy(), pa.int64()),
+                "block_doc": pa.array(best["bdoc"].to_numpy(), pa.int64()),
+                "jaccard": pa.array(round_away(best["jac"].to_numpy(), 4)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -194,6 +194,10 @@ SQL_CHECKED = [
     "q137_zipf_alpha",
     "q138_ppl_buckets",
     "q139_boilerplate_ngrams",
+    "q140_validation_report",
+    "q141_global_median_exact",
+    "q142_k_anonymity",
+    "q143_fuzzy_decontaminate",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
@@ -452,3 +456,39 @@ def test_q136_gopher_planted_repetition(ray_session, tmp_path):
     c = got.iloc[2]
     assert c["n_tok"] == 30 and c["total_chars"] == 90
     assert c["top3_frac"] == 0.1 and c["dup5_frac"] == 0.0 and c["keep"] == 1
+
+
+class TestGlobalMedianSelection:
+    """q141's distributed-selection internals: multi-round refinement,
+    odd/even n, and all-equal degenerate input."""
+
+    def test_multi_round_refinement_matches(self, entrymod, ray_session, con):
+        from ethiomart_amharic_ner_ray.pipelines import relational
+
+        # n_bins=2 + tiny tail_cap forces several narrowing rounds
+        got = relational.q141_global_median_exact(SF_DIR, n_bins=2, tail_cap=64)
+        want = con.sql(entrymod.oracle_sql()["q141_global_median_exact"]).df()
+        pd.testing.assert_frame_equal(
+            _canon(got), _canon(want), check_dtype=False, atol=1e-9
+        )
+
+    def test_odd_and_constant_inputs(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ethiomart_amharic_ner_ray.pipelines import relational
+
+        # odd n: exact middle element, no interpolation
+        v = np.array([5.0, 1.0, 9.0, 7.0, 3.0])
+        pq.write_table(pa.table({"l_extendedprice": v}), str(tmp_path / "lineitem.parquet"))
+        got = relational.q141_global_median_exact(str(tmp_path), n_bins=4, tail_cap=2)
+        assert got["median"].iloc[0] == 5.0 and got["n"].iloc[0] == 5
+
+        # all-equal values: the degenerate lo == hi loop exit
+        pq.write_table(
+            pa.table({"l_extendedprice": np.full(100, 42.5)}),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        got = relational.q141_global_median_exact(str(tmp_path), n_bins=4, tail_cap=8)
+        assert got["median"].iloc[0] == 42.5 and got["n"].iloc[0] == 100
