@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q122_order_ntile": relational.q122_order_ntile,
         "q123_event_grouping_sets": relational.q123_event_grouping_sets,
         "q140_validation_report": relational.q140_validation_report,
+        "q144_gini_spend": relational.q144_gini_spend,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2129,6 +2130,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT)
                        AS anonymous
             FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q144_gini_spend": """
+            WITH spend AS (
+                SELECT o_custkey, sum(o_totalprice) AS s
+                FROM orders GROUP BY 1),
+            r AS (
+                SELECT s,
+                       row_number() OVER (ORDER BY s) AS i,
+                       count(*) OVER () AS n,
+                       sum(s) OVER () AS tot
+                FROM spend)
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   round(2.0 * sum(i * s) / (max(n) * max(tot))
+                         - (max(n) + 1.0) / max(n), 6) AS gini
+            FROM r
         """,
         "q106_purchase_attribution": """
             WITH cp AS (

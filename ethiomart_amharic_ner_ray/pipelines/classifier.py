@@ -133,6 +133,41 @@ def _forward(indptr, indices, values, w, b):
     return z
 
 
+def _ckpt_load(checkpoint_dir: str, fingerprint: str):
+    """Latest committed (iter, w, b) under checkpoint_dir whose fingerprint
+    matches, else None. JSON float lists round-trip float64 exactly."""
+    import glob
+    import json
+    import os
+
+    best = None
+    for p in glob.glob(os.path.join(checkpoint_dir, "iter-*.json")):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if m.get("fingerprint") != fingerprint:
+            continue
+        if best is None or m["iter"] > best["iter"]:
+            best = m
+    return best
+
+
+def _ckpt_write(checkpoint_dir: str, fingerprint: str, it: int, w: np.ndarray, b: float):
+    import json
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, f"iter-{it:04d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"fingerprint": fingerprint, "iter": it, "w": w.tolist(), "b": b}, f
+        )
+    os.replace(tmp, path)
+
+
 def train_quality_classifier(
     sf_dir: str,
     target_lang: str = "en",
@@ -140,13 +175,23 @@ def train_quality_classifier(
     iters: int = 15,
     lr: float = 2.0,
     l2: float = 1e-4,
+    checkpoint_dir: str | None = None,
 ) -> tuple[np.ndarray, float]:
     """Distributed full-batch logistic regression. Returns (w[D], b).
 
     Per iteration: one ``ray.put`` of the (D+1)-float model, one
     ``map_batches`` pass over the cached feature table, each batch emitting
     a single (D+1)-float gradient partial; the driver reduces
-    num_blocks rows and steps. L2 is applied once, driver-side."""
+    num_blocks rows and steps. L2 is applied once, driver-side.
+
+    With ``checkpoint_dir``, every completed iteration commits the
+    (D+1)-float model atomically (run_kg_pipeline-style marker, fingerprint
+    = the hyperparameter tuple + input path so a stale model from different
+    params can never resume); a crashed training job restarts from its last
+    committed iteration. The feature pass is recomputed on resume — model
+    checkpoints are ~32 KB while the feature table is corpus-sized, so at
+    cluster scale the features get their own Parquet checkpoint (the
+    mentions-checkpoint pattern) and the model rides these markers."""
     feat = (
         read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
         .map_batches(
@@ -158,9 +203,17 @@ def train_quality_classifier(
     )
     n_total = feat.count()
 
+    fingerprint = f"qc-v1|{sf_dir}|{target_lang}|{n_features}|{lr}|{l2}"
     w = np.zeros(n_features, dtype=np.float64)
     b = 0.0
-    for _ in range(iters):
+    start = 0
+    if checkpoint_dir is not None:
+        ck = _ckpt_load(checkpoint_dir, fingerprint)
+        if ck is not None:
+            w = np.asarray(ck["w"], dtype=np.float64)
+            b = float(ck["b"])
+            start = int(ck["iter"]) + 1
+    for it in range(start, iters):
         ref = ray.put((w, b))
 
         def grad_partial(t: pa.Table, ref=ref, D=n_features) -> pa.Table:
@@ -189,6 +242,8 @@ def train_quality_classifier(
             gb += row_gb
         w -= lr * (gw / n_total + l2 * w)
         b -= lr * (gb / n_total)
+        if checkpoint_dir is not None:
+            _ckpt_write(checkpoint_dir, fingerprint, it, w, b)
     return w, b
 
 

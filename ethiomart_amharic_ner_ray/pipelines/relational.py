@@ -2990,3 +2990,92 @@ def q142_k_anonymity(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
 
     part = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(part, ["c_nationkey", "c_mktsegment"], final, n_buckets=8)
+
+
+def q144_gini_spend(sf_dir: str, n_ranges: int = 64) -> pd.DataFrame:
+    """EXACT Gini coefficient of per-customer total spend — the inequality
+    metric behind "what fraction of revenue comes from the top X%"
+    dashboards. Gini = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over ASCENDING-sorted
+    spend needs global ranks, not a global sort: this reuses q95's
+    distributed-ECDF shape. Phase 1 aggregates per-customer totals
+    (bucketed two-phase sum — customers are 100M+ at scale, never
+    driver-sized). Phase 2: min/max scan → one counting pass gives each
+    value-range bucket's global rank OFFSET; one range shuffle sorts each
+    bucket locally and emits a single (Σx, Σ j·x local-rank moment, count)
+    partial — ties are rank-order-invariant in Σ i·x₍ᵢ₎, so the statistic
+    is exact without any tie protocol. Driver algebra over n_ranges rows."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False)["o_totalprice"].sum()
+
+    def sum_final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("o_custkey", as_index=False)["o_totalprice"]
+            .sum()
+            .rename(columns={"o_totalprice": "s"})
+        )
+
+    totals = bucketed_group_agg(
+        ds.map_batches(sum_partial, batch_format="pandas", batch_size=65536),
+        ["o_custkey"],
+        sum_final,
+        n_buckets=32,
+    )
+
+    mm = totals.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["s"].min()], "mx": [df["s"].max()]}),
+        batch_format="pandas",
+        batch_size=65536,
+    ).to_pandas()
+    mn, mx = float(mm["mn"].min()), float(mm["mx"].max())
+    bounds = np.linspace(mn, mx, n_ranges + 1)[1:-1]
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rb = np.searchsorted(bounds, df["s"].to_numpy(), side="right")
+        return pd.DataFrame({"_rb": rb}).groupby("_rb", as_index=False).size()
+
+    counts = (
+        totals.map_batches(cnt_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("_rb", as_index=False)["size"]
+        .sum()
+        .sort_values("_rb", kind="mergesort")
+    )
+    counts["offset"] = counts["size"].cumsum() - counts["size"]
+    offsets = dict(zip(counts["_rb"], counts["offset"]))
+    n = int(counts["size"].sum())
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = np.searchsorted(bounds, df["s"].to_numpy(), side="right").astype("int64")
+        return df
+
+    def moment(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rb, grp in df.groupby("_rb"):
+            x = np.sort(grp["s"].to_numpy(np.float64))
+            j = np.arange(1, len(x) + 1, dtype=np.float64)
+            out.append(
+                {
+                    "_rb": int(rb),
+                    "m": len(x),
+                    "sx": x.sum(),
+                    "sjx": float(np.dot(j, x)),
+                }
+            )
+        return pd.DataFrame(out)
+
+    parts = bucketed_group_agg(
+        totals.map_batches(stamp, batch_format="pandas", batch_size=65536),
+        ["_rb"],
+        moment,
+        n_buckets=32,
+    ).to_pandas()
+    # global Σ i·x = Σ_b (offset_b · Σx_b + Σ_j j·x_j)
+    six = sum(offsets.get(rb, 0) * sx + sjx for rb, sx, sjx in zip(parts["_rb"], parts["sx"], parts["sjx"]))
+    total = float(parts["sx"].sum())
+    gini = 2.0 * six / (n * total) - (n + 1.0) / n
+    return pd.DataFrame(
+        {"n": np.array([n], dtype=np.int64), "gini": [round_away(gini, 6)]}
+    )

@@ -125,3 +125,28 @@ class TestClassifier:
         # the two token-free docs see only the bias term -> identical prob
         p = got.sort_values("doc_id")["prob"].to_numpy()
         assert p[1] == p[2]
+
+    def test_checkpoint_resume_equals_straight_run(self, ray_session, tmp_path):
+        from ethiomart_amharic_ner_ray.pipelines.classifier import (
+            train_quality_classifier,
+        )
+
+        ck = str(tmp_path / "ck")
+        # "crash" after 3 of 6 iterations...
+        train_quality_classifier(SF, iters=3, checkpoint_dir=ck)
+        # ...resume to 6; must equal an uncheckpointed 6-iteration run
+        w_res, b_res = train_quality_classifier(SF, iters=6, checkpoint_dir=ck)
+        w_ref, b_ref = train_quality_classifier(SF, iters=6)
+        assert np.allclose(w_res, w_ref, atol=1e-9) and abs(b_res - b_ref) < 1e-9
+
+    def test_checkpoint_fingerprint_mismatch_restarts(self, ray_session, tmp_path):
+        from ethiomart_amharic_ner_ray.pipelines.classifier import (
+            train_quality_classifier,
+        )
+
+        ck = str(tmp_path / "ck2")
+        train_quality_classifier(SF, iters=2, lr=1.0, checkpoint_dir=ck)
+        # different lr -> different fingerprint -> stale model ignored
+        w, b = train_quality_classifier(SF, iters=2, lr=2.0, checkpoint_dir=ck)
+        w_ref, b_ref = train_quality_classifier(SF, iters=2, lr=2.0)
+        assert np.allclose(w, w_ref, atol=1e-12) and abs(b - b_ref) < 1e-12

@@ -198,6 +198,7 @@ SQL_CHECKED = [
     "q141_global_median_exact",
     "q142_k_anonymity",
     "q143_fuzzy_decontaminate",
+    "q144_gini_spend",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
