@@ -75,6 +75,17 @@ def _kg_seller_pagerank(sf_dir: str):
     return pagerank_from_triples(_kg_triples(sf_dir), pred="sells", n_iters=3, n_buckets=8)
 
 
+def _kg_seller_communities(sf_dir: str):
+    """Market-segment communities over the seller↔product 'sells'
+    projection — bipartite label propagation (pipelines/graph.py), each
+    phase one bucketed join + one bucketed majority-groupby; rows-only
+    (iterative algorithm, no SQL form), pinned vs an in-process reference
+    in tests/test_graph_rank.py."""
+    from ethiomart_amharic_ner_ray.pipelines.graph import communities_from_triples
+
+    return communities_from_triples(_kg_triples(sf_dir), pred="sells", n_buckets=8, max_rounds=6)
+
+
 def _kg_mentions(sf_dir: str):
     from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
 
@@ -498,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         sketches,
         textstats,
+        tokenize_export,
         windows,
     )
 
@@ -681,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).scorecard_summary(_kg_scorecards(sf_dir)),
         # entity importance over the triple graph (rows-only: iterative)
         "kg_seller_pagerank": _kg_seller_pagerank,
+        "kg_seller_communities": _kg_seller_communities,
         # near-dup / sketch family (rows-only)
         "cms_vocab_topk": sketches.cms_vocab_topk,
         "approx_users_per_event_type": sketches.approx_users_per_event_type,
@@ -725,6 +738,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scores have no SQL form; pinned vs an in-process reference in
         # tests/test_classifier.py)
         "quality_classifier_scores": classifier.quality_classifier_scores,
+        # concat-and-chunk packed training sequences (rows-only: BPE-encode →
+        # global-prefix offsets → span exchange; pinned vs an in-process
+        # encode→concat→chunk reference in tests/test_tokenize_export.py)
+        "tokenized_sequences": lambda sf_dir: tokenize_export.tokenized_sequences(
+            sf_dir, n_merges=12, seq_len=128
+        ),
         "knn_self_join": similarity.knn_self_join,
         # multimodal plumbing (rows-only; decode stubbed per environment).
         # Sized from sf like the transcript fixture so the rows-only check

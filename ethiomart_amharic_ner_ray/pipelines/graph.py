@@ -532,3 +532,188 @@ def q99_khop_parts(sf_dir: str, brand: str = "Brand#11", k: int = 2) -> "ray.dat
         )
 
     return labels.map_batches(to_out, batch_format="pyarrow")
+
+
+def bipartite_label_propagation(
+    edges_ds: "ray.data.Dataset",
+    n_buckets: int = 32,
+    max_rounds: int = 10,
+) -> "ray.data.Dataset":
+    """Community detection over a BIPARTITE (src, dst) edge set by
+    alternating majority-vote label propagation — the classic LPA
+    (Raghavan et al. 2007) with the bipartite fix: synchronous LPA
+    oscillates on bipartite graphs (both sides swap labels in lockstep),
+    so each round updates one side at a time, Gauss-Seidel style:
+
+      phase A: every dst node adopts the most common CURRENT label among
+               its src neighbors (ties → lexicographically smallest label);
+      phase B: every src node adopts the most common label among its dst
+               neighbors under the phase-A labels.
+
+    Labels start as the src node ids; rounds stop early when no src label
+    changes (the change count rides the same exchange — no extra join).
+    Each phase is ONE bucketed join (labels onto the edge key) + ONE
+    bucketed majority-groupby, the exact shuffle diet of
+    connected_components_minlabel; nothing graph-sized touches the driver.
+    Deterministic: majority with min-label tie-break, no randomized visit
+    order (the classic LPA shuffles node order; a distributed engine wants
+    reproducible output, and the planted-community test pins this rule
+    against an in-process reference).
+
+    Returns (node, community, side) for both sides — ``community`` is a
+    src-side node id. A component with no internal majority structure
+    settles to its min src id, so LPA output refines connected components."""
+    import numpy as np
+
+    def dedup_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    edges = bucketed_group_agg(
+        edges_ds, ["src", "dst"], dedup_edges, n_buckets=n_buckets
+    ).materialize()
+
+    def init_src(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates("src")[["src"]]
+        return out.assign(label=out["src"])
+
+    src_labels = bucketed_group_agg(edges, ["src"], init_src, n_buckets=n_buckets).materialize()
+
+    def majority(group_key: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            g = (
+                df.groupby([group_key, "label"], as_index=False)
+                .size()
+                .sort_values(
+                    [group_key, "size", "label"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                .drop_duplicates(group_key)
+            )
+            return g[[group_key, "label"]]
+
+        return f
+
+    dst_labels = None
+    for _ in range(max_rounds):
+        # phase A: dst adopts majority of src labels
+        msgs_a = bucketed_join(
+            edges, src_labels, on="src", n_buckets=n_buckets
+        ).select_columns(["dst", "label"])
+        dst_labels = bucketed_group_agg(
+            msgs_a, ["dst"], majority("dst"), n_buckets=n_buckets
+        ).materialize()
+
+        # phase B: src adopts majority of dst labels; old label rides the
+        # same exchange (tagged) so the change count needs no second join
+        msgs_b = bucketed_join(
+            edges, dst_labels, on="dst", n_buckets=n_buckets
+        ).select_columns(["src", "label"])
+
+        def tag_new(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(is_old=0)
+
+        def tag_old(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(is_old=1)
+
+        def vote_and_diff(df: pd.DataFrame) -> pd.DataFrame:
+            new = majority("src")(df[df["is_old"] == 0])
+            old = df[df["is_old"] == 1][["src", "label"]].rename(columns={"label": "old"})
+            m = new.merge(old, on="src", how="left")
+            m["changed"] = (m["label"] != m["old"]).astype("int64")
+            return m[["src", "label", "changed"]]
+
+        merged = msgs_b.map_batches(tag_new, batch_format="pandas").union(
+            src_labels.map_batches(tag_old, batch_format="pandas")
+        )
+        stepped = bucketed_group_agg(
+            merged, ["src"], vote_and_diff, n_buckets=n_buckets
+        ).materialize()
+        n_changed = stepped.sum(on="changed") or 0
+        src_labels = stepped.select_columns(["src", "label"]).materialize()
+        if n_changed == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"bipartite_label_propagation: labels still moving after "
+            f"max_rounds={max_rounds}; communities are the last round's "
+            f"(deterministic, but possibly unsettled). Raise max_rounds.",
+            RuntimeWarning,
+        )
+
+    a = src_labels.map_batches(
+        lambda df: df.rename(columns={"src": "node", "label": "community"}).assign(side="src"),
+        batch_format="pandas",
+    )
+    b = dst_labels.map_batches(
+        lambda df: df.rename(columns={"dst": "node", "label": "community"}).assign(side="dst"),
+        batch_format="pandas",
+    )
+    return a.union(b)
+
+
+def communities_from_triples(
+    triples_ds: "ray.data.Dataset",
+    pred: str = "sells",
+    n_buckets: int = 32,
+    max_rounds: int = 10,
+) -> pd.DataFrame:
+    """LPA communities over one predicate's bipartite projection
+    (seller ↔ product for 'sells'): which sellers form a market segment by
+    offering the same products. Returns (node, community, side) sorted."""
+    import pyarrow.compute as pc
+
+    def edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("pred"), pred))
+        return pa.table(
+            {
+                "src": t.column("subj").cast(pa.string()),
+                "dst": t.column("obj").cast(pa.string()),
+            }
+        )
+
+    out = bipartite_label_propagation(
+        triples_ds.map_batches(edges, batch_format="pyarrow"),
+        n_buckets=n_buckets,
+        max_rounds=max_rounds,
+    ).to_pandas()
+    return out.sort_values(["side", "node"], kind="mergesort").reset_index(drop=True)
+
+
+def reference_bipartite_lpa(edges: "pd.DataFrame", max_rounds: int = 10) -> "pd.DataFrame":
+    """In-process single-machine reference for bipartite_label_propagation
+    (same alternating majority/min-tie rule, pandas only) — the conformance
+    anchor for tests."""
+    e = edges.drop_duplicates()
+    src_labels = {s: s for s in e["src"].unique()}
+    dst_labels: dict = {}
+    for _ in range(max_rounds):
+        d = e.assign(label=e["src"].map(src_labels))
+        g = (
+            d.groupby(["dst", "label"], as_index=False)
+            .size()
+            .sort_values(["dst", "size", "label"], ascending=[True, False, True], kind="mergesort")
+            .drop_duplicates("dst")
+        )
+        dst_labels = dict(zip(g["dst"], g["label"]))
+        d2 = e.assign(label=e["dst"].map(dst_labels))
+        g2 = (
+            d2.groupby(["src", "label"], as_index=False)
+            .size()
+            .sort_values(["src", "size", "label"], ascending=[True, False, True], kind="mergesort")
+            .drop_duplicates("src")
+        )
+        new = dict(zip(g2["src"], g2["label"]))
+        changed = sum(1 for k, v in new.items() if src_labels.get(k) != v)
+        src_labels = new
+        if changed == 0:
+            break
+    rows = [{"node": k, "community": v, "side": "src"} for k, v in src_labels.items()]
+    rows += [{"node": k, "community": v, "side": "dst"} for k, v in dst_labels.items()]
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["side", "node"], kind="mergesort")
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,223 @@
+"""The pretraining last mile: BPE-tokenize the corpus with a
+distributed-trained tokenizer, concatenate every document's ids (with an
+end-of-document separator) into ONE global token stream in doc_id order,
+and slice that stream into fixed-length training sequences — the
+concat-and-chunk packing every causal-LM data pipeline ships (GPT-2/3
+style), as opposed to textstats.doc_pack_bins' per-document greedy binning.
+
+Distributed shape (nothing token-stream-sized ever leaves the workers):
+
+  1. ``bpe.bpe_train`` fits the merge table (already distributed); the
+     vocabulary is derived deterministically — sorted base symbols, then
+     merge products in rank order, then the <eod> sentinel — and broadcast
+     once as a dict.
+  2. ONE encode pass emits (doc_id, ids, n) rows; word→ids memoized per
+     worker per distinct word.
+  3. The global offset of each document needs a prefix sum in doc_id
+     order: ONE counting pass reduces per-(doc_id range) token totals
+     (R ints to the driver — q95's distributed-ECDF offset trick), then
+     inside each range bucket a sort+cumsum finishes the prefix locally.
+  4. Each document splits its id run into per-sequence SPANS
+     (seq_id = global_pos // seq_len); spans ride ONE bucketed exchange
+     keyed by seq_id, and each sequence reassembles by span order inside
+     its bucket. The final partial sequence is dropped (standard).
+
+Determinism: doc_id order defines the stream; ties impossible (doc_id is
+unique). Output is invariant to input block layout — the conformance test
+pins the distributed result against an in-process reference token stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .bpe import _EOW, bpe_encode_word, bpe_train
+from .common import bucketed_group_agg, get_broadcast, read_table
+
+EOD = "<eod>"
+
+
+def build_vocab(sf_dir: str, merges: pd.DataFrame) -> dict[str, int]:
+    """Deterministic symbol→id table: sorted distinct base symbols (corpus
+    characters + the end-of-word marker), then each merge's product symbol
+    in rank order (skipping products already present), then <eod>."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def chars(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.list_flatten(pc.split_pattern_regex(txt, pattern=r"\s+")).to_pylist()
+        seen = set()
+        for w in toks:
+            seen.update(w)
+        return pa.table({"sym": pa.array(sorted(seen), pa.string())})
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    base = (
+        bucketed_group_agg(
+            ds.map_batches(chars, batch_format="pyarrow"), ["sym"], distinct, n_buckets=8
+        )
+        .to_pandas()["sym"]  # alphabet-sized, driver-safe by definition
+        .tolist()
+    )
+    vocab: dict[str, int] = {}
+    for s in sorted(base) + [_EOW]:
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    for left, right in zip(merges["left"], merges["right"]):
+        prod = left + right
+        if prod not in vocab:
+            vocab[prod] = len(vocab)
+    vocab[EOD] = len(vocab)
+    return vocab
+
+
+def tokenized_sequences(
+    sf_dir: str,
+    n_merges: int = 20,
+    seq_len: int = 128,
+    n_ranges: int = 32,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """(seq_id, input_ids list<int32>[seq_len]) — the packed training
+    sequences of the whole corpus, exactly as an in-process
+    encode→concat→chunk would produce them."""
+    merges = bpe_train(sf_dir, n_merges=n_merges)
+    ranks = {
+        (l, r): int(k) for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    vocab = build_vocab(sf_dir, merges)
+    eod_id = vocab[EOD]
+    ref = ray.put((ranks, vocab))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        rk, vc = get_broadcast(ref)
+        memo: dict[str, list[int]] = {}
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(txt, pattern=r"\s+")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pylist()
+        n_docs = t.num_rows
+        out: list[list[int]] = [[] for _ in range(n_docs)]
+        for p, w in zip(parent, flat):
+            if not w:
+                continue
+            ids = memo.get(w)
+            if ids is None:
+                ids = [vc[s] for s in bpe_encode_word(w, rk)]
+                memo[w] = ids
+            out[p].extend(ids)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "ids": pa.array(out, pa.list_(pa.int32())),
+                # +1 for the <eod> separator every document contributes
+                "n": pa.array([len(x) + 1 for x in out], pa.int64()),
+            }
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow").materialize()
+    # (at 100 TB this materialize is the Parquet ids-checkpoint — the
+    # mentions-checkpoint pattern; iterations/boundary passes re-read it)
+
+    # ---- global prefix offsets in doc_id order (q95's ECDF shape) -------
+    mm = enc.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["doc_id"].min()], "mx": [df["doc_id"].max()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = int(mm["mn"].min()), int(mm["mx"].max())
+    bounds = np.linspace(lo, hi, n_ranges + 1)[1:-1]
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        rb = np.searchsorted(bounds, df["doc_id"].to_numpy(), side="right")
+        return pd.DataFrame({"_rb": rb, "n": df["n"]}).groupby("_rb", as_index=False)["n"].sum()
+
+    counts = (
+        enc.map_batches(cnt, batch_format="pandas")
+        .to_pandas()
+        .groupby("_rb", as_index=False)["n"]
+        .sum()
+        .sort_values("_rb", kind="mergesort")
+    )
+    counts["offset"] = counts["n"].cumsum() - counts["n"]
+    range_offsets = dict(zip(counts["_rb"], counts["offset"]))
+    total_tokens = int(counts["n"].sum())
+    n_seqs = total_tokens // seq_len
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = np.searchsorted(bounds, df["doc_id"].to_numpy(), side="right").astype("int64")
+        return df
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for rb, grp in df.groupby("_rb"):
+            g = grp.sort_values("doc_id", kind="mergesort")
+            off = int(range_offsets.get(rb, 0)) + (g["n"].cumsum() - g["n"]).to_numpy()
+            for o, ids in zip(off, g["ids"]):
+                run = list(ids) + [eod_id]
+                pos = o
+                i = 0
+                while i < len(run):
+                    seq = pos // seq_len
+                    take = min(seq_len - (pos % seq_len), len(run) - i)
+                    if seq < n_seqs:
+                        out_rows.append(
+                            {
+                                "seq_id": int(seq),
+                                "start": int(pos % seq_len),
+                                "chunk": run[i : i + take],
+                            }
+                        )
+                    pos += take
+                    i += take
+        if not out_rows:
+            return pd.DataFrame({"seq_id": pd.array([], dtype="int64"), "start": pd.array([], dtype="int64"), "chunk": pd.Series([], dtype=object)})
+        return pd.DataFrame(out_rows)
+
+    spanned = bucketed_group_agg(
+        enc.map_batches(stamp, batch_format="pandas"), ["_rb"], spans, n_buckets=n_ranges
+    )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for seq_id, grp in df.groupby("seq_id"):
+            g = grp.sort_values("start", kind="mergesort")
+            ids: list[int] = []
+            for c in g["chunk"]:
+                ids.extend(c)
+            rows.append({"seq_id": int(seq_id), "input_ids": ids})
+        out = pd.DataFrame(rows)
+        return out
+
+    return bucketed_group_agg(spanned, ["seq_id"], assemble, n_buckets=n_buckets)
+
+
+def reference_tokenized_sequences(
+    docs: pd.DataFrame, merges: pd.DataFrame, vocab: dict[str, int], seq_len: int = 128
+) -> list[list[int]]:
+    """In-process encode→concat→chunk reference (doc_id order), the
+    conformance anchor."""
+    ranks = {
+        (l, r): int(k) for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    stream: list[int] = []
+    memo: dict[str, list[int]] = {}
+    for _, row in docs.sort_values("doc_id").iterrows():
+        for w in str(row["text"]).split():
+            ids = memo.get(w)
+            if ids is None:
+                ids = [vocab[s] for s in bpe_encode_word(w, ranks)]
+                memo[w] = ids
+            stream.extend(ids)
+        stream.append(vocab[EOD])
+    n_seqs = len(stream) // seq_len
+    return [stream[i * seq_len : (i + 1) * seq_len] for i in range(n_seqs)]

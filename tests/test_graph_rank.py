@@ -157,3 +157,80 @@ def test_approx_distinct_per_group_accuracy_and_shard_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+class TestBipartiteLPA:
+    def _edges_ds(self, df):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    def test_planted_communities_recovered(self, ray_session):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.graph import (
+            bipartite_label_propagation,
+        )
+
+        e = []
+        for s in (10, 11, 12):
+            for d in (100, 101, 102):
+                e.append((s, d))
+        for s in (20, 21, 22):
+            for d in (200, 201, 202):
+                e.append((s, d))
+        e.append((12, 200))  # one bridge edge must not merge the blocks
+        df = pd.DataFrame(e, columns=["src", "dst"])
+        out = bipartite_label_propagation(self._edges_ds(df), n_buckets=4).to_pandas()
+        src = out[out["side"] == "src"].set_index("node")["community"].to_dict()
+        assert {src[10], src[11], src[12]} == {10}
+        assert {src[20], src[21], src[22]} == {20}
+        dst = out[out["side"] == "dst"].set_index("node")["community"].to_dict()
+        assert all(dst[d] == 10 for d in (100, 101, 102))
+        assert all(dst[d] == 20 for d in (201, 202))
+
+    def test_distributed_matches_reference(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.pipelines.graph import (
+            bipartite_label_propagation,
+            reference_bipartite_lpa,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for s in range(40):
+            block = s % 4
+            for _ in range(4):
+                rows.append((s, 1000 + block * 25 + int(rng.integers(25))))
+            if s % 7 == 0:  # cross-block noise edges
+                rows.append((s, 1000 + ((block + 1) % 4) * 25 + int(rng.integers(25))))
+        df = pd.DataFrame(rows, columns=["src", "dst"])
+        got = (
+            bipartite_label_propagation(self._edges_ds(df), n_buckets=8)
+            .to_pandas()
+            .sort_values(["side", "node"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = reference_bipartite_lpa(df)
+        pd.testing.assert_frame_equal(
+            got[["node", "community", "side"]].astype({"node": "int64", "community": "int64"}),
+            want.astype({"node": "int64", "community": "int64"}),
+        )
+
+    def test_triples_projection_runs(self, ray_session, tiny_transcripts_dir):
+        import ray.data
+
+        from ethiomart_amharic_ner_ray.pipelines.graph import communities_from_triples
+        from ethiomart_amharic_ner_ray.pipelines.kg import kg_triples
+
+        tx = ray.data.read_parquet(tiny_transcripts_dir)
+        t = kg_triples(tx, n_buckets=8, concurrency=(1, 4), with_provenance_struct=False)
+        out = communities_from_triples(t, pred="sells", n_buckets=8, max_rounds=6)
+        assert set(out.columns) == {"node", "community", "side"}
+        assert (out["side"] == "src").any() and (out["side"] == "dst").any()
+        # every src community label is itself a src node id
+        srcs = set(out[out["side"] == "src"]["node"])
+        assert set(out[out["side"] == "src"]["community"]) <= srcs
