@@ -125,6 +125,23 @@ def _kg_scorecards(sf_dir: str):
     return seller_scorecards(mentions)
 
 
+def _kg_mention_flags_full(sf_dir: str):
+    """All three extractor existence flags from the REAL extraction stage
+    (build_mentions → explode_entities), SQL-checked — including
+    has_product, whose oracle reproduces the extractor's cut-at-first-
+    price/phone + punctuation-strip non-emptiness rule in RE2 (the
+    lookbehind-free phone form keeps the preceding non-digit via \\1, which
+    matches raw[:match.start()] semantics exactly)."""
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+    from ethiomart_amharic_ner_ray.stages.extract import explode_entities
+
+    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
+    ds = ds.map_batches(explode_entities, batch_format="pyarrow")
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "has_price", "has_phone", "has_product"]
+    )
+
+
 def _kg_mentions_exploded(sf_dir: str):
     """M4/J1 parity: mentions struct → top-level entity list columns + flags."""
     from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
@@ -757,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # entity explode + labeled-data prep (rows-only; transcripts-based)
         "kg_mentions_exploded": _kg_mentions_exploded,
+        "kg_mention_flags_full": _kg_mention_flags_full,
         "labeling_prepare": _labeling_prepared,
         "labeling_tag_distribution": _labeling_tag_distribution,
         "labeling_quality_report": _labeling_quality_report,
@@ -805,6 +823,30 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(clean,
                        '(?:^|[^0-9])(?:09[0-9]{{8}}|9[0-9]{{8}})(?:[^0-9]|$)') AS has_phone
             FROM c
+        """,
+        "kg_mention_flags_full": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            p AS (
+                SELECT conv_id, turn_idx, clean,
+                       regexp_extract(clean,
+                           '(?i)(ሽያጭ|ለመግዛት|ይግዙ|ይሸጥ|ለሽያጭ|ገዝተውልኝ)\\s*([^\\n]+)',
+                           2) AS raw
+                FROM c)
+            SELECT conv_id, turn_idx,
+                   regexp_matches(clean,
+                       '(?i)\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d+)?\\s*(?:ብር|birr|br|ዶላር|dollar)')
+                       AS has_price,
+                   regexp_matches(clean,
+                       '(?:^|[^0-9])(?:09[0-9]{{8}}|9[0-9]{{8}})(?:[^0-9]|$)') AS has_phone,
+                   trim(regexp_replace(regexp_replace(raw,
+                            '(?i)\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d+)?\\s*(?:ብር|birr|br|ዶላር|dollar).*$',
+                            ''),
+                            '((?:^|[^0-9]))(?:09[0-9]{{8}}|9[0-9]{{8}})(?:[^0-9]|$).*$',
+                            '\\1'),
+                        ' ,.!?') <> '' AS has_product
+            FROM p
         """,
         "kg_prices_exploded": f"""
             WITH c AS (

@@ -216,6 +216,7 @@ SQL_CHECKED_TX = [
     "kg_clean_text",
     "kg_price_redact",
     "kg_mention_flags",
+    "kg_mention_flags_full",
     "kg_seller_price_stats",
     "kg_prices_exploded",
     "kg_phones_exploded",
