@@ -131,6 +131,10 @@ def run_bench() -> dict:
         # round-3 additions (keys absent from BENCH_r01/r02)
         "q36_event_lag_stats",
         "q43_bloom_semi_join",
+        # round-3 new-family representatives (absent before BENCH_r03)
+        "quality_classifier_scores",
+        "tokenized_sequences",
+        "q141_global_median_exact",
     ]
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         picks = []
