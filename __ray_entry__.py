@@ -650,6 +650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_event_grouping_sets": relational.q123_event_grouping_sets,
         "q140_validation_report": relational.q140_validation_report,
         "q144_gini_spend": relational.q144_gini_spend,
+        "q145_iqr_outliers": relational.q145_iqr_outliers,
+        "q146_dau_jaccard": windows.q146_dau_jaccard,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2206,6 +2208,39 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * sum(i * s) / (max(n) * max(tot))
                          - (max(n) + 1.0) / max(n), 6) AS gini
             FROM r
+        """,
+        "q145_iqr_outliers": """
+            WITH f AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.25) AS q1,
+                       quantile_cont(o_totalprice, 0.75) AS q3
+                FROM orders GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1) + 1e-6
+                                   OR o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1) - 1e-6
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM orders o JOIN f USING (o_orderpriority)
+            GROUP BY 1
+        """,
+        "q146_dau_jaccard": """
+            WITH d AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            cnt AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+            b AS (
+                SELECT a.day AS day, CAST(count(*) AS BIGINT) AS n_both
+                FROM d a JOIN d y ON a.user_id = y.user_id
+                                 AND y.day = a.day - to_days(1)
+                GROUP BY 1)
+            SELECT CAST(c.day AS TIMESTAMP) AS day,
+                   c.n AS n_cur, p.n AS n_prev,
+                   COALESCE(b.n_both, 0) AS n_both,
+                   round(COALESCE(b.n_both, 0)::DOUBLE
+                         / (c.n + p.n - COALESCE(b.n_both, 0)), 4) AS jaccard
+            FROM cnt c
+            JOIN cnt p ON p.day = c.day - to_days(1)
+            LEFT JOIN b ON b.day = c.day
         """,
         "q106_purchase_attribution": """
             WITH cp AS (

@@ -3079,3 +3079,72 @@ def q144_gini_spend(sf_dir: str, n_ranges: int = 64) -> pd.DataFrame:
     return pd.DataFrame(
         {"n": np.array([n], dtype=np.int64), "gini": [round_away(gini, 6)]}
     )
+
+
+def _wq_interp(values: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Exact quantile_cont over a multiset given as (sorted distinct values,
+    counts) — the (n-1)*q rank-interpolation rule, identical to DuckDB's
+    quantile_cont and pandas' default 'linear'. Ranks are located with
+    searchsorted over the cumulative counts, so the expanded multiset is
+    never materialized."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    t = (n - 1) * q
+    k = int(np.floor(t))
+    frac = t - k
+    lo = float(values[int(np.searchsorted(cum, k, side="right"))])
+    if frac == 0.0:
+        return lo
+    hi = float(values[int(np.searchsorted(cum, k + 1, side="right"))])
+    return lo + (hi - lo) * frac
+
+
+def q145_iqr_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Tukey IQR-fence outlier screen per order priority: rows outside
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] of o_totalprice — the standard
+    data-quality / anomaly gate before a numeric column feeds a model.
+    Holistic like q48, but NOT the co-locate-raw-rows shape: prices are a
+    cents grid, so per-batch (priority, price)->count partials collapse the
+    fact table to its distinct-value histogram BEFORE the one bucketed
+    shuffle (q112's trick), and each bucket computes the interpolated
+    quantiles from (value, count) pairs with _wq_interp and counts the
+    outlier mass from the same histogram — one pass, no re-scan, exchange
+    bounded by distinct prices x blocks. The +-1e-6 epsilon on the fence
+    compare is applied identically in the SQL oracle so summation-order
+    ulps at the fence can never flip a count."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderpriority", "o_totalprice"], as_index=False).size()
+        return g.rename(columns={"size": "wt"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.groupby(["o_orderpriority", "o_totalprice"], as_index=False)["wt"]
+            .sum()
+            .sort_values(["o_orderpriority", "o_totalprice"], kind="mergesort")
+        )
+        out = []
+        for prio, g in df.groupby("o_orderpriority", sort=False):
+            v = g["o_totalprice"].to_numpy(dtype=np.float64)
+            c = g["wt"].to_numpy(dtype=np.int64)
+            q1 = _wq_interp(v, c, 0.25)
+            q3 = _wq_interp(v, c, 0.75)
+            iqr = q3 - q1
+            bad = (v > q3 + 1.5 * iqr + 1e-6) | (v < q1 - 1.5 * iqr - 1e-6)
+            out.append(
+                {
+                    "o_orderpriority": prio,
+                    "n_rows": int(c.sum()),
+                    "n_outliers": int(c[bad].sum()),
+                }
+            )
+        res = pd.DataFrame(out)
+        return res.astype({"n_rows": "int64", "n_outliers": "int64"})
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_orderpriority"],
+        final,
+        n_buckets=4,
+    )

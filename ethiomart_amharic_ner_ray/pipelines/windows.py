@@ -1131,3 +1131,68 @@ def window_agg(
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, keys + ["window_start"], final, n_buckets=n_buckets)
+
+
+def q146_dau_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day audience similarity: for each day with an active
+    previous day, the Jaccard overlap of the two days' DISTINCT user sets
+    — the churn/stability screen next to q104's rolling distinct and q59's
+    cohort matrix (neither expresses 'same users as yesterday?'). Exact
+    distributed form: collapse to DISTINCT (user, day) pairs per batch,
+    then ONE user-bucket shuffle co-locates each user's day set; in-bucket
+    a sorted grouped shift finds consecutive-day hits, and both the
+    per-day active counts and the per-day both-days counts leave the
+    bucket as calendar-bounded partials (days x buckets rows), so the
+    driver reduce is calendar-sized, never user- or event-sized. The
+    Jaccard division runs on exact int64 counts on both oracle sides."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates().sort_values(["user_id", "day"], kind="mergesort")
+        u = d["user_id"].to_numpy()
+        days = d["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cur = pd.Series(days).value_counts().rename_axis("day").reset_index(name="n_cur")
+        both_mask = (u[1:] == u[:-1]) & (days[1:] - days[:-1] == 1)
+        both = (
+            pd.Series(days[1:][both_mask])
+            .value_counts()
+            .rename_axis("day")
+            .reset_index(name="n_both")
+        )
+        out = cur.merge(both, on="day", how="left").fillna({"n_both": 0})
+        return out.astype({"day": "int64", "n_cur": "int64", "n_both": "int64"})
+
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        final,
+        n_buckets=32,
+    ).to_pandas()
+
+    agg = parts.groupby("day", as_index=False).agg(
+        n_cur=("n_cur", "sum"), n_both=("n_both", "sum")
+    )
+    agg = agg.sort_values("day", kind="mergesort").reset_index(drop=True)
+    prev = agg.set_index("day")["n_cur"]
+    agg["n_prev"] = (agg["day"] - 1).map(prev)
+    agg = agg.dropna(subset=["n_prev"])
+    n_cur = agg["n_cur"].to_numpy(dtype="int64")
+    n_prev = agg["n_prev"].to_numpy(dtype="int64")
+    n_both = agg["n_both"].to_numpy(dtype="int64")
+    jac = round_away(n_both.astype("float64") / (n_cur + n_prev - n_both), 4)
+    return pd.DataFrame(
+        {
+            "day": agg["day"].to_numpy().astype("datetime64[D]").astype("datetime64[us]"),
+            "n_cur": n_cur,
+            "n_prev": n_prev,
+            "n_both": n_both,
+            "jaccard": jac,
+        }
+    )

@@ -199,6 +199,8 @@ SQL_CHECKED = [
     "q142_k_anonymity",
     "q143_fuzzy_decontaminate",
     "q144_gini_spend",
+    "q145_iqr_outliers",
+    "q146_dau_jaccard",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
@@ -494,3 +496,58 @@ class TestGlobalMedianSelection:
         )
         got = relational.q141_global_median_exact(str(tmp_path), n_bins=4, tail_cap=8)
         assert got["median"].iloc[0] == 42.5 and got["n"].iloc[0] == 100
+
+
+def test_q145_planted_outliers(ray_session, tmp_path):
+    """The fixture's o_totalprice never crosses a Tukey fence (n_outliers=0
+    everywhere), so plant a heavy-tailed group and a clean group and check
+    the fence math (interpolated quantiles from the distinct-value
+    histogram + epsilon compare) against DuckDB's quantile_cont on raw rows,
+    including repeated values that make the histogram collapse counts."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.relational import q145_iqr_outliers
+
+    rng = np.random.default_rng(7)
+    tail = np.concatenate(
+        [rng.integers(100, 120, 200).astype(float),  # tight body, many ties
+         np.array([500.0, 750.0, 1000.0, 1000.0])]   # planted outliers incl. a tie
+    )
+    clean = rng.integers(100, 200, 150).astype(float)
+    df = pd.DataFrame(
+        {
+            "o_orderpriority": ["1-TAIL"] * len(tail) + ["2-CLEAN"] * len(clean),
+            "o_totalprice": np.concatenate([tail, clean]),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "orders.parquet")
+    )
+
+    got = (
+        q145_iqr_outliers(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""WITH f AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.25) AS q1,
+                       quantile_cont(o_totalprice, 0.75) AS q3
+                FROM '{tmp_path}/orders.parquet' GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1) + 1e-6
+                                   OR o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1) - 1e-6
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM '{tmp_path}/orders.parquet' o JOIN f USING (o_orderpriority)
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[got["o_orderpriority"] == "1-TAIL", "n_outliers"].iloc[0] >= 4
