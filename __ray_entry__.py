@@ -652,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q144_gini_spend": relational.q144_gini_spend,
         "q145_iqr_outliers": relational.q145_iqr_outliers,
         "q146_dau_jaccard": windows.q146_dau_jaccard,
+        "q147_time_to_convert": windows.q147_time_to_convert,
+        "q148_revenue_share": relational.q148_revenue_share,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2241,6 +2243,35 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt c
             JOIN cnt p ON p.day = c.day - to_days(1)
             LEFT JOIN b ON b.day = c.day
+        """,
+        "q147_time_to_convert": """
+            WITH s AS (
+                SELECT user_id, min(ts) AS sts FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS pts
+                FROM events e JOIN s ON e.user_id = s.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= s.sts
+                GROUP BY 1),
+            d AS (
+                SELECT date_trunc('week', s.sts) AS cohort_week,
+                       CAST(epoch_us(p.pts) - epoch_us(s.sts) AS BIGINT) AS diff_us
+                FROM s JOIN p USING (user_id))
+            SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+                   CAST(count(*) AS BIGINT) AS n_converted,
+                   median(CAST(diff_us AS DOUBLE)) AS median_us
+            FROM d GROUP BY 1
+        """,
+        "q148_revenue_share": """
+            WITH c AS (
+                SELECT o_orderpriority,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1)
+            SELECT o_orderpriority,
+                   round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+                   round(CAST(cents AS DOUBLE)
+                         / (SELECT CAST(sum(cents) AS DOUBLE) FROM c), 6) AS share
+            FROM c
         """,
         "q106_purchase_attribution": """
             WITH cp AS (

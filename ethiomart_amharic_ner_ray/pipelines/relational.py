@@ -3148,3 +3148,44 @@ def q145_iqr_outliers(sf_dir: str) -> "ray.data.Dataset":
         final,
         n_buckets=4,
     )
+
+
+def q148_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report: each order priority's share of TOTAL revenue — the
+    reporting op where every group's aggregate is divided by the grand
+    total. Sums run as exact int64 cents partials (float money sums are
+    summation-order-dependent; cents are not), so the one bounded
+    two-phase aggregate is hash-stable, and the grand total + division are
+    driver math on the |priorities|-sized result. Identical cents
+    expression on the SQL side."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        return d.groupby("o_orderpriority", as_index=False)["cents"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False)["cents"].sum()
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_orderpriority"],
+        final,
+        n_buckets=4,
+    ).to_pandas()
+    cents = agg["cents"].to_numpy(dtype=np.int64)
+    total = float(cents.sum())
+    return pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"],
+            "revenue": round_away(cents.astype(np.float64) / 100.0, 2),
+            "share": round_away(cents.astype(np.float64) / total, 6),
+        }
+    )

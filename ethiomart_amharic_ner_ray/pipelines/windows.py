@@ -1196,3 +1196,67 @@ def q146_dau_jaccard(sf_dir: str) -> pd.DataFrame:
             "jaccard": jac,
         }
     )
+
+
+def q147_time_to_convert(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort time-to-convert: per signup-week cohort, how many users made
+    a purchase at-or-after their first signup, and the exact median
+    microseconds from signup to first qualifying purchase — the activation
+    metric next to q58's funnel counts and q59's retention matrix. Two
+    shuffles, both bounded: stage 1 filters the event stream to the two
+    participating types (the only raw-row exchange) and ONE user-bucket
+    shuffle resolves each user's first-signup / first-purchase-after pair
+    with a vectorized conditional-min scan; stage 2 moves ONE 16-byte row
+    per CONVERTED user, bucketed by cohort week, and computes the holistic
+    median in-bucket (whole-cohort co-location — q40/q48's documented
+    shape; the sketch fallback in pipelines/sketches.py applies when a
+    single cohort outgrows a task). The median interpolation is
+    quantile_cont's (n-1)/2 rule on exact int64 microsecond diffs, so both
+    oracle sides interpolate identical values."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(["signup", "purchase"])]
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.loc[df["event_type"] == "signup"].groupby("user_id")["ts"].min()
+        p = df.loc[df["event_type"] == "purchase", ["user_id", "ts"]].merge(
+            s.rename("sts"), left_on="user_id", right_index=True, how="inner"
+        )
+        p = p.loc[p["ts"] >= p["sts"]]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.Series([], dtype="datetime64[us]"),
+                    "diff_us": pd.Series([], dtype="int64"),
+                }
+            )
+        first = p.groupby("user_id", as_index=False).agg(
+            pts=("ts", "min"), sts=("sts", "first")
+        )
+        sts = first["sts"].astype("datetime64[us]")
+        week = sts.dt.normalize() - pd.to_timedelta(sts.dt.dayofweek, unit="D")
+        diff = first["pts"].astype("datetime64[us]").astype("int64") - sts.astype("int64")
+        return pd.DataFrame(
+            {"cohort_week": week.astype("datetime64[us]"), "diff_us": diff.astype("int64")}
+        )
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        pair_final,
+        n_buckets=32,
+    )
+
+    def cohort_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cohort_week", as_index=False).agg(
+            n_converted=("diff_us", "size"), median_us=("diff_us", "median")
+        )
+        g["cohort_week"] = g["cohort_week"].astype("datetime64[us]")
+        g["n_converted"] = g["n_converted"].astype("int64")
+        g["median_us"] = g["median_us"].astype("float64")
+        return g
+
+    return bucketed_group_agg(pairs, ["cohort_week"], cohort_final, n_buckets=8)

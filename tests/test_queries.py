@@ -201,6 +201,8 @@ SQL_CHECKED = [
     "q144_gini_spend",
     "q145_iqr_outliers",
     "q146_dau_jaccard",
+    "q147_time_to_convert",
+    "q148_revenue_share",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
