@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q146_dau_jaccard": windows.q146_dau_jaccard,
         "q147_time_to_convert": windows.q147_time_to_convert,
         "q148_revenue_share": relational.q148_revenue_share,
+        "q149_copurchase_degree_hist": relational.q149_copurchase_degree_hist,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2261,6 +2262,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q149_copurchase_degree_hist": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                  FROM lp a JOIN lp b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey),
+            deg AS (SELECT x, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_parts
+            FROM deg GROUP BY 1
         """,
         "q148_revenue_share": """
             WITH c AS (

@@ -3189,3 +3189,57 @@ def q148_revenue_share(sf_dir: str) -> pd.DataFrame:
             "share": round_away(cents.astype(np.float64) / total, 6),
         }
     )
+
+
+def q149_copurchase_degree_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Degree distribution of the co-purchase graph (how many DISTINCT
+    co-purchase partners each part has, histogrammed) — the graph-health
+    screen next to q81's top edges and q82's triangle count. Three bounded
+    exchanges: (1) DISTINCT (order, part) pairs bucketed by ORDER co-locate
+    each basket, and the in-order partner expansion is a vectorized
+    self-merge (quadratic only in basket size — single-digit here; a hot
+    basket would take two_hop's min-k cap, documented not needed for this
+    fixture); (2) the pair stream, pre-deduped per order-bucket, shuffles
+    on the source part so each part's partner set is co-located for the
+    global dedup + degree count; (3) one-row-per-part degrees collapse to
+    the degree histogram through a two-phase count over the (small) degree
+    vocabulary."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def lp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_orderkey", "l_partkey"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m.loc[m["l_partkey_a"] != m["l_partkey_b"], ["l_partkey_a", "l_partkey_b"]]
+        return m.drop_duplicates().rename(columns={"l_partkey_a": "x", "l_partkey_b": "y"})
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(lp_partial, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        expand,
+        n_buckets=32,
+    )
+
+    def degree_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("x", as_index=False)["y"].size()
+        return pd.DataFrame({"degree": g["size"].astype("int64")})
+
+    degrees = bucketed_group_agg(pairs, ["x"], degree_final, n_buckets=32)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("degree", as_index=False).size().rename(columns={"size": "p_n"})
+
+    def hist_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("degree", as_index=False)["p_n"].sum()
+        return pd.DataFrame(
+            {"degree": g["degree"].astype("int64"), "n_parts": g["p_n"].astype("int64")}
+        )
+
+    return bucketed_group_agg(
+        degrees.map_batches(hist_partial, batch_format="pandas", batch_size=65536),
+        ["degree"],
+        hist_final,
+        n_buckets=4,
+    )

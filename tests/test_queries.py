@@ -203,6 +203,7 @@ SQL_CHECKED = [
     "q146_dau_jaccard",
     "q147_time_to_convert",
     "q148_revenue_share",
+    "q149_copurchase_degree_hist",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
