@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q147_time_to_convert": windows.q147_time_to_convert,
         "q148_revenue_share": relational.q148_revenue_share,
         "q149_copurchase_degree_hist": relational.q149_copurchase_degree_hist,
+        "q150_winsorized_mean": relational.q150_winsorized_mean,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2262,6 +2263,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q150_winsorized_mean": """
+            WITH f AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.01) AS lo,
+                       quantile_cont(o_totalprice, 0.99) AS hi
+                FROM orders GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round((CAST(sum(CAST(round(
+                            least(greatest(o.o_totalprice, f.lo), f.hi) * 400
+                          ) AS BIGINT)) AS DOUBLE) / 400.0) / count(*), 4) AS wins_mean
+            FROM orders o JOIN f USING (o_orderpriority)
+            GROUP BY 1
         """,
         "q149_copurchase_degree_hist": """
             WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -3243,3 +3243,52 @@ def q149_copurchase_degree_hist(sf_dir: str) -> "ray.data.Dataset":
         hist_final,
         n_buckets=4,
     )
+
+
+def q150_winsorized_mean(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99) -> "ray.data.Dataset":
+    """Winsorized mean per order priority: o_totalprice clamped to its
+    group's [p01, p99] before averaging — the robust-preprocessing step
+    that keeps a fat tail from dominating a feature mean. Same
+    distinct-value-histogram shape as q145 (one bucketed shuffle of
+    (group, value)->count partials; quantiles interpolated from the
+    histogram). Hash-exactness trick: raw prices live on the cents grid
+    and the (n-1)*q interpolation at q=0.01/0.99 lands on the 1/400 grid,
+    so every clamped value x400 rounds to an exact int64 — the group sum
+    is integer arithmetic on BOTH oracle sides and the final mean is one
+    deterministic division, immune to float summation order."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderpriority", "o_totalprice"], as_index=False).size()
+        return g.rename(columns={"size": "wt"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.groupby(["o_orderpriority", "o_totalprice"], as_index=False)["wt"]
+            .sum()
+            .sort_values(["o_orderpriority", "o_totalprice"], kind="mergesort")
+        )
+        out = []
+        for prio, g in df.groupby("o_orderpriority", sort=False):
+            v = g["o_totalprice"].to_numpy(dtype=np.float64)
+            c = g["wt"].to_numpy(dtype=np.int64)
+            lo = _wq_interp(v, c, lo_q)
+            hi = _wq_interp(v, c, hi_q)
+            q400 = np.rint(np.clip(v, lo, hi) * 400.0).astype(np.int64)
+            n = int(c.sum())
+            mean = (float(np.dot(q400, c)) / 400.0) / n
+            out.append(
+                {
+                    "o_orderpriority": prio,
+                    "n_rows": n,
+                    "wins_mean": float(round_away(np.array([mean]), 4)[0]),
+                }
+            )
+        return pd.DataFrame(out).astype({"n_rows": "int64"})
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_orderpriority"],
+        final,
+        n_buckets=4,
+    )

@@ -204,6 +204,7 @@ SQL_CHECKED = [
     "q147_time_to_convert",
     "q148_revenue_share",
     "q149_copurchase_degree_hist",
+    "q150_winsorized_mean",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
