@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q148_revenue_share": relational.q148_revenue_share,
         "q149_copurchase_degree_hist": relational.q149_copurchase_degree_hist,
         "q150_winsorized_mean": relational.q150_winsorized_mean,
+        "q151_ship_leadtime": relational.q151_ship_leadtime,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2263,6 +2264,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q151_ship_leadtime": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate))
+                              AS DOUBLE) / count(*), 4) AS avg_lead_days,
+                   CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate))
+                        AS BIGINT) AS max_lead_days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
         """,
         "q150_winsorized_mean": """
             WITH f AS (

@@ -3292,3 +3292,61 @@ def q150_winsorized_mean(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99) ->
         final,
         n_buckets=4,
     )
+
+
+def q151_ship_leadtime(sf_dir: str) -> "ray.data.Dataset":
+    """Order-to-ship lead time per priority (mean + worst case in days) —
+    the fulfillment-latency SLA screen, and the engine's fact-to-fact join
+    aggregate: neither lineitem nor orders is broadcastable, so both ride
+    ONE orderkey-bucketed shuffle (bucketed_join, two narrow columns per
+    side) and the per-bucket merge_fn collapses matched rows straight to
+    per-priority (sum_days, n, max) partials — the exchange after the join
+    is |priorities| x buckets, never item-sized. Day diffs are calendar-day
+    boundary counts on exact int64 epoch days (dates are midnight-aligned),
+    so sums are integer-exact on both oracle sides."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_orderkey": "l_orderkey"})
+
+    orders = orders.map_batches(rename, batch_format="pandas", batch_size=65536)
+
+    def merge_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="l_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype="object"),
+                    "p_sum": pd.Series([], dtype="int64"),
+                    "p_n": pd.Series([], dtype="int64"),
+                    "p_max": pd.Series([], dtype="int64"),
+                }
+            )
+        days = (
+            m["l_shipdate"].to_numpy().astype("datetime64[D]").astype("int64")
+            - m["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        )
+        d = pd.DataFrame({"o_orderpriority": m["o_orderpriority"], "days": days})
+        return d.groupby("o_orderpriority", as_index=False).agg(
+            p_sum=("days", "sum"), p_n=("days", "size"), p_max=("days", "max")
+        )
+
+    parts = bucketed_join(li, orders, on="l_orderkey", n_buckets=32, merge_fn=merge_fn)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            p_sum=("p_sum", "sum"), n_items=("p_n", "sum"), max_lead_days=("p_max", "max")
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n_items": g["n_items"].astype("int64"),
+                "avg_lead_days": round_away(
+                    g["p_sum"].to_numpy(dtype=np.float64) / g["n_items"].to_numpy(dtype=np.float64), 4
+                ),
+                "max_lead_days": g["max_lead_days"].astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["o_orderpriority"], final, n_buckets=4)

@@ -205,6 +205,7 @@ SQL_CHECKED = [
     "q148_revenue_share",
     "q149_copurchase_degree_hist",
     "q150_winsorized_mean",
+    "q151_ship_leadtime",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
