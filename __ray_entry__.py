@@ -657,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q149_copurchase_degree_hist": relational.q149_copurchase_degree_hist,
         "q150_winsorized_mean": relational.q150_winsorized_mean,
         "q151_ship_leadtime": relational.q151_ship_leadtime,
+        "q152_daily_bounce_rate": windows.q152_daily_bounce_rate,
+        "q153_new_vs_returning": windows.q153_new_vs_returning,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2264,6 +2266,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q152_daily_bounce_rate": """
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (
+                SELECT user_id, ts,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s),
+            ses AS (
+                SELECT user_id, sid, min(ts) AS start, count(*) AS n
+                FROM g GROUP BY 1, 2)
+            SELECT CAST(date_trunc('day', start) AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+                   round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 4) AS bounce_rate
+            FROM ses GROUP BY 1
+        """,
+        "q153_new_vs_returning": """
+            WITH d AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+            SELECT CAST(d.day AS TIMESTAMP) AS day,
+                   CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN d.day = f.first_day THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_returning
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1
         """,
         "q151_ship_leadtime": """
             SELECT o.o_orderpriority,

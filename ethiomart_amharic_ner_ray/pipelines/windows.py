@@ -1260,3 +1260,96 @@ def q147_time_to_convert(sf_dir: str) -> "ray.data.Dataset":
         return g
 
     return bucketed_group_agg(pairs, ["cohort_week"], cohort_final, n_buckets=8)
+
+
+def q152_daily_bounce_rate(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Daily bounce rate: share of sessions (q21's 30-minute-gap
+    discipline) containing exactly ONE event, keyed by the session's start
+    day — the engagement-quality screen a per-event or per-window count
+    can't express because 'bounce' is a property of the whole session.
+    ONE user-bucket shuffle runs the vectorized gaps-and-islands
+    sessionizer in-bucket and collapses sessions straight to per-day
+    (n_sessions, n_bounces) partials (calendar-bounded), then a tiny
+    two-phase day reduce computes the rate on exact int64 counts."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def session_final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev_ts = df.groupby("user_id")["ts"].shift()
+        new_session = (prev_ts.isna() | ((df["ts"] - prev_ts) > gap)).astype("int64")
+        sid = new_session.groupby(df["user_id"]).cumsum()
+        ses = (
+            pd.DataFrame({"user_id": df["user_id"], "sid": sid, "ts": df["ts"]})
+            .groupby(["user_id", "sid"], as_index=False)
+            .agg(start=("ts", "min"), n=("ts", "size"))
+        )
+        day = ses["start"].dt.floor("D")
+        out = pd.DataFrame({"day": day, "bounce": (ses["n"] == 1).astype("int64")})
+        g = out.groupby("day", as_index=False).agg(
+            p_sessions=("bounce", "size"), p_bounces=("bounce", "sum")
+        )
+        return g.astype({"p_sessions": "int64", "p_bounces": "int64"})
+
+    parts = bucketed_group_agg(ds, ["user_id"], session_final, n_buckets=32)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).agg(
+            n_sessions=("p_sessions", "sum"), n_bounces=("p_bounces", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "day": g["day"].astype("datetime64[us]"),
+                "n_sessions": g["n_sessions"].astype("int64"),
+                "n_bounces": g["n_bounces"].astype("int64"),
+                "bounce_rate": round_away(
+                    g["n_bounces"].to_numpy(dtype="float64")
+                    / g["n_sessions"].to_numpy(dtype="float64"),
+                    4,
+                ),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["day"], final, n_buckets=8)
+
+
+def q153_new_vs_returning(sf_dir: str) -> "ray.data.Dataset":
+    """Daily new-vs-returning active-user split: a user counts as NEW on
+    their first-ever active day and RETURNING on every later active day —
+    the acquisition-vs-retention dashboard row that q59's cohort matrix
+    aggregates away. Exact distributed form: DISTINCT (user, day) pairs
+    through ONE user-bucket shuffle; in-bucket each user's min day marks
+    the new row and the rest are returning, leaving calendar-bounded
+    (day, n_new, n_returning) partials for a tiny day reduce."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        first = d.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame({"day": d["day"], "new": (d["day"] == first).astype("int64")})
+        g = out.groupby("day", as_index=False).agg(p_new=("new", "sum"), p_all=("new", "size"))
+        return g.astype({"p_new": "int64", "p_all": "int64"})
+
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        per_user,
+        n_buckets=32,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).agg(n_new=("p_new", "sum"), n_all=("p_all", "sum"))
+        return pd.DataFrame(
+            {
+                "day": g["day"].astype("datetime64[us]"),
+                "n_new": g["n_new"].astype("int64"),
+                "n_returning": (g["n_all"] - g["n_new"]).astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["day"], final, n_buckets=8)

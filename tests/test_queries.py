@@ -206,6 +206,8 @@ SQL_CHECKED = [
     "q149_copurchase_degree_hist",
     "q150_winsorized_mean",
     "q151_ship_leadtime",
+    "q152_daily_bounce_rate",
+    "q153_new_vs_returning",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
