@@ -659,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q151_ship_leadtime": relational.q151_ship_leadtime,
         "q152_daily_bounce_rate": windows.q152_daily_bounce_rate,
         "q153_new_vs_returning": windows.q153_new_vs_returning,
+        "q154_rfm_segments": relational.q154_rfm_segments,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2266,6 +2267,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q154_rfm_segments": """
+            WITH a AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS recency_day,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+                FROM orders GROUP BY 1),
+            t AS (
+                SELECT quantile_disc(recency_day, 0.25) AS r1,
+                       quantile_disc(recency_day, 0.50) AS r2,
+                       quantile_disc(recency_day, 0.75) AS r3,
+                       quantile_disc(frequency, 0.25) AS f1,
+                       quantile_disc(frequency, 0.50) AS f2,
+                       quantile_disc(frequency, 0.75) AS f3,
+                       quantile_disc(monetary_cents, 0.25) AS m1,
+                       quantile_disc(monetary_cents, 0.50) AS m2,
+                       quantile_disc(monetary_cents, 0.75) AS m3
+                FROM a)
+            SELECT CAST(1 + (a.recency_day > t.r1)::INT + (a.recency_day > t.r2)::INT
+                          + (a.recency_day > t.r3)::INT AS BIGINT) AS r_code,
+                   CAST(1 + (a.frequency > t.f1)::INT + (a.frequency > t.f2)::INT
+                          + (a.frequency > t.f3)::INT AS BIGINT) AS f_code,
+                   CAST(1 + (a.monetary_cents > t.m1)::INT + (a.monetary_cents > t.m2)::INT
+                          + (a.monetary_cents > t.m3)::INT AS BIGINT) AS m_code,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM a, t
+            GROUP BY 1, 2, 3
         """,
         "q152_daily_bounce_rate": """
             WITH s AS (

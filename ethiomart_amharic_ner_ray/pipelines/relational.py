@@ -3350,3 +3350,103 @@ def q151_ship_leadtime(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(parts, ["o_orderpriority"], final, n_buckets=4)
+
+
+def _disc_quantiles_from_hist(values: np.ndarray, counts: np.ndarray, qs: list) -> list:
+    """quantile_disc over a multiset given as (sorted distinct values,
+    counts): the 1-based ceil(q*n) rank element — DuckDB's discrete rule
+    (same one q131's threshold extraction pins)."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        r = int(np.ceil(q * n))
+        out.append(int(values[int(np.searchsorted(cum, r, side="left"))]))
+    return out
+
+
+def q154_rfm_segments(sf_dir: str) -> "ray.data.Dataset":
+    """RFM customer segmentation (recency / frequency / monetary quartile
+    codes, the classic marketing cut): per-customer aggregates reduce the
+    fact table ONCE (custkey-bucket two-phase: max order epoch-day, order
+    count, exact cents spend), quartile thresholds come from value-count
+    histograms over the already-aggregate-sized table (recency is
+    calendar-bounded, frequency is small-int-bounded; monetary's distinct
+    cents grow with customers — at cluster scale that dimension's
+    thresholds come from q141's micro-bin selection instead, same rank
+    rule), and code assignment is a broadcast-9-scalars streaming map
+    whose (r,f,m) cell counts collapse through a 64-row exchange. Codes
+    use quantile_disc's ceil(q*n) rank rule with value > threshold
+    boundaries — a pure function of the value, so ties land identically
+    on both oracle sides."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "day": df["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64"),
+                "cents": np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        return d.groupby("o_custkey", as_index=False).agg(
+            p_day=("day", "max"), p_n=("day", "size"), p_cents=("cents", "sum")
+        )
+
+    def agg_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            recency_day=("p_day", "max"), frequency=("p_n", "sum"), monetary_cents=("p_cents", "sum")
+        )
+        return g.astype(
+            {"recency_day": "int64", "frequency": "int64", "monetary_cents": "int64"}
+        )
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_custkey"],
+        agg_final,
+        n_buckets=32,
+    ).materialize()
+
+    thresholds = {}
+    for col in ("recency_day", "frequency", "monetary_cents"):
+        def hist_partial(df: pd.DataFrame, col=col) -> pd.DataFrame:
+            return df.groupby(col, as_index=False).size().rename(columns={"size": "cnt"})
+
+        h = (
+            agg.map_batches(hist_partial, batch_format="pandas", batch_size=65536)
+            .to_pandas()
+            .groupby(col, as_index=False)["cnt"]
+            .sum()
+            .sort_values(col, kind="mergesort")
+        )
+        thresholds[col] = _disc_quantiles_from_hist(
+            h[col].to_numpy(dtype=np.int64), h["cnt"].to_numpy(dtype=np.int64), [0.25, 0.5, 0.75]
+        )
+    ref = ray.put(thresholds)
+
+    def code_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = get_broadcast(ref)
+        out = {}
+        for col, code in (
+            ("recency_day", "r_code"),
+            ("frequency", "f_code"),
+            ("monetary_cents", "m_code"),
+        ):
+            v = df[col].to_numpy(dtype=np.int64)
+            t1, t2, t3 = t[col]
+            out[code] = (1 + (v > t1).astype("int64") + (v > t2) + (v > t3)).astype("int64")
+        d = pd.DataFrame(out)
+        return d.groupby(["r_code", "f_code", "m_code"], as_index=False).size().rename(
+            columns={"size": "p_n"}
+        )
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["r_code", "f_code", "m_code"], as_index=False)["p_n"].sum()
+        g = g.rename(columns={"p_n": "n_customers"})
+        return g.astype({"n_customers": "int64"})
+
+    coded = agg.map_batches(code_partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(coded, ["r_code", "f_code", "m_code"], count_final, n_buckets=4)

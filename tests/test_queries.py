@@ -208,6 +208,7 @@ SQL_CHECKED = [
     "q151_ship_leadtime",
     "q152_daily_bounce_rate",
     "q153_new_vs_returning",
+    "q154_rfm_segments",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
