@@ -660,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q152_daily_bounce_rate": windows.q152_daily_bounce_rate,
         "q153_new_vs_returning": windows.q153_new_vs_returning,
         "q154_rfm_segments": relational.q154_rfm_segments,
+        "q155_source_ks": textstats.q155_source_ks,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2267,6 +2268,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q155_source_ks": """
+            WITH c AS (
+                SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY 1, 2),
+            tot AS (SELECT source, sum(cnt) AS n FROM c GROUP BY 1),
+            corpus AS (SELECT n_chars, sum(cnt) AS ccnt FROM c GROUP BY 1),
+            ctot AS (SELECT sum(cnt) AS cn FROM c),
+            grid AS (
+                SELECT s.source, g.n_chars
+                FROM (SELECT DISTINCT source FROM c) s,
+                     (SELECT DISTINCT n_chars FROM c) g),
+            f AS (
+                SELECT g.source, g.n_chars,
+                       sum(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.source
+                                                     ORDER BY g.n_chars) AS scum,
+                       sum(co.ccnt) OVER (PARTITION BY g.source
+                                          ORDER BY g.n_chars) AS ccum
+                FROM grid g
+                LEFT JOIN c ON c.source = g.source AND c.n_chars = g.n_chars
+                JOIN corpus co ON co.n_chars = g.n_chars)
+            SELECT f.source, CAST(t.n AS BIGINT) AS n_docs,
+                   round(max(abs(CAST(f.scum AS DOUBLE) / t.n
+                                 - CAST(f.ccum AS DOUBLE) / ct.cn)), 6) AS ks
+            FROM f JOIN tot t USING (source) CROSS JOIN ctot ct
+            GROUP BY f.source, t.n
         """,
         "q154_rfm_segments": """
             WITH a AS (

@@ -2392,3 +2392,59 @@ def q143_fuzzy_decontaminate(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q155_source_ks(sf_dir: str) -> pd.DataFrame:
+    """Per-source distribution-drift screen: the two-sample
+    Kolmogorov-Smirnov statistic between each source's document-length
+    (n_chars) distribution and the pooled corpus — the SHAPE-drift
+    companion to q125's token-KL (KL sees what words shifted; KS sees
+    whether a source's length profile diverged, the classic
+    boilerplate/truncation symptom). Both ECDFs are step functions that
+    jump only at observed values, so the exact sup-distance is the max
+    over the bounded (source, n_chars) count table: one two-phase count
+    exchange (distinct lengths x sources — schema-bounded), then the
+    cumulative-difference scan is driver math on that aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "n_chars"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "n_chars"], as_index=False)["cnt"].sum()
+        return g.astype({"cnt": "int64"})
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["source", "n_chars"],
+        final,
+        n_buckets=8,
+    ).to_pandas()
+
+    grid = np.sort(counts["n_chars"].unique())
+    corpus = (
+        counts.groupby("n_chars")["cnt"].sum().reindex(grid, fill_value=0).to_numpy(dtype=np.int64)
+    )
+    cn = float(corpus.sum())
+    ccum = np.cumsum(corpus).astype(np.float64) / cn
+    out = []
+    for source, g in counts.groupby("source", sort=True):
+        sc = g.set_index("n_chars")["cnt"].reindex(grid, fill_value=0).to_numpy(dtype=np.int64)
+        n = float(sc.sum())
+        scum = np.cumsum(sc).astype(np.float64) / n
+        out.append(
+            {
+                "source": source,
+                "n_docs": int(n),
+                "ks": float(round_away(np.array([np.abs(scum - ccum).max()]), 6)[0]),
+            }
+        )
+    res = pd.DataFrame(out)
+    return res.astype({"n_docs": "int64"})

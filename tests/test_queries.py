@@ -209,6 +209,7 @@ SQL_CHECKED = [
     "q152_daily_bounce_rate",
     "q153_new_vs_returning",
     "q154_rfm_segments",
+    "q155_source_ks",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
