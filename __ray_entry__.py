@@ -661,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q153_new_vs_returning": windows.q153_new_vs_returning,
         "q154_rfm_segments": relational.q154_rfm_segments,
         "q155_source_ks": textstats.q155_source_ks,
+        "q156_frequent_triples": relational.q156_frequent_triples,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2268,6 +2269,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q156_frequent_triples": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   c.l_partkey AS part_c,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM lp a
+            JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            JOIN lp c ON b.l_orderkey = c.l_orderkey
+                     AND b.l_partkey < c.l_partkey
+            GROUP BY 1, 2, 3
+            ORDER BY n_orders DESC, part_a, part_b, part_c
+            LIMIT 50
         """,
         "q155_source_ks": """
             WITH c AS (

@@ -3450,3 +3450,65 @@ def q154_rfm_segments(sf_dir: str) -> "ray.data.Dataset":
 
     coded = agg.map_batches(code_partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(coded, ["r_code", "f_code", "m_code"], count_final, n_buckets=4)
+
+
+def q156_frequent_triples(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Frequent 3-itemset mining over order baskets (the Apriori rung
+    above q81's pair mining): top-k part triples by co-occurrence count.
+    DISTINCT (order, part) pairs co-locate per basket in ONE order-bucket
+    shuffle; the in-basket ordered-triple expansion is two chained
+    self-merges (cubic only in basket size — single digits here; a hot
+    basket takes two_hop's min-k cap), per-bucket pre-counts collapse
+    repeats before the one triple-key exchange, and the global top-k uses
+    q05's per-batch-top-k shape (count desc, then keys — a total order, so
+    the LIMIT boundary is deterministic on both oracle sides)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def lp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_orderkey", "l_partkey"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).rename(
+            columns={"l_partkey": "part_a"}
+        )
+        m2 = d.merge(
+            d.rename(columns={"part_a": "part_b"}), on="l_orderkey"
+        )
+        m2 = m2.loc[m2["part_a"] < m2["part_b"]]
+        m3 = m2.merge(
+            d.rename(columns={"part_a": "part_c"}), on="l_orderkey"
+        )
+        m3 = m3.loc[m3["part_b"] < m3["part_c"]]
+        g = m3.groupby(["part_a", "part_b", "part_c"], as_index=False).size()
+        return g.rename(columns={"size": "p_n"})
+
+    parts = bucketed_group_agg(
+        ds.map_batches(lp_partial, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        expand,
+        n_buckets=32,
+    )
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["part_a", "part_b", "part_c"], as_index=False)["p_n"].sum()
+        return g.rename(columns={"p_n": "n_orders"}).astype({"n_orders": "int64"})
+
+    counts = bucketed_group_agg(parts, ["part_a", "part_b", "part_c"], count_final, n_buckets=16)
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n_orders", "part_a", "part_b", "part_c"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    cand = counts.map_batches(topk_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    return (
+        cand.sort_values(
+            ["n_orders", "part_a", "part_b", "part_c"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )

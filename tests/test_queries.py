@@ -210,6 +210,7 @@ SQL_CHECKED = [
     "q153_new_vs_returning",
     "q154_rfm_segments",
     "q155_source_ks",
+    "q156_frequent_triples",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
