@@ -662,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q154_rfm_segments": relational.q154_rfm_segments,
         "q155_source_ks": textstats.q155_source_ks,
         "q156_frequent_triples": relational.q156_frequent_triples,
+        "q157_brand_discount_qty_corr": relational.q157_brand_discount_qty_corr,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2269,6 +2270,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q157_brand_discount_qty_corr": """
+            WITH j AS (
+                SELECT p.p_brand,
+                       CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+                       CAST(l.l_quantity AS BIGINT) AS y
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            s AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy
+                FROM j GROUP BY 1)
+            SELECT p_brand, n,
+                   round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                            * sqrt(CAST(n AS DOUBLE) * syy
+                                   - CAST(sy AS DOUBLE) * sy)), 6) AS corr_disc_qty
+            FROM s
         """,
         "q156_frequent_triples": """
             WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

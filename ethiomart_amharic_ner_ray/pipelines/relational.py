@@ -3512,3 +3512,65 @@ def q156_frequent_triples(sf_dir: str, k: int = 50) -> pd.DataFrame:
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def q157_brand_discount_qty_corr(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped Pearson correlation (discount vs quantity per brand) — the
+    price-elasticity proxy, and the GROUPED form of q39's
+    sufficient-statistic correlation: the part dimension broadcasts
+    (sorted-key searchsorted, q50's join shape), each batch emits exact
+    int64 six-number partials (n, Σx, Σy, Σxy, Σx², Σy² over cents-grid
+    discount and integral quantity), and ONE brand-bucket exchange of
+    brand-sized partials finishes. The correlation is evaluated from the
+    exact integer sums with the identical explicit expression on both
+    oracle sides — every operand below 2^53, so the float math is
+    bit-identical."""
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pk = part.column("p_partkey").to_numpy()
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], np.asarray(part.column("p_brand").to_pylist(), dtype=object)[order]))
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_discount", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, brands = get_broadcast(ref)
+        ix = np.searchsorted(keys, df["l_partkey"].to_numpy())
+        ix = np.clip(ix, 0, len(keys) - 1)
+        x = np.rint(df["l_discount"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        y = df["l_quantity"].to_numpy(dtype=np.float64).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "p_brand": brands[ix],
+                "n": np.ones(len(df), dtype=np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        return d.groupby("p_brand", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).sum()
+        n = g["n"].to_numpy(dtype=np.float64)
+        sx = g["sx"].to_numpy(dtype=np.float64)
+        sy = g["sy"].to_numpy(dtype=np.float64)
+        sxy = g["sxy"].to_numpy(dtype=np.float64)
+        sxx = g["sxx"].to_numpy(dtype=np.float64)
+        syy = g["syy"].to_numpy(dtype=np.float64)
+        corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+        return pd.DataFrame(
+            {
+                "p_brand": g["p_brand"],
+                "n": g["n"].astype("int64"),
+                "corr_disc_qty": round_away(corr, 6),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["p_brand"],
+        final,
+        n_buckets=8,
+    )

@@ -211,6 +211,7 @@ SQL_CHECKED = [
     "q154_rfm_segments",
     "q155_source_ks",
     "q156_frequent_triples",
+    "q157_brand_discount_qty_corr",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
