@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q155_source_ks": textstats.q155_source_ks,
         "q156_frequent_triples": relational.q156_frequent_triples,
         "q157_brand_discount_qty_corr": relational.q157_brand_discount_qty_corr,
+        "q158_pair_lift": relational.q158_pair_lift,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2270,6 +2271,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q158_pair_lift": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lp),
+            marg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a
+                     FROM lp GROUP BY 1),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2)
+            SELECT p.part_a, p.part_b, p.n_ab,
+                   round((CAST(p.n_ab AS DOUBLE) * t.n)
+                         / (CAST(ma.n_a AS DOUBLE) * mb.n_a), 6) AS lift
+            FROM pairs p
+            JOIN marg ma ON ma.l_partkey = p.part_a
+            JOIN marg mb ON mb.l_partkey = p.part_b
+            CROSS JOIN tot t
+            ORDER BY lift DESC, p.part_a, p.part_b
+            LIMIT 50
         """,
         "q157_brand_discount_qty_corr": """
             WITH j AS (

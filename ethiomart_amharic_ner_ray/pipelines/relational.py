@@ -3574,3 +3574,102 @@ def q157_brand_discount_qty_corr(sf_dir: str) -> "ray.data.Dataset":
         final,
         n_buckets=8,
     )
+
+
+def q158_pair_lift(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFrame:
+    """Association-rule LIFT for co-purchase pairs: lift(a,b) =
+    P(a,b)/(P(a)·P(b)) = n_ab·N / (n_a·n_b) — the normalization q81's raw
+    pair counts lack (a pair of two individually-popular parts is not a
+    signal; a pair that co-occurs far above its marginals is). Pair counts
+    reuse q149's basket expansion (one order-bucket shuffle, a<b
+    direction); marginal order-counts per part and the total order count N
+    are a second two-phase pass over the SAME distinct (order, part)
+    pairs; marginals broadcast (dimension-sized) into a streaming lift map
+    over the pair counts, and the top-k rides q05's per-batch-top-k under
+    the total order (lift desc, part_a, part_b). Lift is a double ratio of
+    exact int64 products (<2^53), so both oracle sides compute identical
+    bits."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def lp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_orderkey", "l_partkey"])
+
+    def pair_expand(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m.loc[m["l_partkey_a"] < m["l_partkey_b"]]
+        g = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        return g.rename(
+            columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b", "size": "p_n"}
+        )
+
+    lp = ds.map_batches(lp_partial, batch_format="pandas", batch_size=65536)
+    pairs = bucketed_group_agg(lp, ["l_orderkey"], pair_expand, n_buckets=32)
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["part_a", "part_b"], as_index=False)["p_n"].sum()
+        return g.rename(columns={"p_n": "n_ab"}).astype({"n_ab": "int64"})
+
+    pair_counts = bucketed_group_agg(pairs, ["part_a", "part_b"], pair_final, n_buckets=16)
+
+    # marginals: per-part order counts from the same distinct pairs (the
+    # distinct pass above already bounded them); order total from a
+    # distinct count. Both reduce to dimension-sized frames.
+    marg = (
+        bucketed_group_agg(
+            lp,
+            ["l_orderkey"],
+            lambda df: df.drop_duplicates(["l_orderkey", "l_partkey"]),
+            n_buckets=32,
+        )
+        .map_batches(
+            lambda df: pd.concat(
+                [
+                    df.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n_a"}),
+                    pd.DataFrame({"l_partkey": [-1], "n_a": [df["l_orderkey"].nunique()]}),
+                ],
+                ignore_index=True,
+            ),
+            batch_format="pandas",
+            batch_size=1 << 30,
+        )
+        .to_pandas()
+        .groupby("l_partkey", as_index=False)["n_a"]
+        .sum()
+    )
+    n_orders = int(marg.loc[marg["l_partkey"] == -1, "n_a"].iloc[0])
+    marg = marg.loc[marg["l_partkey"] != -1]
+    keys = marg["l_partkey"].to_numpy(dtype=np.int64)
+    order_k = np.argsort(keys)
+    ref = ray.put((keys[order_k], marg["n_a"].to_numpy(dtype=np.int64)[order_k], n_orders))
+
+    def lift_topk(df: pd.DataFrame) -> pd.DataFrame:
+        keys, na, n_tot = get_broadcast(ref)
+        d = df.loc[df["n_ab"] >= min_support].copy()
+        if len(d) == 0:
+            return pd.DataFrame(
+                {
+                    "part_a": pd.Series([], dtype="int64"),
+                    "part_b": pd.Series([], dtype="int64"),
+                    "n_ab": pd.Series([], dtype="int64"),
+                    "lift": pd.Series([], dtype="float64"),
+                }
+            )
+        ia = np.searchsorted(keys, d["part_a"].to_numpy(dtype=np.int64))
+        ib = np.searchsorted(keys, d["part_b"].to_numpy(dtype=np.int64))
+        lift = (
+            d["n_ab"].to_numpy(dtype=np.float64) * float(n_tot)
+        ) / (na[ia].astype(np.float64) * na[ib].astype(np.float64))
+        d["lift"] = round_away(lift, 6)
+        return d.sort_values(
+            ["lift", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+
+    cand = pair_counts.map_batches(lift_topk, batch_format="pandas", batch_size=65536).to_pandas()
+    return (
+        cand.sort_values(
+            ["lift", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )

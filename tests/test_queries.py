@@ -212,6 +212,7 @@ SQL_CHECKED = [
     "q155_source_ks",
     "q156_frequent_triples",
     "q157_brand_discount_qty_corr",
+    "q158_pair_lift",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
