@@ -664,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q156_frequent_triples": relational.q156_frequent_triples,
         "q157_brand_discount_qty_corr": relational.q157_brand_discount_qty_corr,
         "q158_pair_lift": relational.q158_pair_lift,
+        "q159_double_charge": windows.q159_double_charge,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2271,6 +2272,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q159_double_charge": """
+            WITH f AS (
+                SELECT a.event_id, date_trunc('day', a.ts) AS day,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM events b
+                           WHERE b.user_id = a.user_id AND b.value = a.value
+                             AND b.event_id <> a.event_id
+                             AND abs(epoch_us(b.ts) - epoch_us(a.ts))
+                                 <= 60 * 1000000)
+                       THEN 1 ELSE 0 END AS fl
+                FROM events a)
+            SELECT CAST(day AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(fl) AS BIGINT) AS n_flagged
+            FROM f GROUP BY 1
         """,
         "q158_pair_lift": """
             WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

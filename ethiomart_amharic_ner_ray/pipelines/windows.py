@@ -1353,3 +1353,47 @@ def q153_new_vs_returning(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(parts, ["day"], final, n_buckets=8)
+
+
+def q159_double_charge(sf_dir: str, window_s: int = 60) -> "ray.data.Dataset":
+    """Double-charge screen (payments fraud/data-glitch audit): per DAY,
+    how many events have ANOTHER event by the same user with the IDENTICAL
+    value within ``window_s`` seconds — the near-duplicate-transaction
+    shape that exact dedup (q11) misses because the rows differ in
+    id/timestamp. Exact distributed form: ONE user-bucket shuffle;
+    in-bucket rows sort by (user, value, ts), where 'any same-value event
+    within the window' reduces to the sorted NEIGHBOR check (the
+    nearest-in-time qualifying event is adjacent in this order), one
+    vectorized shift compare, calendar-bounded (day, n_events, n_flagged)
+    partials out — so the report stays day-sized and zero-filled days
+    survive even when the screen finds nothing. Value matching is exact
+    float64 equality: both oracle sides read the same parquet doubles."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value", "ts"])
+    w_us = int(window_s) * 1_000_000
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "value", "ts"], kind="mergesort")
+        u = d["user_id"].to_numpy()
+        v = d["value"].to_numpy()
+        t = d["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        flagged = np.zeros(len(d), dtype=bool)
+        if len(d) > 1:
+            hit = (u[1:] == u[:-1]) & (v[1:] == v[:-1]) & ((t[1:] - t[:-1]) <= w_us)
+            flagged[1:] |= hit
+            flagged[:-1] |= hit
+        out = pd.DataFrame({"day": d["ts"].dt.floor("D"), "f": flagged.astype("int64")})
+        g = out.groupby("day", as_index=False).agg(p_events=("f", "size"), p_flagged=("f", "sum"))
+        return g.astype({"p_events": "int64", "p_flagged": "int64"})
+
+    parts = bucketed_group_agg(ds, ["user_id"], final, n_buckets=32)
+
+    def day_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).agg(
+            n_events=("p_events", "sum"), n_flagged=("p_flagged", "sum")
+        )
+        g["day"] = g["day"].astype("datetime64[us]")
+        return g.astype({"n_events": "int64", "n_flagged": "int64"})
+
+    return bucketed_group_agg(parts, ["day"], day_final, n_buckets=8)

@@ -213,6 +213,7 @@ SQL_CHECKED = [
     "q156_frequent_triples",
     "q157_brand_discount_qty_corr",
     "q158_pair_lift",
+    "q159_double_charge",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
@@ -563,3 +564,56 @@ def test_q145_planted_outliers(ray_session, tmp_path):
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got.loc[got["o_orderpriority"] == "1-TAIL", "n_outliers"].iloc[0] >= 4
+
+
+def test_q159_planted_double_charges(ray_session, tmp_path):
+    """The fixture has no same-value same-user events within 60s, so plant
+    a duplicate burst (3 equal charges in 90s — chain adjacency), an
+    exact-timestamp twin, a same-value pair OUTSIDE the window, and a
+    same-value pair across DIFFERENT users, and check the neighbor-check
+    engine against the EXISTS-self-join oracle."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.windows import q159_double_charge
+
+    t0 = pd.Timestamp("2025-06-01 10:00:00")
+    rows = [
+        # chain: e1-e2 30s apart, e2-e3 50s apart (e1-e3 80s: still flagged via e2)
+        (1, 100, 9.99, t0),
+        (2, 100, 9.99, t0 + pd.Timedelta(seconds=30)),
+        (3, 100, 9.99, t0 + pd.Timedelta(seconds=80)),
+        # exact-timestamp twin
+        (4, 200, 5.00, t0),
+        (5, 200, 5.00, t0),
+        # same value, outside the window
+        (6, 300, 7.77, t0),
+        (7, 300, 7.77, t0 + pd.Timedelta(seconds=61)),
+        # same value within window but DIFFERENT users
+        (8, 400, 3.33, t0),
+        (9, 401, 3.33, t0 + pd.Timedelta(seconds=5)),
+        # clean singleton
+        (10, 500, 1.23, t0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = (
+        q159_double_charge(str(tmp_path))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    import __ray_entry__ as m
+
+    want = con.sql(m.oracle_sql()["q159_double_charge"]).df().sort_values("day").reset_index(drop=True)
+    got["day"] = got["day"].astype("datetime64[us]")
+    want["day"] = want["day"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(got["n_flagged"].sum()) == 5  # e1,e2,e3 + the twin pair
