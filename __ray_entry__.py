@@ -665,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q157_brand_discount_qty_corr": relational.q157_brand_discount_qty_corr,
         "q158_pair_lift": relational.q158_pair_lift,
         "q159_double_charge": windows.q159_double_charge,
+        "q160_abc_classes": relational.q160_abc_classes,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2272,6 +2273,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q160_abc_classes": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+                FROM lineitem GROUP BY 1),
+            v AS (SELECT rev, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1),
+            c AS (
+                SELECT rev, n, rev * n AS rt,
+                       COALESCE(sum(rev * n) OVER (ORDER BY rev DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum_prev,
+                       sum(rev * n) OVER () AS tot
+                FROM v)
+            SELECT CASE WHEN cum_prev * 100 < tot * 80 THEN 'A'
+                        WHEN cum_prev * 100 < tot * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   CAST(sum(n) AS BIGINT) AS n_parts,
+                   round(CAST(sum(rt) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+                       AS rev_share
+            FROM c GROUP BY 1
         """,
         "q159_double_charge": """
             WITH f AS (

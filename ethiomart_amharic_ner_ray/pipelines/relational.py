@@ -3673,3 +3673,67 @@ def q158_pair_lift(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFra
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def q160_abc_classes(sf_dir: str) -> pd.DataFrame:
+    """ABC / Pareto inventory classification: parts bucketed into class A
+    (the top revenue values covering the first 80% of total revenue), B
+    (to 95%) and C (the tail) — the classic concentration cut next to
+    q144's Gini. Per-part revenues reduce through one partkey-bucket
+    two-phase (exact int64 cents); parts then collapse to the
+    (revenue-value, n_parts) histogram in a second bounded exchange, and
+    the descending cumulative scan + class rule is driver math on that
+    aggregate (distinct revenue values — part-dimension sized; at cluster
+    scale the two boundary thresholds come from q141's micro-bin selection
+    instead). The class boundary is an INTEGER comparison
+    (cum_prev*100 < total*80) on exact cents, so ties and edges land
+    identically on both oracle sides; a value straddling a boundary goes
+    wholly to the upper class."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"],
+                "rev": np.rint(
+                    df["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        return d.groupby("l_partkey", as_index=False)["rev"].sum()
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False)["rev"].sum()
+        h = g.groupby("rev", as_index=False).size().rename(columns={"size": "n"})
+        return h.astype({"rev": "int64", "n": "int64"})
+
+    hist = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["l_partkey"],
+            per_part,
+            n_buckets=32,
+        )
+        .to_pandas()
+        .groupby("rev", as_index=False)["n"]
+        .sum()
+        .sort_values("rev", ascending=False, kind="mergesort")
+    )
+    rev = hist["rev"].to_numpy(dtype=np.int64)
+    n = hist["n"].to_numpy(dtype=np.int64)
+    rt = rev * n
+    tot = int(rt.sum())
+    cum_prev = np.concatenate([[0], np.cumsum(rt)[:-1]])
+    cls = np.where(cum_prev * 100 < tot * 80, "A", np.where(cum_prev * 100 < tot * 95, "B", "C"))
+    out = (
+        pd.DataFrame({"abc_class": cls, "n": n, "rt": rt})
+        .groupby("abc_class", as_index=False)
+        .agg(n_parts=("n", "sum"), rt=("rt", "sum"))
+    )
+    return pd.DataFrame(
+        {
+            "abc_class": out["abc_class"],
+            "n_parts": out["n_parts"].astype("int64"),
+            "rev_share": round_away(out["rt"].to_numpy(dtype=np.float64) / float(tot), 6),
+        }
+    )

@@ -214,6 +214,7 @@ SQL_CHECKED = [
     "q157_brand_discount_qty_corr",
     "q158_pair_lift",
     "q159_double_charge",
+    "q160_abc_classes",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
