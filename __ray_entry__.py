@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q158_pair_lift": relational.q158_pair_lift,
         "q159_double_charge": windows.q159_double_charge,
         "q160_abc_classes": relational.q160_abc_classes,
+        "q161_hapax_ratio": textstats.q161_hapax_ratio,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2273,6 +2274,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q161_hapax_ratio": r"""
+            WITH tk AS (
+                SELECT source, t AS token, count(*) AS tf FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents)
+                WHERE t <> ''
+                GROUP BY source, t)
+            SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+                   round(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS hapax_ratio
+            FROM tk GROUP BY source
         """,
         "q160_abc_classes": """
             WITH pr AS (

@@ -2448,3 +2448,66 @@ def q155_source_ks(sf_dir: str) -> pd.DataFrame:
         )
     res = pd.DataFrame(out)
     return res.astype({"n_docs": "int64"})
+
+
+def q161_hapax_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source hapax-legomena ratio: the share of each source's
+    vocabulary that occurs exactly ONCE in that source — the
+    vocabulary-richness screen (high hapax = diverse or noisy text; low =
+    templated/boilerplate, the q139 symptom seen from the other side).
+    Arrow-vectorized tokenize (q35's kernel) collapses each batch to
+    (source, token) count partials; ONE pair-bucket shuffle makes
+    per-(source, token) totals exact, and each bucket emits per-source
+    (vocab, hapax) counts — source-vocabulary-bounded partials — for a
+    tiny source reduce."""
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        src = pc.take(t.column("source"), pc.list_parent_indices(toks))
+        d = pd.DataFrame(
+            {"source": src.to_pylist(), "token": flat.to_pylist()}
+        )
+        d = d[d["token"] != ""]
+        g = d.groupby(["source", "token"], as_index=False).size().rename(columns={"size": "tf"})
+        return pa.Table.from_pandas(
+            g.astype({"tf": "int64"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "token"], as_index=False)["tf"].sum()
+        out = g.groupby("source", as_index=False).agg(
+            p_vocab=("tf", "size"), p_hapax=("tf", lambda s: int((s == 1).sum()))
+        )
+        return out.astype({"p_vocab": "int64", "p_hapax": "int64"})
+
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "token"],
+        pair_final,
+        n_buckets=16,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            vocab=("p_vocab", "sum"), hapax=("p_hapax", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "vocab": g["vocab"].astype("int64"),
+                "hapax": g["hapax"].astype("int64"),
+                "hapax_ratio": round_away(
+                    g["hapax"].to_numpy(dtype="float64") / g["vocab"].to_numpy(dtype="float64"),
+                    6,
+                ),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["source"], final, n_buckets=4)

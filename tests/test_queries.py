@@ -215,6 +215,7 @@ SQL_CHECKED = [
     "q158_pair_lift",
     "q159_double_charge",
     "q160_abc_classes",
+    "q161_hapax_ratio",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
