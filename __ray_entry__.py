@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q159_double_charge": windows.q159_double_charge,
         "q160_abc_classes": relational.q160_abc_classes,
         "q161_hapax_ratio": textstats.q161_hapax_ratio,
+        "q162_supplier_hhi": relational.q162_supplier_hhi,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2274,6 +2275,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q162_supplier_hhi": """
+            WITH s AS (
+                SELECT p.p_type, l.l_suppkey,
+                       sum(CAST(l_quantity AS BIGINT)) AS qty
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1, 2)
+            SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(CAST(sum(qty * qty) AS DOUBLE)
+                         / (CAST(sum(qty) AS DOUBLE) * sum(qty)), 6) AS hhi
+            FROM s GROUP BY 1
         """,
         "q161_hapax_ratio": r"""
             WITH tk AS (

@@ -3737,3 +3737,59 @@ def q160_abc_classes(sf_dir: str) -> pd.DataFrame:
             "rev_share": round_away(out["rt"].to_numpy(dtype=np.float64) / float(tot), 6),
         }
     )
+
+
+def q162_supplier_hhi(sf_dir: str) -> "ray.data.Dataset":
+    """Herfindahl-Hirschman supply-concentration index per part type: the
+    sum of squared supplier shares of shipped quantity — the market- /
+    supply-chain-risk screen next to q144's Gini (HHI says WHO dominates a
+    segment, Gini says how unequal the whole tail is). Broadcast part
+    dimension stamps the type; (type, supplier) integral-quantity sums
+    reduce two-phase; in the final type-bucket the index is computed from
+    EXACT int64 sums (HHI = Σn_i² / (Σn_i)² — both operands integer, one
+    double division at the end), so supplier iteration order can never
+    wiggle the result on either oracle side."""
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], np.asarray(part.column("p_type").to_pylist(), dtype=object)[order]))
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, types = get_broadcast(ref)
+        ix = np.clip(np.searchsorted(keys, df["l_partkey"].to_numpy()), 0, len(keys) - 1)
+        d = pd.DataFrame(
+            {
+                "p_type": types[ix],
+                "l_suppkey": df["l_suppkey"],
+                "qty": df["l_quantity"].to_numpy(dtype=np.float64).astype(np.int64),
+            }
+        )
+        return d.groupby(["p_type", "l_suppkey"], as_index=False)["qty"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_type", "l_suppkey"], as_index=False)["qty"].sum()
+        out = []
+        for t, gg in g.groupby("p_type", sort=False):
+            n = gg["qty"].to_numpy(dtype=np.int64)
+            tot = int(n.sum())
+            out.append(
+                {
+                    "p_type": t,
+                    "n_suppliers": len(n),
+                    "hhi": float(
+                        round_away(
+                            np.array([float(int((n * n).sum())) / float(tot * tot)]), 6
+                        )[0]
+                    ),
+                }
+            )
+        return pd.DataFrame(out).astype({"n_suppliers": "int64"})
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["p_type"],
+        final,
+        n_buckets=8,
+    )

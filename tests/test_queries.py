@@ -216,6 +216,7 @@ SQL_CHECKED = [
     "q159_double_charge",
     "q160_abc_classes",
     "q161_hapax_ratio",
+    "q162_supplier_hhi",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
