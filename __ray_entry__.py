@@ -668,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q160_abc_classes": relational.q160_abc_classes,
         "q161_hapax_ratio": textstats.q161_hapax_ratio,
         "q162_supplier_hhi": relational.q162_supplier_hhi,
+        "q163_conversion_ztest": relational.q163_conversion_ztest,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2275,6 +2276,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q163_conversion_ztest": """
+            WITH c AS (
+                SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS x
+                FROM events WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1),
+            t AS (SELECT sum(n) AS N, sum(x) AS X FROM c)
+            SELECT c.dow, c.n AS n_events, c.x AS n_purchases,
+                   round((CAST(c.x AS DOUBLE) / c.n
+                          - (CAST(t.X AS DOUBLE) - c.x)
+                            / (CAST(t.N AS DOUBLE) - c.n))
+                         / sqrt((CAST(t.X AS DOUBLE) / t.N)
+                                * (1.0 - CAST(t.X AS DOUBLE) / t.N)
+                                * (1.0 / c.n
+                                   + 1.0 / (CAST(t.N AS DOUBLE) - c.n))), 6) AS z
+            FROM c CROSS JOIN t
         """,
         "q162_supplier_hhi": """
             WITH s AS (

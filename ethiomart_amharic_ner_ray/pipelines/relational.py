@@ -3793,3 +3793,58 @@ def q162_supplier_hhi(sf_dir: str) -> "ray.data.Dataset":
         final,
         n_buckets=8,
     )
+
+
+def q163_conversion_ztest(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test per ISO weekday: is a weekday's purchase
+    share among funnel events (clicks + purchases) significantly different
+    from the REST of the week's — the A/B-shaped statistical screen next
+    to q111's chi-squared (chi² asks 'is anything off?'; the z per cell
+    says WHERE and in which direction). One bounded two-phase count on
+    (isodow, event_type) — 14 cells — and the closed-form
+    z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) is driver math from exact int64
+    counts with the identical expression on the SQL side."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(["click", "purchase"])]
+        g = pd.DataFrame(
+            {
+                "dow": (d["ts"].dt.dayofweek + 1).astype("int64"),
+                "is_purch": (d["event_type"] == "purchase").astype("int64"),
+            }
+        )
+        return g.groupby("dow", as_index=False).agg(p_n=("is_purch", "size"), p_x=("is_purch", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dow", as_index=False).agg(n=("p_n", "sum"), x=("p_x", "sum"))
+        return g.astype({"n": "int64", "x": "int64"})
+
+    cells = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["dow"],
+            final,
+            n_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("dow", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    N = float(cells["n"].sum())
+    X = float(cells["x"].sum())
+    n1 = cells["n"].to_numpy(dtype=np.float64)
+    x1 = cells["x"].to_numpy(dtype=np.float64)
+    n2 = N - n1
+    p1 = x1 / n1
+    p2 = (X - x1) / n2
+    pooled = X / N
+    z = (p1 - p2) / np.sqrt(pooled * (1.0 - pooled) * (1.0 / n1 + 1.0 / n2))
+    return pd.DataFrame(
+        {
+            "dow": cells["dow"].astype("int64"),
+            "n_events": cells["n"].astype("int64"),
+            "n_purchases": cells["x"].astype("int64"),
+            "z": round_away(z, 6),
+        }
+    )

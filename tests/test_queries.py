@@ -217,6 +217,7 @@ SQL_CHECKED = [
     "q160_abc_classes",
     "q161_hapax_ratio",
     "q162_supplier_hhi",
+    "q163_conversion_ztest",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
