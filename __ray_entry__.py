@@ -669,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q161_hapax_ratio": textstats.q161_hapax_ratio,
         "q162_supplier_hhi": relational.q162_supplier_hhi,
         "q163_conversion_ztest": relational.q163_conversion_ztest,
+        "q164_cusum_changepoint": windows.q164_cusum_changepoint,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2276,6 +2277,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q164_cusum_changepoint": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(round(round((CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                              AS DOUBLE) / 100.0)
+                                        / count(*), 4) * 10000) AS BIGINT) AS x4
+                FROM events GROUP BY 1, 2),
+            c AS (
+                SELECT event_type, day, x4,
+                       sum(x4) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS i,
+                       sum(x4) OVER (PARTITION BY event_type) AS tot,
+                       count(*) OVER (PARTITION BY event_type) AS nd
+                FROM d),
+            k AS (
+                SELECT event_type, day, nd,
+                       abs(nd * cum - i * tot) AS adev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY abs(nd * cum - i * tot) DESC,
+                                                   day) AS rn
+                FROM c)
+            SELECT event_type, CAST(day AS TIMESTAMP) AS change_day,
+                   CAST(nd AS BIGINT) AS n_days, CAST(adev AS BIGINT) AS peak_dev
+            FROM k WHERE rn = 1
         """,
         "q163_conversion_ztest": """
             WITH c AS (

@@ -1397,3 +1397,74 @@ def q159_double_charge(sf_dir: str, window_s: int = 60) -> "ray.data.Dataset":
         return g.astype({"n_events": "int64", "n_flagged": "int64"})
 
     return bucketed_group_agg(parts, ["day"], day_final, n_buckets=8)
+
+
+def q164_cusum_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint estimate per event type: the day where the
+    cumulative deviation of the daily mean value from the series mean
+    peaks — the classic level-shift detector (argmax |Σ_{i<=d}(x_i − μ)|).
+    Distributed part is one bounded (type, day) exact-cents reduce (q113's
+    partial shape); the changepoint scan is driver math on the
+    calendar-sized table. Exactness: daily means are rounded to the 4dp
+    grid, scaled to int64, and the deviation is computed in the CLEARED
+    form C'_d = D·cumsum_d − d·total (all integer), so there is no float
+    accumulation anywhere and ties break to the earliest day identically
+    on both oracle sides."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": df["ts"].dt.floor("D"),
+                "cents": np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64),
+            }
+        )
+        return d.groupby(["event_type", "day"], as_index=False).agg(
+            p_sum=("cents", "sum"), p_n=("cents", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            p_sum=("p_sum", "sum"), p_n=("p_n", "sum")
+        )
+        return g.astype({"p_sum": "int64", "p_n": "int64"})
+
+    daily = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["event_type", "day"],
+            final,
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "day"], kind="mergesort")
+    )
+    # daily mean on the 4dp grid, scaled to int64 (x4 = round(mean*10000))
+    mean = (daily["p_sum"].to_numpy(dtype=np.float64) / 100.0) / daily["p_n"].to_numpy(
+        dtype=np.float64
+    )
+    daily["x4"] = np.rint(round_away(mean, 4) * 10000.0).astype(np.int64)
+    out = []
+    for t, g in daily.groupby("event_type", sort=True):
+        x = g["x4"].to_numpy(dtype=np.int64)
+        days = g["day"].to_numpy().astype("datetime64[us]")
+        D = len(x)
+        tot = int(x.sum())
+        cum = np.cumsum(x)
+        dev = D * cum - np.arange(1, D + 1, dtype=np.int64) * tot
+        a = np.abs(dev)
+        best = int(np.argmax(a))  # np.argmax returns the FIRST max — earliest day
+        out.append(
+            {
+                "event_type": t,
+                "change_day": days[best],
+                "n_days": D,
+                "peak_dev": int(a[best]),
+            }
+        )
+    res = pd.DataFrame(out)
+    res["change_day"] = res["change_day"].astype("datetime64[us]")
+    return res.astype({"n_days": "int64", "peak_dev": "int64"})

@@ -218,6 +218,7 @@ SQL_CHECKED = [
     "q161_hapax_ratio",
     "q162_supplier_hhi",
     "q163_conversion_ztest",
+    "q164_cusum_changepoint",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
