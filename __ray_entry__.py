@@ -670,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q162_supplier_hhi": relational.q162_supplier_hhi,
         "q163_conversion_ztest": relational.q163_conversion_ztest,
         "q164_cusum_changepoint": windows.q164_cusum_changepoint,
+        "q165_open_order_backlog": windows.q165_open_order_backlog,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2277,6 +2278,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q165_open_order_backlog": """
+            WITH iv AS (
+                SELECT o.o_orderdate AS sd, max(l.l_shipdate) AS ed
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                GROUP BY o.o_orderkey, o.o_orderdate),
+            deltas AS (
+                SELECT sd AS day, CAST(1 AS BIGINT) AS delta FROM iv
+                UNION ALL
+                SELECT ed AS day, CAST(-1 AS BIGINT) AS delta FROM iv),
+            g AS (SELECT day, sum(delta) AS d FROM deltas GROUP BY 1)
+            SELECT CAST(day AS TIMESTAMP) AS day,
+                   CAST(sum(d) OVER (ORDER BY day) AS BIGINT) AS open_orders
+            FROM g
         """,
         "q164_cusum_changepoint": """
             WITH d AS (

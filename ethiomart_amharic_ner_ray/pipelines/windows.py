@@ -1468,3 +1468,68 @@ def q164_cusum_changepoint(sf_dir: str) -> pd.DataFrame:
     res = pd.DataFrame(out)
     res["change_day"] = res["change_day"].astype("datetime64[us]")
     return res.astype({"n_days": "int64", "peak_dev": "int64"})
+
+
+def q165_open_order_backlog(sf_dir: str) -> pd.DataFrame:
+    """Daily open-order backlog: for each day, how many orders are placed
+    but not yet fully shipped (orderdate <= day < last shipdate) — the
+    interval-STABBING count (concurrent sessions / live connections /
+    WIP inventory), a different family from q91's interval MERGE: here
+    overlapping intervals are counted, not coalesced. Exact distributed
+    form: each order's [start, end) interval comes from ONE
+    orderkey-bucketed join (lineitem max-shipdate partials meet orders —
+    q151's fact-to-fact shape, merge_fn emits ±1 DELTA partials keyed by
+    day, so nothing order-sized leaves the join); the running sum over the
+    calendar-bounded delta table is the backlog, integer-exact, scanned in
+    day order on both oracle sides."""
+    import numpy as np
+
+    from .common import bucketed_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+
+    li = li.map_batches(ship_partial, batch_format="pandas", batch_size=65536)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_orderkey": "l_orderkey"})
+
+    orders = orders.map_batches(rename, batch_format="pandas", batch_size=65536)
+
+    def merge_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        lmax = left.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+        m = lmax.merge(right, on="l_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="datetime64[us]"),
+                    "delta": pd.Series([], dtype="int64"),
+                }
+            )
+        deltas = pd.concat(
+            [
+                pd.DataFrame({"day": m["o_orderdate"].astype("datetime64[us]"), "delta": 1}),
+                pd.DataFrame({"day": m["l_shipdate"].astype("datetime64[us]"), "delta": -1}),
+            ],
+            ignore_index=True,
+        )
+        g = deltas.groupby("day", as_index=False)["delta"].sum()
+        return g.astype({"delta": "int64"})
+
+    parts = bucketed_join(li, orders, on="l_orderkey", n_buckets=32, merge_fn=merge_fn)
+    agg = (
+        parts.to_pandas()
+        .groupby("day", as_index=False)["delta"]
+        .sum()
+        .sort_values("day", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "day": agg["day"].astype("datetime64[us]"),
+            "open_orders": np.cumsum(agg["delta"].to_numpy(dtype=np.int64)).astype("int64"),
+        }
+    )

@@ -219,6 +219,7 @@ SQL_CHECKED = [
     "q162_supplier_hhi",
     "q163_conversion_ztest",
     "q164_cusum_changepoint",
+    "q165_open_order_backlog",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
