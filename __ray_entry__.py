@@ -671,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q163_conversion_ztest": relational.q163_conversion_ztest,
         "q164_cusum_changepoint": windows.q164_cusum_changepoint,
         "q165_open_order_backlog": windows.q165_open_order_backlog,
+        "q166_session_duration_quantiles": windows.q166_session_duration_quantiles,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2278,6 +2279,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q166_session_duration_quantiles": """
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (
+                SELECT user_id, ts,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s),
+            ses AS (
+                SELECT user_id, sid,
+                       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                           AS duration_s
+                FROM g GROUP BY 1, 2
+                HAVING count(*) >= 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   round(quantile_cont(CAST(duration_s AS DOUBLE), 0.5), 4) AS p50_s,
+                   round(quantile_cont(CAST(duration_s AS DOUBLE), 0.9), 4) AS p90_s
+            FROM ses
         """,
         "q165_open_order_backlog": """
             WITH iv AS (

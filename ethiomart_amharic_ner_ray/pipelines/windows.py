@@ -1533,3 +1533,56 @@ def q165_open_order_backlog(sf_dir: str) -> pd.DataFrame:
             "open_orders": np.cumsum(agg["delta"].to_numpy(dtype=np.int64)).astype("int64"),
         }
     )
+
+
+def q166_session_duration_quantiles(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session-duration distribution summary: exact p50/p90 of session
+    lengths (last-event minus first-event, whole seconds) across all
+    q21-discipline sessions — the engagement-depth companion to q152's
+    bounce rate. ONE user-bucket shuffle sessionizes in-bucket and
+    collapses sessions to a (duration_s, count) histogram partial —
+    durations floor to whole seconds, so the grid is bounded by the
+    longest session, not the session count — and the exact interpolated
+    quantiles come off the merged histogram with the (n-1)*q rule
+    (identical to quantile_cont, as pinned by q145's _wq_interp)."""
+    import numpy as np
+
+    from ethiomart_amharic_ner_ray.pipelines.relational import _wq_interp
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev_ts = d.groupby("user_id")["ts"].shift()
+        new_session = (prev_ts.isna() | ((d["ts"] - prev_ts) > gap)).astype("int64")
+        sid = new_session.groupby(d["user_id"]).cumsum()
+        ses = (
+            pd.DataFrame({"user_id": d["user_id"], "sid": sid, "ts": d["ts"]})
+            .groupby(["user_id", "sid"])
+            .agg(lo=("ts", "min"), hi=("ts", "max"), n=("ts", "size"))
+        )
+        ses = ses.loc[ses["n"] >= 2]  # single-event sessions have no duration
+        dur = (
+            ses["hi"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            - ses["lo"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ) // 1_000_000
+        g = pd.DataFrame({"duration_s": dur}).groupby("duration_s", as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"duration_s": "int64", "cnt": "int64"})
+
+    hist = (
+        bucketed_group_agg(ds, ["user_id"], final, n_buckets=32)
+        .to_pandas()
+        .groupby("duration_s", as_index=False)["cnt"]
+        .sum()
+        .sort_values("duration_s", kind="mergesort")
+    )
+    v = hist["duration_s"].to_numpy(dtype=np.float64)
+    c = hist["cnt"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "n_sessions": np.array([int(c.sum())], dtype=np.int64),
+            "p50_s": [round_away(np.array([_wq_interp(v, c, 0.5)]), 4)[0]],
+            "p90_s": [round_away(np.array([_wq_interp(v, c, 0.9)]), 4)[0]],
+        }
+    )

@@ -220,6 +220,7 @@ SQL_CHECKED = [
     "q163_conversion_ztest",
     "q164_cusum_changepoint",
     "q165_open_order_backlog",
+    "q166_session_duration_quantiles",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
