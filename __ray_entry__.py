@@ -672,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q164_cusum_changepoint": windows.q164_cusum_changepoint,
         "q165_open_order_backlog": windows.q165_open_order_backlog,
         "q166_session_duration_quantiles": windows.q166_session_duration_quantiles,
+        "q167_customer_order_gap_median": relational.q167_customer_order_gap_median,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2279,6 +2280,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q167_customer_order_gap_median": """
+            WITH g AS (
+                SELECT o_custkey,
+                       date_diff('day',
+                                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+                                 o_orderdate) AS gap
+                FROM orders)
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+                   round(median(CAST(gap AS DOUBLE)), 4) AS median_gap_days
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1
         """,
         "q166_session_duration_quantiles": """
             WITH s AS (

@@ -3848,3 +3848,44 @@ def q163_conversion_ztest(sf_dir: str) -> pd.DataFrame:
             "z": round_away(z, 6),
         }
     )
+
+
+def q167_customer_order_gap_median(sf_dir: str) -> "ray.data.Dataset":
+    """Per-customer median reorder interval (days between consecutive
+    orders) — the purchase-cadence feature behind churn models and
+    replenishment forecasts; q36 gives MEAN gaps for events, but cadence
+    is skewed, so the median is the honest center and it is holistic
+    per customer. ONE custkey-bucket shuffle of two narrow columns;
+    in-bucket a sorted grouped diff produces each customer's gap
+    multiset and a vectorized grouped median (pandas' interpolated rule ==
+    quantile_cont) finishes — per-customer state never leaves its bucket.
+    Gaps tie-break deterministically because orderdates are day-grid
+    timestamps and (custkey, orderdate, orderkey) ordering is total."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        days = d["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        prev_same = d["o_custkey"].to_numpy()
+        gapmask = np.zeros(len(d), dtype=bool)
+        gaps = np.zeros(len(d), dtype=np.int64)
+        if len(d) > 1:
+            same = prev_same[1:] == prev_same[:-1]
+            gapmask[1:] = same
+            gaps[1:] = days[1:] - days[:-1]
+        g = pd.DataFrame({"o_custkey": d["o_custkey"], "gap": gaps})[gapmask]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "median_gap_days": pd.Series([], dtype="float64"),
+                }
+            )
+        out = g.groupby("o_custkey", as_index=False).agg(
+            n_gaps=("gap", "size"), median_gap_days=("gap", "median")
+        )
+        out["median_gap_days"] = round_away(out["median_gap_days"].to_numpy(dtype=np.float64), 4)
+        return out.astype({"n_gaps": "int64"})
+
+    return bucketed_group_agg(ds, ["o_custkey"], final, n_buckets=32)

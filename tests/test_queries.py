@@ -221,6 +221,7 @@ SQL_CHECKED = [
     "q164_cusum_changepoint",
     "q165_open_order_backlog",
     "q166_session_duration_quantiles",
+    "q167_customer_order_gap_median",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
