@@ -673,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q165_open_order_backlog": windows.q165_open_order_backlog,
         "q166_session_duration_quantiles": windows.q166_session_duration_quantiles,
         "q167_customer_order_gap_median": relational.q167_customer_order_gap_median,
+        "q168_retention_curve": windows.q168_retention_curve,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2280,6 +2281,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q168_retention_curve": """
+            WITH u AS (
+                SELECT user_id,
+                       CAST(date_diff('day', min(CAST(ts AS DATE)),
+                                      max(CAST(ts AS DATE))) AS BIGINT)
+                           AS span_days
+                FROM events GROUP BY 1),
+            h AS (SELECT span_days, CAST(count(*) AS BIGINT) AS n_users
+                  FROM u GROUP BY 1)
+            SELECT span_days, n_users,
+                   CAST(sum(n_users) OVER (ORDER BY span_days DESC) AS BIGINT)
+                       AS surviving,
+                   round(CAST(sum(n_users) OVER (ORDER BY span_days DESC)
+                              AS DOUBLE)
+                         / (SELECT CAST(sum(n_users) AS DOUBLE) FROM h), 6)
+                       AS retention
+            FROM h
         """,
         "q167_customer_order_gap_median": """
             WITH g AS (

@@ -1586,3 +1586,60 @@ def q166_session_duration_quantiles(sf_dir: str, gap_minutes: int = 30) -> pd.Da
             "p90_s": [round_away(np.array([_wq_interp(v, c, 0.9)]), 4)[0]],
         }
     )
+
+
+def q168_retention_curve(sf_dir: str) -> pd.DataFrame:
+    """User-activity survival curve: S(d) = share of users still active d
+    or more days after their FIRST event (activity span = last-day minus
+    first-day) — the monotone retention curve the q59 cohort matrix slices
+    by calendar week; one curve for the whole corpus is the product
+    health-line. Exact distributed form: per-user (min day, max day) rides
+    ONE user-bucket shuffle as two-scalar partials; spans collapse to a
+    bounded (span_days, n_users) histogram, and the survival curve is a
+    reverse cumulative sum over that calendar-bounded table — integer
+    counts, one division per point, identical on both oracle sides."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "day": df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64),
+            }
+        )
+        return d.groupby("user_id", as_index=False).agg(p_lo=("day", "min"), p_hi=("day", "max"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(lo=("p_lo", "min"), hi=("p_hi", "max"))
+        span = (g["hi"] - g["lo"]).astype("int64")
+        h = pd.DataFrame({"span_days": span}).groupby("span_days", as_index=False).size()
+        return h.rename(columns={"size": "n_users"}).astype(
+            {"span_days": "int64", "n_users": "int64"}
+        )
+
+    hist = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["user_id"],
+            final,
+            n_buckets=32,
+        )
+        .to_pandas()
+        .groupby("span_days", as_index=False)["n_users"]
+        .sum()
+        .sort_values("span_days", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = hist["n_users"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    surviving = total - np.concatenate([[0], np.cumsum(n)[:-1]])
+    return pd.DataFrame(
+        {
+            "span_days": hist["span_days"].astype("int64"),
+            "n_users": hist["n_users"].astype("int64"),
+            "surviving": surviving.astype("int64"),
+            "retention": round_away(surviving.astype(np.float64) / float(total), 6),
+        }
+    )

@@ -222,6 +222,7 @@ SQL_CHECKED = [
     "q165_open_order_backlog",
     "q166_session_duration_quantiles",
     "q167_customer_order_gap_median",
+    "q168_retention_curve",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
