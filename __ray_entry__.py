@@ -674,6 +674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q166_session_duration_quantiles": windows.q166_session_duration_quantiles,
         "q167_customer_order_gap_median": relational.q167_customer_order_gap_median,
         "q168_retention_curve": windows.q168_retention_curve,
+        "q169_brand_price_bands": relational.q169_brand_price_bands,
+        "q170_design_effect": relational.q170_design_effect,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2281,6 +2283,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q169_brand_price_bands": """
+            WITH t AS (
+                SELECT quantile_disc(p_retailprice, 1.0 / 3) AS t1,
+                       quantile_disc(p_retailprice, 2.0 / 3) AS t2
+                FROM part),
+            b AS (
+                SELECT p_brand,
+                       CASE WHEN p_retailprice > t.t2 THEN 'high'
+                            WHEN p_retailprice > t.t1 THEN 'mid'
+                            ELSE 'low' END AS band
+                FROM part CROSS JOIN t),
+            c AS (SELECT p_brand, band, CAST(count(*) AS BIGINT) AS n_parts
+                  FROM b GROUP BY 1, 2)
+            SELECT p_brand, band, n_parts,
+                   round(CAST(n_parts AS DOUBLE)
+                         / sum(n_parts) OVER (PARTITION BY p_brand), 6) AS share
+            FROM c
+        """,
+        "q170_design_effect": """
+            WITH s AS (
+                SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(l_quantity AS BIGINT)) AS sw,
+                       sum(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS sw2
+                FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, n AS n_rows,
+                   round((CAST(sw AS DOUBLE) * sw) / sw2, 4) AS ess
+            FROM s
         """,
         "q168_retention_curve": """
             WITH u AS (

@@ -3889,3 +3889,101 @@ def q167_customer_order_gap_median(sf_dir: str) -> "ray.data.Dataset":
         return out.astype({"n_gaps": "int64"})
 
     return bucketed_group_agg(ds, ["o_custkey"], final, n_buckets=32)
+
+
+def q169_brand_price_bands(sf_dir: str) -> "ray.data.Dataset":
+    """Global-threshold stratification: each brand's part mix across the
+    CORPUS-WIDE retail-price terciles (low/mid/high) — the interaction
+    audit that says which brands live in which end of the global price
+    distribution (a per-brand quantile, q48, cannot: the bands must be the
+    same cut for every brand). Tercile thresholds come exactly from the
+    (price, count) histogram with quantile_disc's ceil(q*n) rule (q154's
+    helper); two scalars broadcast into a per-batch band count, and the
+    brand x band shares ride a brand-sized exchange. Band edges compare
+    with > on the raw cents-grid doubles, identically in the SQL."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_retailprice", as_index=False).size().rename(columns={"size": "cnt"})
+
+    h = (
+        ds.map_batches(hist_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("p_retailprice", as_index=False)["cnt"]
+        .sum()
+        .sort_values("p_retailprice", kind="mergesort")
+    )
+    cum = np.cumsum(h["cnt"].to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+    v = h["p_retailprice"].to_numpy(dtype=np.float64)
+    t1 = float(v[int(np.searchsorted(cum, int(np.ceil(n / 3.0)), side="left"))])
+    t2 = float(v[int(np.searchsorted(cum, int(np.ceil(2.0 * n / 3.0)), side="left"))])
+    ref = ray.put((t1, t2))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = get_broadcast(ref)
+        p = df["p_retailprice"].to_numpy(dtype=np.float64)
+        band = np.where(p > hi, "high", np.where(p > lo, "mid", "low"))
+        d = pd.DataFrame({"p_brand": df["p_brand"], "band": band})
+        return d.groupby(["p_brand", "band"], as_index=False).size().rename(columns={"size": "p_n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_brand", "band"], as_index=False)["p_n"].sum()
+        tot = g.groupby("p_brand")["p_n"].transform("sum")
+        return pd.DataFrame(
+            {
+                "p_brand": g["p_brand"],
+                "band": g["band"],
+                "n_parts": g["p_n"].astype("int64"),
+                "share": round_away(
+                    g["p_n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64), 6
+                ),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["p_brand"],
+        final,
+        n_buckets=8,
+    )
+
+
+def q170_design_effect(sf_dir: str) -> "ray.data.Dataset":
+    """Effective sample size per return flag under quantity weighting:
+    ESS = (Σw)²/Σw² — the survey-statistics design-effect diagnostic
+    (how many EQUAL-weight rows the weighted sample is worth; ESS ≪ n
+    means a few heavy rows dominate any weighted estimate, the q112
+    weighted-median caveat quantified). Weights are integral quantities,
+    so Σw and Σw² are exact int64 two-phase sums and the index is one
+    double division — identical on both oracle sides."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["l_quantity"].to_numpy(dtype=np.float64).astype(np.int64)
+        d = pd.DataFrame({"l_returnflag": df["l_returnflag"], "w": w, "w2": w * w})
+        return d.groupby("l_returnflag", as_index=False).agg(
+            p_n=("w", "size"), p_w=("w", "sum"), p_w2=("w2", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("p_n", "sum"), sw=("p_w", "sum"), sw2=("p_w2", "sum")
+        )
+        ess = (
+            g["sw"].to_numpy(dtype=np.float64) * g["sw"].to_numpy(dtype=np.float64)
+        ) / g["sw2"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "n_rows": g["n"].astype("int64"),
+                "ess": round_away(ess, 4),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_returnflag"],
+        final,
+        n_buckets=4,
+    )

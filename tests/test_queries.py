@@ -223,6 +223,8 @@ SQL_CHECKED = [
     "q166_session_duration_quantiles",
     "q167_customer_order_gap_median",
     "q168_retention_curve",
+    "q169_brand_price_bands",
+    "q170_design_effect",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
