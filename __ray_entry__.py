@@ -676,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q168_retention_curve": windows.q168_retention_curve,
         "q169_brand_price_bands": relational.q169_brand_price_bands,
         "q170_design_effect": relational.q170_design_effect,
+        "q171_nation_flow_matrix": relational.q171_nation_flow_matrix,
+        "q172_new_vs_repeat_revenue": relational.q172_new_vs_repeat_revenue,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2283,6 +2285,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q171_nation_flow_matrix": """
+            WITH c AS (
+                SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                           AS cents
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer cu ON o.o_custkey = cu.c_custkey
+                JOIN nation nc ON cu.c_nationkey = nc.n_nationkey
+                GROUP BY 1, 2)
+            SELECT supp_nation, cust_nation,
+                   round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue
+            FROM c
+        """,
+        "q172_new_vs_repeat_revenue": """
+            WITH o AS (
+                SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+            f AS (SELECT o_custkey, min(month) AS first_month FROM o GROUP BY 1),
+            s AS (
+                SELECT o.month,
+                       sum(CASE WHEN o.month = f.first_month
+                                THEN o.cents ELSE 0 END) AS new_c,
+                       sum(o.cents) AS all_c
+                FROM o JOIN f USING (o_custkey)
+                GROUP BY 1)
+            SELECT CAST(month AS TIMESTAMP) AS month,
+                   round(CAST(new_c AS DOUBLE) / 100.0, 2) AS new_revenue,
+                   round(CAST(all_c - new_c AS DOUBLE) / 100.0, 2)
+                       AS repeat_revenue
+            FROM s
         """,
         "q169_brand_price_bands": """
             WITH t AS (

@@ -3987,3 +3987,133 @@ def q170_design_effect(sf_dir: str) -> "ray.data.Dataset":
         final,
         n_buckets=4,
     )
+
+
+def q171_nation_flow_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Origin-destination flow matrix: revenue flowing from each SUPPLIER
+    nation to each CUSTOMER nation — the trade-balance / data-lineage
+    matrix whose output is |nations|² bounded no matter the fact volume.
+    Both endpoints resolve through BROADCAST dimension chains (suppkey →
+    nation; orderkey → custkey → nation, the second via ONE
+    orderkey-bucketed join since orders is fact-sized), and exact int64
+    cents partials ride a matrix-sized exchange."""
+    sup = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    n_map = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    sk = sup.column("s_suppkey").to_numpy()
+    so = np.argsort(sk)
+    s_names = np.asarray(
+        [n_map[k] for k in sup.column("s_nationkey").to_pylist()], dtype=object
+    )[so]
+    ck = cust.column("c_custkey").to_numpy()
+    co = np.argsort(ck)
+    c_names = np.asarray(
+        [n_map[k] for k in cust.column("c_nationkey").to_pylist()], dtype=object
+    )[co]
+    ref = ray.put((sk[so], s_names, ck[co], c_names))
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, snames, _, _ = get_broadcast(ref)
+        ix = np.clip(np.searchsorted(keys, df["l_suppkey"].to_numpy()), 0, len(keys) - 1)
+        d = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "supp_nation": snames[ix],
+                "cents": np.rint(
+                    df["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        return d.groupby(["l_orderkey", "supp_nation"], as_index=False)["cents"].sum()
+
+    li = li.map_batches(li_partial, batch_format="pandas", batch_size=65536)
+
+    def o_rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_orderkey": "l_orderkey"})
+
+    orders = orders.map_batches(o_rename, batch_format="pandas", batch_size=65536)
+
+    def merge_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        lg = left.groupby(["l_orderkey", "supp_nation"], as_index=False)["cents"].sum()
+        m = lg.merge(right, on="l_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series([], dtype="object"),
+                    "cust_nation": pd.Series([], dtype="object"),
+                    "cents": pd.Series([], dtype="int64"),
+                }
+            )
+        _, _, ckeys, cnames = get_broadcast(ref)
+        ix = np.clip(np.searchsorted(ckeys, m["o_custkey"].to_numpy()), 0, len(ckeys) - 1)
+        d = pd.DataFrame(
+            {"supp_nation": m["supp_nation"], "cust_nation": cnames[ix], "cents": m["cents"]}
+        )
+        return d.groupby(["supp_nation", "cust_nation"], as_index=False)["cents"].sum()
+
+    parts = bucketed_join(li, orders, on="l_orderkey", n_buckets=32, merge_fn=merge_fn)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["supp_nation", "cust_nation"], as_index=False)["cents"].sum()
+        return pd.DataFrame(
+            {
+                "supp_nation": g["supp_nation"],
+                "cust_nation": g["cust_nation"],
+                "revenue": round_away(g["cents"].to_numpy(dtype=np.float64) / 100.0, 2),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["supp_nation", "cust_nation"], final, n_buckets=8)
+
+
+def q172_new_vs_repeat_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Monthly revenue split between NEW customers (orders inside the
+    customer's first calendar month) and REPEAT customers — the
+    acquisition-vs-retention revenue view (q153 counts heads; this
+    follows the money). ONE custkey-bucket shuffle co-locates each
+    customer's orders; the in-bucket grouped min marks the first month and
+    one compare splits every order's exact cents into the month's
+    new/repeat partials — calendar-bounded rows out."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].astype("datetime64[us]").dt.to_period("M")
+        d = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "month": month,
+                "cents": np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        first = d.groupby("o_custkey")["month"].transform("min")
+        d["is_new"] = (d["month"] == first).astype("int64")
+        g = d.groupby("month", as_index=False).agg(
+            p_new=("cents", lambda s: int(s[d.loc[s.index, "is_new"] == 1].sum())),
+            p_all=("cents", "sum"),
+        )
+        g["month"] = g["month"].dt.to_timestamp().astype("datetime64[us]")
+        return g.astype({"p_new": "int64", "p_all": "int64"})
+
+    parts = bucketed_group_agg(ds, ["o_custkey"], final, n_buckets=32)
+
+    def month_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("month", as_index=False).agg(new_c=("p_new", "sum"), all_c=("p_all", "sum"))
+        return pd.DataFrame(
+            {
+                "month": g["month"].astype("datetime64[us]"),
+                "new_revenue": round_away(g["new_c"].to_numpy(dtype=np.float64) / 100.0, 2),
+                "repeat_revenue": round_away(
+                    (g["all_c"] - g["new_c"]).to_numpy(dtype=np.float64) / 100.0, 2
+                ),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["month"], month_final, n_buckets=8)

@@ -225,6 +225,8 @@ SQL_CHECKED = [
     "q168_retention_curve",
     "q169_brand_price_bands",
     "q170_design_effect",
+    "q171_nation_flow_matrix",
+    "q172_new_vs_repeat_revenue",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
