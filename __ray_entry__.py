@@ -678,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q170_design_effect": relational.q170_design_effect,
         "q171_nation_flow_matrix": relational.q171_nation_flow_matrix,
         "q172_new_vs_repeat_revenue": relational.q172_new_vs_repeat_revenue,
+        "q173_net_revenue_monthly": relational.q173_net_revenue_monthly,
         "q141_global_median_exact": relational.q141_global_median_exact,
         "q142_k_anonymity": relational.q142_k_anonymity,
         "q124_bm25_topk": textstats.q124_bm25_topk,
@@ -2285,6 +2286,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_converted,
                    median(CAST(diff_us AS DOUBLE)) AS median_us
             FROM d GROUP BY 1
+        """,
+        "q173_net_revenue_monthly": """
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                                  * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                              AS DOUBLE) / 1e6, 2) AS net_revenue
+            FROM lineitem
+            GROUP BY 1
         """,
         "q171_nation_flow_matrix": """
             WITH c AS (

@@ -4117,3 +4117,44 @@ def q172_new_vs_repeat_revenue(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(parts, ["month"], month_final, n_buckets=8)
+
+
+def q173_net_revenue_monthly(sf_dir: str) -> "ray.data.Dataset":
+    """Monthly NET revenue: Σ extendedprice·(1−discount)·(1+tax) by ship
+    month — q01's classic aggregate re-based to a calendar axis, with the
+    float-summation trap removed: price (cents), discount and tax (both
+    2dp) all live on integer grids, so each row's term is the exact int64
+    micro-unit product cents·(100−d)·(100+t) and the monthly sums are
+    order-invariant integers until ONE final division by 10^6 — a money
+    pipeline at 100 TB cannot reconcile otherwise. Per-batch month
+    partials ride a calendar-bounded exchange."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        d100 = np.rint(df["l_discount"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        t100 = np.rint(df["l_tax"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        micro = cents * (100 - d100) * (100 + t100)
+        month = df["l_shipdate"].astype("datetime64[us]").dt.to_period("M").dt.to_timestamp()
+        g = pd.DataFrame({"month": month.astype("datetime64[us]"), "micro": micro})
+        out = g.groupby("month", as_index=False).agg(p_micro=("micro", "sum"), p_n=("micro", "size"))
+        return out.astype({"p_micro": "int64", "p_n": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("month", as_index=False).agg(micro=("p_micro", "sum"), n=("p_n", "sum"))
+        return pd.DataFrame(
+            {
+                "month": g["month"].astype("datetime64[us]"),
+                "n_items": g["n"].astype("int64"),
+                "net_revenue": round_away(g["micro"].to_numpy(dtype=np.float64) / 1e6, 2),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["month"],
+        final,
+        n_buckets=8,
+    )

@@ -227,6 +227,7 @@ SQL_CHECKED = [
     "q170_design_effect",
     "q171_nation_flow_matrix",
     "q172_new_vs_repeat_revenue",
+    "q173_net_revenue_monthly",
     "q125_source_divergence",
     "q126_mixture_budget",
     "er_canonical_names",
