@@ -342,6 +342,50 @@ def _kg_turns_per_conv(sf_dir: str):
     return bucketed_group_agg(ds, ["conv_id"], final, n_buckets=32)
 
 
+def _kg_response_latency(sf_dir: str):
+    """First-agent-response latency per conversation, measured in TURNS
+    (turn_idx is authoritative ordering; ts is corruptible — the flagship's
+    own invariant): for each conversation with a buyer turn followed by an
+    agent turn, the turn-index gap between the first buyer turn and the
+    first agent turn after it. One conv-bucket shuffle, in-bucket grouped
+    conditional mins — the support-SLA metric over the transcript table."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+
+    ds = _transcripts_ds(sf_dir).select_columns(["conv_id", "turn_idx", "role"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        b = (
+            df.loc[df["role"] == "buyer"]
+            .groupby("conv_id")["turn_idx"]
+            .min()
+            .rename("b_idx")
+        )
+        a = df.loc[df["role"] == "agent", ["conv_id", "turn_idx"]].merge(
+            b, left_on="conv_id", right_index=True, how="inner"
+        )
+        a = a.loc[a["turn_idx"] > a["b_idx"]]
+        if len(a) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "response_turns": pd.Series([], dtype="int64"),
+                }
+            )
+        g = a.groupby("conv_id", as_index=False).agg(
+            a_idx=("turn_idx", "min"), b_idx=("b_idx", "first")
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "response_turns": (g["a_idx"] - g["b_idx"]).astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(ds, ["conv_id"], final, n_buckets=32)
+
+
 def _kg_seller_turncounts(sf_dir: str):
     """Seller derivation check (conv_id prefix before '-'), SQL-checked via
     split_part."""
@@ -729,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turns_per_conv": _kg_turns_per_conv,
         "kg_turn_context": _kg_turn_context,
         "kg_seller_turncounts": _kg_seller_turncounts,
+        "kg_response_latency": _kg_response_latency,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -964,6 +1009,21 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY conv_id ORDER BY turn_idx
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
             FROM read_parquet('{tx_glob}')
+        """,
+        "kg_response_latency": f"""
+            WITH b AS (
+                SELECT conv_id, min(turn_idx) AS b_idx
+                FROM read_parquet('{tx_glob}')
+                WHERE role = 'buyer' GROUP BY 1),
+            a AS (
+                SELECT t.conv_id, min(t.turn_idx) AS a_idx, min(b.b_idx) AS b_idx
+                FROM read_parquet('{tx_glob}') t
+                JOIN b ON t.conv_id = b.conv_id
+                WHERE t.role = 'agent' AND t.turn_idx > b.b_idx
+                GROUP BY 1)
+            SELECT conv_id,
+                   CAST(a_idx - b_idx AS BIGINT) AS response_turns
+            FROM a
         """,
         "kg_seller_turncounts": f"""
             SELECT split_part(conv_id, '-', 1) AS seller, count(*) AS n_turns

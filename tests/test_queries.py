@@ -242,6 +242,7 @@ SQL_CHECKED_TX = [
     "kg_turns_per_conv",
     "kg_turn_context",
     "kg_seller_turncounts",
+    "kg_response_latency",
     "kg_clean_text",
     "kg_price_redact",
     "kg_mention_flags",
