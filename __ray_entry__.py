@@ -205,6 +205,70 @@ def _kg_phones_exploded(sf_dir: str):
 
 
 
+def _kg_price_trajectory(sf_dir: str):
+    """Negotiation outcome per conversation: the numeric price in the FIRST
+    price-bearing turn vs the LAST (min value within a turn when a turn
+    mentions several — a turn_idx-only total order, immune to row order
+    and ts corruption), and the delta. Built on the same exploded canonical
+    prices the driver already hash-checks; conversations co-locate in one
+    conv-bucket shuffle and the first/last selection is two grouped
+    conditional lookups."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg, round_away
+
+    prices = _kg_entity_values_exploded(sf_dir, "prices", "price")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["price"].str.split(" ").str[0].astype("float64")
+        d = pd.DataFrame({"conv_id": df["conv_id"], "turn_idx": df["turn_idx"], "val": v})
+        return d.groupby(["conv_id", "turn_idx"], as_index=False)["val"].min()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.groupby(["conv_id", "turn_idx"], as_index=False)["val"].min()
+        b = t.groupby("conv_id", as_index=False).agg(
+            first_turn=("turn_idx", "min"), last_turn=("turn_idx", "max")
+        )
+        b = b.loc[b["first_turn"] < b["last_turn"]]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "first_turn": pd.Series([], dtype="int64"),
+                    "last_turn": pd.Series([], dtype="int64"),
+                    "first_price": pd.Series([], dtype="float64"),
+                    "last_price": pd.Series([], dtype="float64"),
+                    "price_delta": pd.Series([], dtype="float64"),
+                }
+            )
+        f = b.merge(
+            t.rename(columns={"turn_idx": "first_turn", "val": "fval"}),
+            on=["conv_id", "first_turn"],
+        ).merge(
+            t.rename(columns={"turn_idx": "last_turn", "val": "lval"}),
+            on=["conv_id", "last_turn"],
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": f["conv_id"],
+                "first_turn": f["first_turn"].astype("int64"),
+                "last_turn": f["last_turn"].astype("int64"),
+                "first_price": round_away(f["fval"].to_numpy(), 4),
+                "last_price": round_away(f["lval"].to_numpy(), 4),
+                "price_delta": round_away(
+                    (f["lval"] - f["fval"]).to_numpy(), 4
+                ),
+            }
+        )
+
+    return bucketed_group_agg(
+        prices.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["conv_id"],
+        final,
+        n_buckets=32,
+    )
+
+
 def _ann_ivf_partitioned(sf_dir: str):
     """Partition-pruned IVF: build the list_id-partitioned index once per
     fixture under /tmp (idempotent rebuild), then query reading ONLY the
@@ -774,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turn_context": _kg_turn_context,
         "kg_seller_turncounts": _kg_seller_turncounts,
         "kg_response_latency": _kg_response_latency,
+        "kg_price_trajectory": _kg_price_trajectory,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -939,6 +1004,38 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(CAST(val AS BIGINT) AS VARCHAR)
                         ELSE printf('%.10g', val) END || ' ብር' AS price
             FROM v
+        """,
+        "kg_price_trajectory": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            r AS (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(clean,
+                           '(?i)([0-9]{{1,3}}(?:,[0-9]{{3}})*(?:\\.[0-9]+)?)\\s*(?:ብር|birr|br|ዶላር|dollar)',
+                           1)) AS raw
+                FROM c),
+            v0 AS (SELECT conv_id, turn_idx,
+                          CAST(replace(raw, ',', '') AS DOUBLE) AS v FROM r),
+            v AS (SELECT conv_id, turn_idx,
+                         CASE WHEN v = floor(v) THEN v
+                              ELSE CAST(printf('%.10g', v) AS DOUBLE)
+                         END AS val
+                  FROM v0),
+            t AS (SELECT conv_id, turn_idx, min(val) AS tval
+                  FROM v GROUP BY 1, 2),
+            b AS (SELECT conv_id, min(turn_idx) AS ft, max(turn_idx) AS lt
+                  FROM t GROUP BY 1
+                  HAVING min(turn_idx) < max(turn_idx))
+            SELECT b.conv_id,
+                   CAST(b.ft AS BIGINT) AS first_turn,
+                   CAST(b.lt AS BIGINT) AS last_turn,
+                   round(f.tval, 4) AS first_price,
+                   round(l.tval, 4) AS last_price,
+                   round(l.tval - f.tval, 4) AS price_delta
+            FROM b
+            JOIN t f ON f.conv_id = b.conv_id AND f.turn_idx = b.ft
+            JOIN t l ON l.conv_id = b.conv_id AND l.turn_idx = b.lt
         """,
         "kg_phones_exploded": f"""
             WITH c AS (

@@ -249,6 +249,7 @@ SQL_CHECKED_TX = [
     "kg_mention_flags_full",
     "kg_seller_price_stats",
     "kg_prices_exploded",
+    "kg_price_trajectory",
     "kg_phones_exploded",
 ]
 
