@@ -269,6 +269,90 @@ def _kg_price_trajectory(sf_dir: str):
     )
 
 
+def _kg_tool_assisted_pricing(sf_dir: str):
+    """Tool-call attribution per seller: of the conversations that quote a
+    price, how many consulted a tool (non-empty `tool` turn) BEFORE the
+    first price turn — the does-the-agent-check-the-catalog audit over the
+    transcript stream. Per-conv first-price-turn comes from the exploded
+    canonical prices (driver-hash-checked extraction); per-conv first-tool
+    -turn is a grouped conditional min over the raw stream; the two
+    conv-keyed scalars meet in ONE conv-bucketed join whose merge_fn
+    emits seller-bounded partials (LEFT semantics: price-convs without any
+    tool call stay counted)."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import (
+        bucketed_group_agg,
+        bucketed_join,
+        round_away,
+    )
+
+    prices = _kg_entity_values_exploded(sf_dir, "prices", "price")
+
+    def price_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("conv_id", as_index=False)["turn_idx"]
+            .min()
+            .rename(columns={"turn_idx": "price_turn"})
+        )
+
+    pt = prices.map_batches(price_partial, batch_format="pandas", batch_size=65536)
+
+    tx = _transcripts_ds(sf_dir).select_columns(["conv_id", "turn_idx", "tool"])
+
+    def tool_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["tool"] != ""]
+        return (
+            d.groupby("conv_id", as_index=False)["turn_idx"]
+            .min()
+            .rename(columns={"turn_idx": "tool_turn"})
+        )
+
+    tt = tx.map_batches(tool_partial, batch_format="pandas", batch_size=65536)
+
+    def merge_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        lp = left.groupby("conv_id", as_index=False)["price_turn"].min()
+        rp = right.groupby("conv_id", as_index=False)["tool_turn"].min()
+        m = lp.merge(rp, on="conv_id", how="left")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "seller": pd.Series([], dtype="object"),
+                    "p_convs": pd.Series([], dtype="int64"),
+                    "p_tool": pd.Series([], dtype="int64"),
+                }
+            )
+        m["seller"] = m["conv_id"].str.split("-").str[0]
+        m["before"] = (
+            m["tool_turn"].notna() & (m["tool_turn"] < m["price_turn"])
+        ).astype("int64")
+        g = m.groupby("seller", as_index=False).agg(
+            p_convs=("before", "size"), p_tool=("before", "sum")
+        )
+        return g.astype({"p_convs": "int64", "p_tool": "int64"})
+
+    parts = bucketed_join(pt, tt, on="conv_id", n_buckets=32, merge_fn=merge_fn)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seller", as_index=False).agg(
+            n_price_convs=("p_convs", "sum"), n_tool_before=("p_tool", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "seller": g["seller"],
+                "n_price_convs": g["n_price_convs"].astype("int64"),
+                "n_tool_before": g["n_tool_before"].astype("int64"),
+                "share": round_away(
+                    g["n_tool_before"].to_numpy(dtype="float64")
+                    / g["n_price_convs"].to_numpy(dtype="float64"),
+                    6,
+                ),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["seller"], final, n_buckets=8)
+
+
 def _ann_ivf_partitioned(sf_dir: str):
     """Partition-pruned IVF: build the list_id-partitioned index once per
     fixture under /tmp (idempotent rebuild), then query reading ONLY the
@@ -839,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_turncounts": _kg_seller_turncounts,
         "kg_response_latency": _kg_response_latency,
         "kg_price_trajectory": _kg_price_trajectory,
+        "kg_tool_assisted_pricing": _kg_tool_assisted_pricing,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -1004,6 +1089,32 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(CAST(val AS BIGINT) AS VARCHAR)
                         ELSE printf('%.10g', val) END || ' ብር' AS price
             FROM v
+        """,
+        "kg_tool_assisted_pricing": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            r AS (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(clean,
+                           '(?i)([0-9]{{1,3}}(?:,[0-9]{{3}})*(?:\\.[0-9]+)?)\\s*(?:ብር|birr|br|ዶላር|dollar)',
+                           1)) AS raw
+                FROM c),
+            p AS (SELECT conv_id, min(turn_idx) AS price_turn FROM r GROUP BY 1),
+            t AS (SELECT conv_id, min(turn_idx) AS tool_turn
+                  FROM read_parquet('{tx_glob}')
+                  WHERE tool <> '' GROUP BY 1),
+            j AS (
+                SELECT split_part(p.conv_id, '-', 1) AS seller,
+                       CASE WHEN t.tool_turn IS NOT NULL
+                                 AND t.tool_turn < p.price_turn
+                            THEN 1 ELSE 0 END AS before
+                FROM p LEFT JOIN t USING (conv_id))
+            SELECT seller,
+                   CAST(count(*) AS BIGINT) AS n_price_convs,
+                   CAST(sum(before) AS BIGINT) AS n_tool_before,
+                   round(sum(before)::DOUBLE / count(*), 6) AS share
+            FROM j GROUP BY 1
         """,
         "kg_price_trajectory": f"""
             WITH c AS (

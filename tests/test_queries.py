@@ -250,6 +250,7 @@ SQL_CHECKED_TX = [
     "kg_seller_price_stats",
     "kg_prices_exploded",
     "kg_price_trajectory",
+    "kg_tool_assisted_pricing",
     "kg_phones_exploded",
 ]
 
