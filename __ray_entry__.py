@@ -269,6 +269,15 @@ def _kg_price_trajectory(sf_dir: str):
     )
 
 
+def _kg_locs_exploded(sf_dir: str):
+    """Canonical LOC mention values (gazetteer matches on the folded text,
+    canon_text-normalized), one row per mention. Oracle: DuckDB
+    translate() reproduces fold_ethiopic's 1:1 codepoint map exactly, and
+    the longest-first folded alternation matches the engine's compiled
+    pattern alternative-for-alternative."""
+    return _kg_entity_values_exploded(sf_dir, "locations", "loc")
+
+
 def _kg_tool_assisted_pricing(sf_dir: str):
     """Tool-call attribution per seller: of the conversations that quote a
     price, how many consulted a tool (non-empty `tool` turn) BEFORE the
@@ -924,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_response_latency": _kg_response_latency,
         "kg_price_trajectory": _kg_price_trajectory,
         "kg_tool_assisted_pricing": _kg_tool_assisted_pricing,
+        "kg_locs_exploded": _kg_locs_exploded,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -1021,6 +1031,23 @@ def oracle_sql() -> dict[str, str]:
         'https?://\S+|www\.\S+', '', 'g'),
         '[^\p{L}\p{N}_\sሀ-፿.,!?]', '', 'g'),
         '\s+', ' ', 'g'))"""
+    # fold_ethiopic as a DuckDB translate(): the engine's _FOLD_MAP is a
+    # strict 1:1 codepoint map, so the SQL side folds identically; the LOC
+    # alternation lists folded gazetteer forms longest-first (RE2 and
+    # Python re both take the first alternative at each position)
+    import re as _re
+
+    from ethiomart_amharic_ner_ray.functions.canonical import _FOLD_MAP
+    from ethiomart_amharic_ner_ray.functions.extract import DEFAULT_LOCATIONS
+    from ethiomart_amharic_ner_ray.functions.canonical import fold_ethiopic as _fold
+
+    fold_src = "".join(chr(c) for c in sorted(_FOLD_MAP))
+    fold_dst = "".join(
+        _FOLD_MAP[c] if isinstance(_FOLD_MAP[c], str) else chr(_FOLD_MAP[c])
+        for c in sorted(_FOLD_MAP)
+    )
+    loc_alts = sorted({_fold(l) for l in DEFAULT_LOCATIONS}, key=len, reverse=True)
+    loc_pattern = "|".join(_re.escape(a) for a in loc_alts)
     return {
         "kg_clean_text": f"""
             SELECT conv_id, turn_idx, {clean_expr} AS clean_text
@@ -1089,6 +1116,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(CAST(val AS BIGINT) AS VARCHAR)
                         ELSE printf('%.10g', val) END || ' ብር' AS price
             FROM v
+        """,
+        "kg_locs_exploded": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}'))
+            SELECT conv_id, turn_idx,
+                   unnest(regexp_extract_all(
+                       translate(clean, '{fold_src}', '{fold_dst}'),
+                       '{loc_pattern}')) AS loc
+            FROM c
         """,
         "kg_tool_assisted_pricing": f"""
             WITH c AS (

@@ -251,6 +251,7 @@ SQL_CHECKED_TX = [
     "kg_prices_exploded",
     "kg_price_trajectory",
     "kg_tool_assisted_pricing",
+    "kg_locs_exploded",
     "kg_phones_exploded",
 ]
 
