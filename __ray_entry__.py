@@ -278,6 +278,34 @@ def _kg_locs_exploded(sf_dir: str):
     return _kg_entity_values_exploded(sf_dir, "locations", "loc")
 
 
+def _kg_seller_loc_matrix(sf_dir: str):
+    """Market-presence matrix: mention counts per (seller, location) — the
+    aggregated located_in edge weight of the knowledge graph,
+    independently hash-checked now that the LOC gazetteer extraction has a
+    SQL oracle (kg_locs_exploded). One two-phase count over the exploded
+    mentions; output bounded by sellers x gazetteer."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+
+    locs = _kg_entity_values_exploded(sf_dir, "locations", "loc")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"seller": df["conv_id"].str.split("-").str[0], "loc": df["loc"]})
+        return d.groupby(["seller", "loc"], as_index=False).size().rename(columns={"size": "p_n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["seller", "loc"], as_index=False)["p_n"].sum()
+        return g.rename(columns={"p_n": "n_mentions"}).astype({"n_mentions": "int64"})
+
+    return bucketed_group_agg(
+        locs.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["seller", "loc"],
+        final,
+        n_buckets=8,
+    )
+
+
 def _kg_tool_assisted_pricing(sf_dir: str):
     """Tool-call attribution per seller: of the conversations that quote a
     price, how many consulted a tool (non-empty `tool` turn) BEFORE the
@@ -934,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_price_trajectory": _kg_price_trajectory,
         "kg_tool_assisted_pricing": _kg_tool_assisted_pricing,
         "kg_locs_exploded": _kg_locs_exploded,
+        "kg_seller_loc_matrix": _kg_seller_loc_matrix,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -1116,6 +1145,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(CAST(val AS BIGINT) AS VARCHAR)
                         ELSE printf('%.10g', val) END || ' ብር' AS price
             FROM v
+        """,
+        "kg_seller_loc_matrix": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            l AS (
+                SELECT conv_id,
+                       unnest(regexp_extract_all(
+                           translate(clean, '{fold_src}', '{fold_dst}'),
+                           '{loc_pattern}')) AS loc
+                FROM c)
+            SELECT split_part(conv_id, '-', 1) AS seller, loc,
+                   CAST(count(*) AS BIGINT) AS n_mentions
+            FROM l GROUP BY 1, 2
         """,
         "kg_locs_exploded": f"""
             WITH c AS (

@@ -252,6 +252,7 @@ SQL_CHECKED_TX = [
     "kg_price_trajectory",
     "kg_tool_assisted_pricing",
     "kg_locs_exploded",
+    "kg_seller_loc_matrix",
     "kg_phones_exploded",
 ]
 
