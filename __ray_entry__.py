@@ -306,6 +306,79 @@ def _kg_seller_loc_matrix(sf_dir: str):
     )
 
 
+def _kg_price_by_location(sf_dir: str):
+    """Price geography: for each gazetteer location, the count and mean of
+    prices quoted in conversations that mention that location — the
+    cross-entity-type JOIN analytic over the knowledge graph (both
+    extractions independently SQL-proven; this checks their composition).
+    Distinct (conv, loc) pairs and per-conv price-cents partials meet in
+    ONE conv-bucketed join whose merge_fn emits gazetteer-bounded (loc,
+    sum_cents, n) partials; exact int64 cents, one final division."""
+    import numpy as np
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import (
+        bucketed_group_agg,
+        bucketed_join,
+        round_away,
+    )
+
+    locs = _kg_entity_values_exploded(sf_dir, "locations", "loc")
+    prices = _kg_entity_values_exploded(sf_dir, "prices", "price")
+
+    def loc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["conv_id", "loc"]].drop_duplicates()
+
+    def price_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["price"].str.split(" ").str[0].astype("float64")
+        d = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "cents": np.rint(v.to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return d.groupby("conv_id", as_index=False).agg(
+            p_sum=("cents", "sum"), p_n=("cents", "size")
+        )
+
+    lp = locs.map_batches(loc_partial, batch_format="pandas", batch_size=65536)
+    pp = prices.map_batches(price_partial, batch_format="pandas", batch_size=65536)
+
+    def merge_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        l = left.drop_duplicates(["conv_id", "loc"])
+        r = right.groupby("conv_id", as_index=False).agg(
+            p_sum=("p_sum", "sum"), p_n=("p_n", "sum")
+        )
+        m = l.merge(r, on="conv_id")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "loc": pd.Series([], dtype="object"),
+                    "p_sum": pd.Series([], dtype="int64"),
+                    "p_n": pd.Series([], dtype="int64"),
+                }
+            )
+        return m.groupby("loc", as_index=False).agg(p_sum=("p_sum", "sum"), p_n=("p_n", "sum"))
+
+    parts = bucketed_join(lp, pp, on="conv_id", n_buckets=32, merge_fn=merge_fn)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("loc", as_index=False).agg(s=("p_sum", "sum"), n=("p_n", "sum"))
+        return pd.DataFrame(
+            {
+                "loc": g["loc"],
+                "n_prices": g["n"].astype("int64"),
+                "avg_price": round_away(
+                    (g["s"].to_numpy(dtype=np.float64) / 100.0)
+                    / g["n"].to_numpy(dtype=np.float64),
+                    4,
+                ),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["loc"], final, n_buckets=4)
+
+
 def _kg_tool_assisted_pricing(sf_dir: str):
     """Tool-call attribution per seller: of the conversations that quote a
     price, how many consulted a tool (non-empty `tool` turn) BEFORE the
@@ -963,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_assisted_pricing": _kg_tool_assisted_pricing,
         "kg_locs_exploded": _kg_locs_exploded,
         "kg_seller_loc_matrix": _kg_seller_loc_matrix,
+        "kg_price_by_location": _kg_price_by_location,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -1145,6 +1219,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(CAST(val AS BIGINT) AS VARCHAR)
                         ELSE printf('%.10g', val) END || ' ብር' AS price
             FROM v
+        """,
+        "kg_price_by_location": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            l AS (
+                SELECT DISTINCT conv_id,
+                       unnest(regexp_extract_all(
+                           translate(clean, '{fold_src}', '{fold_dst}'),
+                           '{loc_pattern}')) AS loc
+                FROM c),
+            r AS (
+                SELECT conv_id,
+                       unnest(regexp_extract_all(clean,
+                           '(?i)([0-9]{{1,3}}(?:,[0-9]{{3}})*(?:\\.[0-9]+)?)\\s*(?:ብር|birr|br|ዶላር|dollar)',
+                           1)) AS raw
+                FROM c),
+            v0 AS (SELECT conv_id,
+                          CAST(replace(raw, ',', '') AS DOUBLE) AS v FROM r),
+            p AS (SELECT conv_id,
+                         CAST(round(CASE WHEN v = floor(v) THEN v
+                                         ELSE CAST(printf('%.10g', v) AS DOUBLE)
+                                    END * 100) AS BIGINT) AS cents
+                  FROM v0),
+            j AS (SELECT l.loc, p.cents FROM l JOIN p USING (conv_id))
+            SELECT loc, CAST(count(*) AS BIGINT) AS n_prices,
+                   round((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*), 4)
+                       AS avg_price
+            FROM j GROUP BY 1
         """,
         "kg_seller_loc_matrix": f"""
             WITH c AS (

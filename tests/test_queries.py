@@ -253,6 +253,7 @@ SQL_CHECKED_TX = [
     "kg_tool_assisted_pricing",
     "kg_locs_exploded",
     "kg_seller_loc_matrix",
+    "kg_price_by_location",
     "kg_phones_exploded",
 ]
 
