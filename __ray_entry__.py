@@ -969,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q159_double_charge": windows.q159_double_charge,
         "q160_abc_classes": relational.q160_abc_classes,
         "q161_hapax_ratio": textstats.q161_hapax_ratio,
+        "q174_cramers_v": textstats.q174_cramers_v,
         "q162_supplier_hhi": relational.q162_supplier_hhi,
         "q163_conversion_ztest": relational.q163_conversion_ztest,
         "q164_cusum_changepoint": windows.q164_cusum_changepoint,
@@ -2936,6 +2937,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(qty * qty) AS DOUBLE)
                          / (CAST(sum(qty) AS DOUBLE) * sum(qty)), 6) AS hhi
             FROM s GROUP BY 1
+        """,
+        "q174_cramers_v": """
+            WITH c AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                FROM documents GROUP BY 1, 2),
+            r AS (SELECT lang, sum(o) AS rn FROM c GROUP BY 1),
+            s AS (SELECT source, sum(o) AS cn FROM c GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM c),
+            k AS (SELECT least((SELECT count(*) FROM r),
+                               (SELECT count(*) FROM s)) - 1 AS df),
+            grid AS (SELECT r.lang, s.source, r.rn, s.cn
+                     FROM r CROSS JOIN s),
+            x AS (
+                SELECT COALESCE(c.o, 0) AS o,
+                       CAST(g.rn AS DOUBLE) * g.cn / t.n AS e
+                FROM grid g
+                LEFT JOIN c ON c.lang = g.lang AND c.source = g.source
+                CROSS JOIN t),
+            chi AS (SELECT sum((o - e) * (o - e) / e) AS chi2 FROM x)
+            SELECT CAST(t.n AS BIGINT) AS n_docs,
+                   round(chi.chi2, 4) AS chi2,
+                   round(sqrt(chi.chi2 / (t.n * k.df)), 6) AS cramers_v
+            FROM chi CROSS JOIN t CROSS JOIN k
         """,
         "q161_hapax_ratio": r"""
             WITH tk AS (

@@ -2511,3 +2511,50 @@ def q161_hapax_ratio(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(parts, ["source"], final, n_buckets=4)
+
+
+def q174_cramers_v(sf_dir: str) -> pd.DataFrame:
+    """Cramér's V between document language and source — the EFFECT-SIZE
+    companion to q111's chi-squared (χ² grows with n and always "fires" on
+    big data; V = sqrt(χ²/(n·(min(r,c)−1))) is scale-free, the number you
+    can threshold in a drift monitor). One bounded (lang, source) count
+    exchange; χ² and V are driver math from exact int64 cell counts with
+    the expected-count expression written identically in the SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).size().rename(columns={"size": "n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False)["n"].sum()
+        return g.astype({"n": "int64"})
+
+    cells = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["lang", "source"],
+        final,
+        n_buckets=4,
+    ).to_pandas()
+    piv = cells.pivot_table(index="lang", columns="source", values="n", fill_value=0).astype(
+        "int64"
+    )
+    obs = piv.to_numpy(dtype=np.float64)
+    n = float(obs.sum())
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    exp = row * col / n
+    chi2 = float(((obs - exp) * (obs - exp) / exp).sum())
+    k = min(piv.shape[0], piv.shape[1]) - 1
+    v = float(np.sqrt(chi2 / (n * k)))
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([int(n)], dtype=np.int64),
+            "chi2": [round_away(np.array([chi2]), 4)[0]],
+            "cramers_v": [round_away(np.array([v]), 6)[0]],
+        }
+    )

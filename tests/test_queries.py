@@ -218,6 +218,7 @@ SQL_CHECKED = [
     "q161_hapax_ratio",
     "q162_supplier_hhi",
     "q163_conversion_ztest",
+    "q174_cramers_v",
     "q164_cusum_changepoint",
     "q165_open_order_backlog",
     "q166_session_duration_quantiles",
