@@ -970,6 +970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q160_abc_classes": relational.q160_abc_classes,
         "q161_hapax_ratio": textstats.q161_hapax_ratio,
         "q174_cramers_v": textstats.q174_cramers_v,
+        "q175_prefix_families": textstats.q175_prefix_families,
+        "q176_return_rate_wilson": relational.q176_return_rate_wilson,
         "q162_supplier_hhi": relational.q162_supplier_hhi,
         "q163_conversion_ztest": relational.q163_conversion_ztest,
         "q164_cusum_changepoint": windows.q164_cusum_changepoint,
@@ -2937,6 +2939,37 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(qty * qty) AS DOUBLE)
                          / (CAST(sum(qty) AS DOUBLE) * sum(qty)), 6) AS hhi
             FROM s GROUP BY 1
+        """,
+        "q175_prefix_families": """
+            SELECT substr(text, 1, 32) AS prefix,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY 1
+            HAVING count(*) >= 2
+        """,
+        "q176_return_rate_wilson": """
+            WITH m AS (
+                SELECT date_trunc('month', l_shipdate) AS month,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN l_returnflag = 'R'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS r
+                FROM lineitem GROUP BY 1)
+            SELECT CAST(month AS TIMESTAMP) AS month,
+                   n AS n_items, r AS n_returned,
+                   round(CAST(r AS DOUBLE) / n, 6) AS rate,
+                   round(((CAST(r AS DOUBLE) / n)
+                          + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n)
+                         - 1.96 * sqrt((CAST(r AS DOUBLE) / n)
+                                       * (1.0 - CAST(r AS DOUBLE) / n) / n
+                                       + 1.96 * 1.96 / (4.0 * n * n))
+                           / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+                   round(((CAST(r AS DOUBLE) / n)
+                          + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n)
+                         + 1.96 * sqrt((CAST(r AS DOUBLE) / n)
+                                       * (1.0 - CAST(r AS DOUBLE) / n) / n
+                                       + 1.96 * 1.96 / (4.0 * n * n))
+                           / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+            FROM m
         """,
         "q174_cramers_v": """
             WITH c AS (

@@ -4158,3 +4158,53 @@ def q173_net_revenue_monthly(sf_dir: str) -> "ray.data.Dataset":
         final,
         n_buckets=8,
     )
+
+
+def q176_return_rate_wilson(sf_dir: str, z: float = 1.96) -> "ray.data.Dataset":
+    """Monthly return rate with a Wilson score confidence interval — the
+    proportion-with-uncertainty shape every quality dashboard needs (a raw
+    rate over 50 rows and over 50,000 rows read the same; the Wilson band
+    says which you can trust). One calendar-bounded two-phase count of
+    (returned, total) per ship month; the interval is the closed form
+    (p + z²/2n ± z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n) evaluated from
+    exact int64 counts with the identical expression in the SQL oracle."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_shipdate", "l_returnflag"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["l_shipdate"].astype("datetime64[us]").dt.to_period("M").dt.to_timestamp()
+        d = pd.DataFrame(
+            {
+                "month": month.astype("datetime64[us]"),
+                "ret": (df["l_returnflag"] == "R").astype("int64"),
+            }
+        )
+        return d.groupby("month", as_index=False).agg(p_n=("ret", "size"), p_r=("ret", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("month", as_index=False).agg(n=("p_n", "sum"), r=("p_r", "sum"))
+        n = g["n"].to_numpy(dtype=np.float64)
+        p = g["r"].to_numpy(dtype=np.float64) / n
+        z2 = z * z
+        center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+        half = (
+            z
+            * np.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+            / (1.0 + z2 / n)
+        )
+        return pd.DataFrame(
+            {
+                "month": g["month"].astype("datetime64[us]"),
+                "n_items": g["n"].astype("int64"),
+                "n_returned": g["r"].astype("int64"),
+                "rate": round_away(p, 6),
+                "wilson_lo": round_away(center - half, 6),
+                "wilson_hi": round_away(center + half, 6),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["month"],
+        final,
+        n_buckets=8,
+    )

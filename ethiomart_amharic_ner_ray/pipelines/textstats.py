@@ -2558,3 +2558,40 @@ def q174_cramers_v(sf_dir: str) -> pd.DataFrame:
             "cramers_v": [round_away(np.array([v]), 6)[0]],
         }
     )
+
+
+def q175_prefix_families(sf_dir: str, k_chars: int = 32, min_docs: int = 2) -> "ray.data.Dataset":
+    """Shared-prefix family mining: groups of documents opening with the
+    same first ``k_chars`` characters — the cheap template/boilerplate
+    detector that catches header-stamped corpora before the shingle-level
+    miners (q139) spend their shuffle. Two-phase count on the prefix key;
+    only families with >= ``min_docs`` members survive, so the output is
+    family-sized."""
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t.column("text"), 0, k_chars)
+        import pandas as _pd
+
+        g = _pd.DataFrame({"prefix": pref.to_pylist()}).groupby(
+            "prefix", as_index=False
+        ).size().rename(columns={"size": "p_n"})
+        return pa.Table.from_pandas(
+            g.astype({"p_n": "int64"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("prefix", as_index=False)["p_n"].sum()
+        g = g.loc[g["p_n"] >= min_docs].rename(columns={"p_n": "n_docs"})
+        return g.astype({"n_docs": "int64"})
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["prefix"],
+        final,
+        n_buckets=8,
+    )

@@ -219,6 +219,8 @@ SQL_CHECKED = [
     "q162_supplier_hhi",
     "q163_conversion_ztest",
     "q174_cramers_v",
+    "q175_prefix_families",
+    "q176_return_rate_wilson",
     "q164_cusum_changepoint",
     "q165_open_order_backlog",
     "q166_session_duration_quantiles",
