@@ -278,6 +278,57 @@ def _kg_locs_exploded(sf_dir: str):
     return _kg_entity_values_exploded(sf_dir, "locations", "loc")
 
 
+def _kg_seller_response_p50(sf_dir: str):
+    """Per-seller response-latency SLA rollup: median first-agent-response
+    gap (in turns) across the seller's conversations — the scorecard row
+    kg_response_latency's per-conv values feed. Latencies live on a small
+    integer grid, so per-seller (turns, count) histogram partials ride the
+    seller exchange and the exact interpolated median comes off the
+    histogram (q145's _wq_interp rule == quantile_cont)."""
+    import numpy as np
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg, round_away
+    from ethiomart_amharic_ner_ray.pipelines.relational import _wq_interp
+
+    lat = _kg_response_latency(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "seller": df["conv_id"].str.split("-").str[0],
+                "turns": df["response_turns"].astype("int64"),
+            }
+        )
+        return d.groupby(["seller", "turns"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["seller", "turns"], as_index=False)["cnt"].sum()
+        out = []
+        for s, gg in g.sort_values(["seller", "turns"], kind="mergesort").groupby(
+            "seller", sort=False
+        ):
+            v = gg["turns"].to_numpy(dtype=np.float64)
+            c = gg["cnt"].to_numpy(dtype=np.int64)
+            out.append(
+                {
+                    "seller": s,
+                    "n_convs": int(c.sum()),
+                    "p50_turns": float(round_away(np.array([_wq_interp(v, c, 0.5)]), 4)[0]),
+                }
+            )
+        return pd.DataFrame(out).astype({"n_convs": "int64"})
+
+    return bucketed_group_agg(
+        lat.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["seller"],
+        final,
+        n_buckets=8,
+    )
+
+
 def _kg_seller_loc_matrix(sf_dir: str):
     """Market-presence matrix: mention counts per (seller, location) — the
     aggregated located_in edge weight of the knowledge graph,
@@ -1040,6 +1091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_locs_exploded": _kg_locs_exploded,
         "kg_seller_loc_matrix": _kg_seller_loc_matrix,
         "kg_price_by_location": _kg_price_by_location,
+        "kg_seller_response_p50": _kg_seller_response_p50,
+        "q178_share_swing": windows.q178_share_swing,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -1403,6 +1456,23 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY conv_id ORDER BY turn_idx
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
             FROM read_parquet('{tx_glob}')
+        """,
+        "kg_seller_response_p50": f"""
+            WITH b AS (
+                SELECT conv_id, min(turn_idx) AS b_idx
+                FROM read_parquet('{tx_glob}')
+                WHERE role = 'buyer' GROUP BY 1),
+            a AS (
+                SELECT t.conv_id, min(t.turn_idx) AS a_idx, min(b.b_idx) AS b_idx
+                FROM read_parquet('{tx_glob}') t
+                JOIN b ON t.conv_id = b.conv_id
+                WHERE t.role = 'agent' AND t.turn_idx > b.b_idx
+                GROUP BY 1)
+            SELECT split_part(conv_id, '-', 1) AS seller,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   round(quantile_cont(CAST(a_idx - b_idx AS DOUBLE), 0.5), 4)
+                       AS p50_turns
+            FROM a GROUP BY 1
         """,
         "kg_response_latency": f"""
             WITH b AS (
@@ -2939,6 +3009,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(qty * qty) AS DOUBLE)
                          / (CAST(sum(qty) AS DOUBLE) * sum(qty)), 6) AS hhi
             FROM s GROUP BY 1
+        """,
+        "q178_share_swing": """
+            WITH c AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT day, sum(n) AS tot FROM c GROUP BY 1),
+            s AS (SELECT c.event_type, c.day,
+                         CAST(c.n AS DOUBLE) / t.tot AS share
+                  FROM c JOIN t USING (day)),
+            l AS (SELECT event_type, day, share,
+                         lag(share) OVER w AS pshare,
+                         lag(day) OVER w AS pday
+                  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day))
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   round(COALESCE(max(CASE WHEN pday = day - to_days(1)
+                                      THEN abs(share - pshare) END), 0.0), 6)
+                       AS max_swing
+            FROM l GROUP BY 1
         """,
         "q175_prefix_families": """
             SELECT substr(text, 1, 32) AS prefix,

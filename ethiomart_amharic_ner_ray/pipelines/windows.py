@@ -1643,3 +1643,56 @@ def q168_retention_curve(sf_dir: str) -> pd.DataFrame:
             "retention": round_away(surviving.astype(np.float64) / float(total), 6),
         }
     )
+
+
+def q178_share_swing(sf_dir: str) -> pd.DataFrame:
+    """Mix-stability screen: each event type's maximum day-over-day swing
+    in its share of daily traffic — the composition-drift alarm (a type
+    whose share jumps 20 points overnight usually means an instrumentation
+    change, not user behavior). One bounded (day, type) count exchange;
+    shares, consecutive-day diffs and the max are driver math on the
+    calendar-sized table (max is order-free, so no float-accumulation
+    hazard)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"event_type": df["event_type"], "day": df["ts"].dt.floor("D")})
+        return d.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "p_n"}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False)["p_n"].sum()
+        return g.astype({"p_n": "int64"})
+
+    counts = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["event_type", "day"],
+            final,
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "day"], kind="mergesort")
+    )
+    tot = counts.groupby("day")["p_n"].transform("sum").to_numpy(dtype=np.float64)
+    counts["share"] = counts["p_n"].to_numpy(dtype=np.float64) / tot
+    out = []
+    for t, g in counts.groupby("event_type", sort=True):
+        s = g["share"].to_numpy()
+        days = g["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        if len(s) > 1:
+            consec = (days[1:] - days[:-1]) == 1
+            swings = np.abs(s[1:] - s[:-1])[consec]
+        else:
+            swings = np.array([])
+        out.append(
+            {
+                "event_type": t,
+                "n_days": len(s),
+                "max_swing": float(round_away(np.array([swings.max() if len(swings) else 0.0]), 6)[0]),
+            }
+        )
+    return pd.DataFrame(out).astype({"n_days": "int64"})

@@ -221,6 +221,7 @@ SQL_CHECKED = [
     "q174_cramers_v",
     "q175_prefix_families",
     "q176_return_rate_wilson",
+    "q178_share_swing",
     "q164_cusum_changepoint",
     "q165_open_order_backlog",
     "q166_session_duration_quantiles",
@@ -246,6 +247,7 @@ SQL_CHECKED_TX = [
     "kg_turn_context",
     "kg_seller_turncounts",
     "kg_response_latency",
+    "kg_seller_response_p50",
     "kg_clean_text",
     "kg_price_redact",
     "kg_mention_flags",
