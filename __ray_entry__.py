@@ -329,6 +329,62 @@ def _kg_seller_response_p50(sf_dir: str):
     )
 
 
+def _kg_seller_price_cv(sf_dir: str):
+    """Pricing-volatility scorecard row: per-seller coefficient of
+    variation of quoted prices (sample std / mean) — the consistency
+    signal the lending score's price-stability factor abstracts. Exact
+    int64 cents sufficient statistics (n, Σ, Σ²) ride a seller-sized
+    exchange; std and CV evaluate from the exact integers with the same
+    expression in the SQL oracle. Sellers with < 2 quotes are excluded
+    (sample std undefined)."""
+    import numpy as np
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg, round_away
+
+    prices = _kg_entity_values_exploded(sf_dir, "prices", "price")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["price"].str.split(" ").str[0].astype("float64")
+        cents = np.rint(v.to_numpy() * 100).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "seller": df["conv_id"].str.split("-").str[0],
+                "c": cents,
+                "c2": cents * cents,
+            }
+        )
+        return d.groupby("seller", as_index=False).agg(
+            p_n=("c", "size"), p_s=("c", "sum"), p_s2=("c2", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seller", as_index=False).agg(
+            n=("p_n", "sum"), s=("p_s", "sum"), s2=("p_s2", "sum")
+        )
+        g = g.loc[g["n"] >= 2]
+        n = g["n"].to_numpy(dtype=np.float64)
+        s = g["s"].to_numpy(dtype=np.float64)
+        s2 = g["s2"].to_numpy(dtype=np.float64)
+        var = (s2 - s * s / n) / (n - 1.0)
+        mean = s / n
+        cv = np.sqrt(var) / mean
+        return pd.DataFrame(
+            {
+                "seller": g["seller"],
+                "n_prices": g["n"].astype("int64"),
+                "price_cv": round_away(cv, 6),
+            }
+        )
+
+    return bucketed_group_agg(
+        prices.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["seller"],
+        final,
+        n_buckets=8,
+    )
+
+
 def _kg_seller_loc_matrix(sf_dir: str):
     """Market-presence matrix: mention counts per (seller, location) — the
     aggregated located_in edge weight of the knowledge graph,
@@ -1093,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_price_by_location": _kg_price_by_location,
         "kg_seller_response_p50": _kg_seller_response_p50,
         "q178_share_swing": windows.q178_share_swing,
+        "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -1304,6 +1361,34 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*), 4)
                        AS avg_price
             FROM j GROUP BY 1
+        """,
+        "kg_seller_price_cv": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            r AS (
+                SELECT conv_id,
+                       unnest(regexp_extract_all(clean,
+                           '(?i)([0-9]{{1,3}}(?:,[0-9]{{3}})*(?:\\.[0-9]+)?)\\s*(?:ብር|birr|br|ዶላር|dollar)',
+                           1)) AS raw
+                FROM c),
+            v0 AS (SELECT conv_id,
+                          CAST(replace(raw, ',', '') AS DOUBLE) AS v FROM r),
+            p AS (SELECT split_part(conv_id, '-', 1) AS seller,
+                         CAST(round(CASE WHEN v = floor(v) THEN v
+                                         ELSE CAST(printf('%.10g', v) AS DOUBLE)
+                                    END * 100) AS BIGINT) AS cents
+                  FROM v0),
+            s AS (
+                SELECT seller, CAST(count(*) AS BIGINT) AS n,
+                       sum(cents) AS sc, sum(cents * cents) AS sc2
+                FROM p GROUP BY 1
+                HAVING count(*) >= 2)
+            SELECT seller, n AS n_prices,
+                   round(sqrt((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n)
+                              / (n - 1.0))
+                         / (CAST(sc AS DOUBLE) / n), 6) AS price_cv
+            FROM s
         """,
         "kg_seller_loc_matrix": f"""
             WITH c AS (
