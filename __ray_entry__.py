@@ -1150,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_response_p50": _kg_seller_response_p50,
         "q178_share_swing": windows.q178_share_swing,
         "kg_seller_price_cv": _kg_seller_price_cv,
+        "q179_segment_priority_residuals": relational.q179_segment_priority_residuals,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -3094,6 +3095,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(qty * qty) AS DOUBLE)
                          / (CAST(sum(qty) AS DOUBLE) * sum(qty)), 6) AS hhi
             FROM s GROUP BY 1
+        """,
+        "q179_segment_priority_residuals": """
+            WITH c AS (
+                SELECT cu.c_mktsegment AS segment,
+                       o.o_orderpriority AS priority,
+                       CAST(count(*) AS BIGINT) AS o
+                FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+                GROUP BY 1, 2),
+            r AS (SELECT segment, sum(o) AS rn FROM c GROUP BY 1),
+            s AS (SELECT priority, sum(o) AS cn FROM c GROUP BY 1),
+            t AS (SELECT sum(o) AS n FROM c),
+            grid AS (SELECT r.segment, s.priority, r.rn, s.cn
+                     FROM r CROSS JOIN s)
+            SELECT g.segment, g.priority,
+                   COALESCE(c.o, 0) AS observed,
+                   round(CAST(g.rn AS DOUBLE) * g.cn / t.n, 4) AS expected,
+                   round((COALESCE(c.o, 0) - CAST(g.rn AS DOUBLE) * g.cn / t.n)
+                         / sqrt(CAST(g.rn AS DOUBLE) * g.cn / t.n), 4)
+                       AS residual
+            FROM grid g
+            LEFT JOIN c ON c.segment = g.segment AND c.priority = g.priority
+            CROSS JOIN t
         """,
         "q178_share_swing": """
             WITH c AS (

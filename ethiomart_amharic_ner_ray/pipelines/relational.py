@@ -4208,3 +4208,53 @@ def q176_return_rate_wilson(sf_dir: str, z: float = 1.96) -> "ray.data.Dataset":
         final,
         n_buckets=8,
     )
+
+
+def q179_segment_priority_residuals(sf_dir: str) -> "ray.data.Dataset":
+    """Standardized residuals (o−e)/sqrt(e) for the customer-segment x
+    order-priority contingency — WHERE an association lives, which the
+    summary statistics (q111 chi², q174 Cramér's V) deliberately compress
+    away; residuals beyond ±2 flag the individual cells driving a drift
+    alarm. Broadcast custkey→segment map (q03's join shape), one bounded
+    grid count exchange, expected counts from exact int64 marginals and a
+    per-cell closed form (no cross-cell float accumulation anywhere)."""
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ck = cust.column("c_custkey").to_numpy()
+    order = np.argsort(ck)
+    segs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order]
+    ref = ray.put((ck[order], segs))
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, s = get_broadcast(ref)
+        ix = np.clip(np.searchsorted(keys, df["o_custkey"].to_numpy()), 0, len(keys) - 1)
+        d = pd.DataFrame({"segment": s[ix], "priority": df["o_orderpriority"]})
+        return d.groupby(["segment", "priority"], as_index=False).size().rename(
+            columns={"size": "p_n"}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["segment", "priority"], as_index=False)["p_n"].sum()
+        return g.rename(columns={"p_n": "observed"}).astype({"observed": "int64"})
+
+    cells = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["segment", "priority"],
+        final,
+        n_buckets=4,
+    ).to_pandas()
+    piv = cells.pivot_table(
+        index="segment", columns="priority", values="observed", fill_value=0
+    ).astype("int64")
+    obs = piv.to_numpy(dtype=np.float64)
+    n = float(obs.sum())
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    exp = row * col / n
+    resid = (obs - exp) / np.sqrt(exp)
+    out = piv.stack().reset_index()
+    out.columns = ["segment", "priority", "observed"]
+    out["expected"] = round_away(exp.ravel(), 4)
+    out["residual"] = round_away(resid.ravel(), 4)
+    return out.astype({"observed": "int64"})

@@ -222,6 +222,7 @@ SQL_CHECKED = [
     "q175_prefix_families",
     "q176_return_rate_wilson",
     "q178_share_swing",
+    "q179_segment_priority_residuals",
     "q164_cusum_changepoint",
     "q165_open_order_backlog",
     "q166_session_duration_quantiles",
