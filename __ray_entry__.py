@@ -1151,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q178_share_swing": windows.q178_share_swing,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "q179_segment_priority_residuals": relational.q179_segment_priority_residuals,
+        "q180_clv_quartile_migration": relational.q180_clv_quartile_migration,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -3095,6 +3096,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(qty * qty) AS DOUBLE)
                          / (CAST(sum(qty) AS DOUBLE) * sum(qty)), 6) AS hhi
             FROM s GROUP BY 1
+        """,
+        "q180_clv_quartile_migration": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+            f AS (SELECT o_custkey, min(day) AS fd FROM o GROUP BY 1),
+            a AS (
+                SELECT o.o_custkey,
+                       sum(CASE WHEN o.day - f.fd < 365
+                                THEN o.cents ELSE 0 END) AS y1,
+                       sum(CASE WHEN o.day - f.fd >= 365 AND o.day - f.fd < 730
+                                THEN o.cents ELSE 0 END) AS y2
+                FROM o JOIN f USING (o_custkey) GROUP BY 1),
+            t1 AS (SELECT quantile_disc(y1, 0.25) AS a1,
+                          quantile_disc(y1, 0.50) AS a2,
+                          quantile_disc(y1, 0.75) AS a3 FROM a),
+            t2 AS (SELECT quantile_disc(y2, 0.25) AS b1,
+                          quantile_disc(y2, 0.50) AS b2,
+                          quantile_disc(y2, 0.75) AS b3 FROM a WHERE y2 > 0),
+            q AS (
+                SELECT (1 + (a.y1 > t1.a1)::INT + (a.y1 > t1.a2)::INT
+                          + (a.y1 > t1.a3)::INT) AS q_year1,
+                       CASE WHEN a.y2 <= 0 THEN 0
+                            ELSE 1 + (a.y2 > t2.b1)::INT + (a.y2 > t2.b2)::INT
+                                   + (a.y2 > t2.b3)::INT END AS q_year2
+                FROM a CROSS JOIN t1 CROSS JOIN t2)
+            SELECT CAST(q_year1 AS BIGINT) AS q_year1,
+                   CAST(q_year2 AS BIGINT) AS q_year2,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM q GROUP BY 1, 2
         """,
         "q179_segment_priority_residuals": """
             WITH c AS (

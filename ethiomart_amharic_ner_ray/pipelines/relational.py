@@ -4258,3 +4258,76 @@ def q179_segment_priority_residuals(sf_dir: str) -> "ray.data.Dataset":
     out["expected"] = round_away(exp.ravel(), 4)
     out["residual"] = round_away(resid.ravel(), 4)
     return out.astype({"observed": "int64"})
+
+
+def q180_clv_quartile_migration(sf_dir: str) -> pd.DataFrame:
+    """Customer-value migration matrix: each customer's spend quartile in
+    their FIRST 365 days vs their SECOND — the cohort-quality question
+    behind every LTV model (do cheap acquisitions grow, do whales stay?).
+    One custkey-bucket shuffle co-locates orders; in-bucket two exact
+    cents sums per customer (year-1 / year-2 of their own lifetime);
+    quartile thresholds per period come from value-count histograms over
+    the customer-sized aggregate (quantile_disc rank rule, q154's helper —
+    q141 micro-bin selection is the cluster path) and the 4x4 matrix is a
+    bounded count. Customers with no year-2 order form the 'churned'
+    column, which is the most important cell of all."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "day": df["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64),
+                "cents": np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        first = d.groupby("o_custkey")["day"].transform("min")
+        off = d["day"] - first
+        d["y1"] = np.where(off < 365, d["cents"], 0)
+        d["y2"] = np.where((off >= 365) & (off < 730), d["cents"], 0)
+        d["has2"] = (off >= 365).astype("int64") * ((off < 730).astype("int64"))
+        g = d.groupby("o_custkey", as_index=False).agg(
+            first_day=("day", "min"), y1=("y1", "sum"), y2=("y2", "sum"), n2=("has2", "sum")
+        )
+        return g.astype({"first_day": "int64", "y1": "int64", "y2": "int64", "n2": "int64"})
+
+    # NOTE: per-batch partials are NOT correct here (first_day must be the
+    # customer's GLOBAL min), so the raw 3 columns ride the bucket shuffle
+    # and per_cust runs once per bucket on co-located customers.
+    agg = (
+        bucketed_group_agg(ds, ["o_custkey"], per_cust, n_buckets=32)
+        .to_pandas()
+    )
+    thresholds = {}
+    for colname in ("y1", "y2"):
+        vals = agg.loc[agg[colname] > 0, colname] if colname == "y2" else agg[colname]
+        h = (
+            pd.DataFrame({colname: vals})
+            .groupby(colname, as_index=False)
+            .size()
+            .sort_values(colname, kind="mergesort")
+        )
+        thresholds[colname] = _disc_quantiles_from_hist(
+            h[colname].to_numpy(dtype=np.int64),
+            h["size"].to_numpy(dtype=np.int64),
+            [0.25, 0.5, 0.75],
+        )
+    t1 = thresholds["y1"]
+    t2 = thresholds["y2"]
+    v1 = agg["y1"].to_numpy(dtype=np.int64)
+    v2 = agg["y2"].to_numpy(dtype=np.int64)
+    q1 = 1 + (v1 > t1[0]).astype(np.int64) + (v1 > t1[1]) + (v1 > t1[2])
+    q2 = np.where(
+        v2 <= 0,
+        0,  # churned: no year-2 revenue
+        1 + (v2 > t2[0]).astype(np.int64) + (v2 > t2[1]) + (v2 > t2[2]),
+    )
+    out = (
+        pd.DataFrame({"q_year1": q1, "q_year2": q2})
+        .groupby(["q_year1", "q_year2"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_customers"})
+    )
+    return out.astype({"q_year1": "int64", "q_year2": "int64", "n_customers": "int64"})

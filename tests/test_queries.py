@@ -223,6 +223,7 @@ SQL_CHECKED = [
     "q176_return_rate_wilson",
     "q178_share_swing",
     "q179_segment_priority_residuals",
+    "q180_clv_quartile_migration",
     "q164_cusum_changepoint",
     "q165_open_order_backlog",
     "q166_session_duration_quantiles",
