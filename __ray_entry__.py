@@ -1152,6 +1152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_price_cv": _kg_seller_price_cv,
         "q179_segment_priority_residuals": relational.q179_segment_priority_residuals,
         "q180_clv_quartile_migration": relational.q180_clv_quartile_migration,
+        "q181_source_lang_purity": textstats.q181_source_lang_purity,
+        "q182_prefix_family_diversity": textstats.q182_prefix_family_diversity,
         "kg_seller_scorecards": _kg_scorecards,
         "kg_pr_report": _kg_pr_report,
         "kg_extractor_disagreement": _kg_extractor_disagreement,
@@ -3096,6 +3098,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(qty * qty) AS DOUBLE)
                          / (CAST(sum(qty) AS DOUBLE) * sum(qty)), 6) AS hhi
             FROM s GROUP BY 1
+        """,
+        "q181_source_lang_purity": """
+            WITH c AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1, 2),
+            r AS (
+                SELECT source, lang, n,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n DESC, lang) AS rn,
+                       sum(n) OVER (PARTITION BY source) AS total
+                FROM c)
+            SELECT source, lang AS dominant_lang,
+                   CAST(total AS BIGINT) AS n_docs,
+                   round(CAST(n AS DOUBLE) / total, 6) AS purity
+            FROM r WHERE rn = 1
+        """,
+        "q182_prefix_family_diversity": """
+            WITH d AS (
+                SELECT substr(text, 1, 32) AS prefix, md5(text) AS h
+                FROM documents)
+            SELECT prefix,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+            FROM d GROUP BY 1
+            HAVING count(*) >= 2
         """,
         "q180_clv_quartile_migration": """
             WITH o AS (

@@ -2595,3 +2595,118 @@ def q175_prefix_families(sf_dir: str, k_chars: int = 32, min_docs: int = 2) -> "
         final,
         n_buckets=8,
     )
+
+
+def q181_source_lang_purity(sf_dir: str) -> pd.DataFrame:
+    """Language homogeneity per source: the share of a source's documents
+    in its own DOMINANT language (q14's lang-id, majority with
+    deterministic tie-break) — the mixed-crawl screen that decides whether
+    a source needs per-language splitting before entering a training mix.
+    One bounded (source, lang) count exchange; dominant + purity are
+    driver math on the grid."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "lang"], as_index=False).size().rename(columns={"size": "n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False)["n"].sum()
+        return g.astype({"n": "int64"})
+
+    cells = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["source", "lang"],
+        final,
+        n_buckets=4,
+    ).to_pandas()
+    cells = cells.sort_values(["source", "n", "lang"], ascending=[True, False, True],
+                              kind="mergesort")
+    top = cells.groupby("source", as_index=False).first()
+    tot = cells.groupby("source", as_index=False)["n"].sum().rename(columns={"n": "total"})
+    out = top.merge(tot, on="source")
+    return pd.DataFrame(
+        {
+            "source": out["source"],
+            "dominant_lang": out["lang"],
+            "n_docs": out["total"].astype("int64"),
+            "purity": round_away(
+                out["n"].to_numpy(dtype=np.float64) / out["total"].to_numpy(dtype=np.float64),
+                6,
+            ),
+        }
+    )
+
+
+def q182_prefix_family_diversity(sf_dir: str, k_chars: int = 32, min_docs: int = 2) -> "ray.data.Dataset":
+    """Template-vs-duplicate triage for q175's prefix families: per shared
+    32-codepoint opening, member count AND distinct-body count (md5 of the
+    full text) — families where n_distinct == 1 are exact duplicates
+    (route to q11's dedup), families with many distinct bodies are
+    templates (route to q133's span removal). One (prefix, md5) distinct
+    exchange, family-sized output."""
+    import hashlib
+
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t.column("text"), 0, k_chars).to_pylist()
+        texts = t.column("text").to_pylist()
+        import pandas as _pd
+
+        d = _pd.DataFrame(
+            {
+                "prefix": pref,
+                "h": [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts],
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t.column("text"), 0, k_chars)
+        import pandas as _pd
+
+        g = _pd.DataFrame({"prefix": pref.to_pylist()}).groupby(
+            "prefix", as_index=False
+        ).size().rename(columns={"size": "p_n"})
+        return pa.Table.from_pandas(
+            g.astype({"p_n": "int64"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("prefix", as_index=False)["h"].nunique()
+        return g.rename(columns={"h": "n_distinct"}).astype({"n_distinct": "int64"})
+
+    distinct = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["prefix"],
+        final,
+        n_buckets=8,
+    )
+
+    def cfinal(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("prefix", as_index=False)["p_n"].sum()
+        g = g.loc[g["p_n"] >= min_docs].rename(columns={"p_n": "n_docs"})
+        return g.astype({"n_docs": "int64"})
+
+    counts = bucketed_group_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["prefix"],
+        cfinal,
+        n_buckets=8,
+    )
+
+    def merge_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return left.merge(right, on="prefix")
+
+    from .common import bucketed_join
+
+    return bucketed_join(counts, distinct, on="prefix", n_buckets=8, merge_fn=merge_fn)

@@ -224,6 +224,8 @@ SQL_CHECKED = [
     "q178_share_swing",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
+    "q181_source_lang_purity",
+    "q182_prefix_family_diversity",
     "q164_cusum_changepoint",
     "q165_open_order_backlog",
     "q166_session_duration_quantiles",
