@@ -3096,7 +3096,10 @@ def _wq_interp(values: np.ndarray, counts: np.ndarray, q: float) -> float:
     if frac == 0.0:
         return lo
     hi = float(values[int(np.searchsorted(cum, k + 1, side="right"))])
-    return lo + (hi - lo) * frac
+    # DuckDB interpolates lo*(1-frac) + hi*frac (NOT lo + (hi-lo)*frac);
+    # the two differ in the last ulp, and the property suite pins bitwise
+    # equality with quantile_cont, so match the exact form
+    return lo * (1.0 - frac) + hi * frac
 
 
 def q145_iqr_outliers(sf_dir: str) -> "ray.data.Dataset":

@@ -379,3 +379,32 @@ class TestNulBytesEndToEnd:
         assert len(base) == len({k.replace("\x00", "�") for k in keys})
         for r in results[1:]:
             pd.testing.assert_frame_equal(r, base)
+
+
+class TestWqInterpMatchesQuantileCont:
+    """_wq_interp (the distinct-value-histogram quantile rule behind
+    q145/q150/q166/kg_seller_response_p50) must equal DuckDB's
+    quantile_cont on the expanded multiset for arbitrary histograms and
+    quantiles — including ties, single-value histograms, and q landing
+    exactly on a rank."""
+
+    def test_random_histograms(self):
+        import duckdb
+        import numpy as np
+
+        from ethiomart_amharic_ner_ray.pipelines.relational import _wq_interp
+
+        rng = np.random.default_rng(11)
+        con = duckdb.connect()
+        for trial in range(25):
+            n_vals = int(rng.integers(1, 12))
+            vals = np.unique(rng.integers(-50, 500, n_vals)).astype(np.float64)
+            counts = rng.integers(1, 6, len(vals)).astype(np.int64)
+            expanded = np.repeat(vals, counts)
+            for q in (0.0, 0.01, 0.25, 1.0 / 3, 0.5, 0.75, 0.9, 0.99, 1.0):
+                got = _wq_interp(vals, counts, q)
+                want = con.execute(
+                    "SELECT quantile_cont(x, ?) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+                    [q, list(expanded)],
+                ).fetchone()[0]
+                assert got == want, (trial, q, vals, counts, got, want)
