@@ -408,3 +408,32 @@ class TestWqInterpMatchesQuantileCont:
                     [q, list(expanded)],
                 ).fetchone()[0]
                 assert got == want, (trial, q, vals, counts, got, want)
+
+
+class TestDiscQuantilesMatchDuckdb:
+    """_disc_quantiles_from_hist (RFM/CLV/price-band thresholds) must pick
+    the same multiset ELEMENT as DuckDB's quantile_disc for arbitrary
+    histograms — the ceil(q*n) rank rule, including exact-rank landings
+    and heavy ties."""
+
+    def test_random_histograms(self):
+        import duckdb
+        import numpy as np
+
+        from ethiomart_amharic_ner_ray.pipelines.relational import _disc_quantiles_from_hist
+
+        rng = np.random.default_rng(13)
+        con = duckdb.connect()
+        for trial in range(25):
+            n_vals = int(rng.integers(1, 10))
+            vals = np.unique(rng.integers(-20, 200, n_vals)).astype(np.int64)
+            counts = rng.integers(1, 7, len(vals)).astype(np.int64)
+            expanded = np.repeat(vals, counts)
+            qs = [0.01, 0.25, 1.0 / 3, 0.5, 2.0 / 3, 0.75, 0.99, 1.0]
+            got = _disc_quantiles_from_hist(vals, counts, qs)
+            for q, g in zip(qs, got):
+                want = con.execute(
+                    "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?::BIGINT[]) AS x)",
+                    [q, [int(v) for v in expanded]],
+                ).fetchone()[0]
+                assert g == want, (trial, q, vals.tolist(), counts.tolist(), g, want)
