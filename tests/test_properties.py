@@ -437,3 +437,38 @@ class TestDiscQuantilesMatchDuckdb:
                     [q, [int(v) for v in expanded]],
                 ).fetchone()[0]
                 assert g == want, (trial, q, vals.tolist(), counts.tolist(), g, want)
+
+
+class TestRoundAwayMatchesDuckdbRound:
+    """round_away must equal DuckDB round() bitwise over random doubles at
+    every digit count the query surface uses (2, 4, 6) — half-away-from-
+    zero semantics including negative halves and values whose scaled form
+    sits within an ulp of the .5 boundary."""
+
+    def test_random_values(self):
+        import duckdb
+        import numpy as np
+
+        from ethiomart_amharic_ner_ray.pipelines.common import round_away
+
+        rng = np.random.default_rng(17)
+        con = duckdb.connect()
+        vals = np.concatenate(
+            [
+                rng.uniform(-1e6, 1e6, 200),
+                rng.integers(-500, 500, 50).astype(np.float64) / 2.0,  # exact halves
+                np.array([0.00005, -0.00005, 0.615, -0.615, 2.675, 1.0049999999]),
+            ]
+        )
+        for d in (2, 4, 6):
+            got = round_away(vals, d)
+            want = np.array(
+                con.execute(
+                    f"SELECT list(round(x, {d}) ORDER BY rowid) FROM "
+                    "(SELECT unnest(?::DOUBLE[]) AS x, "
+                    "generate_subscripts(?::DOUBLE[], 1) AS rowid)",
+                    [list(vals), list(vals)],
+                ).fetchone()[0]
+            )
+            mism = np.nonzero(got != want)[0]
+            assert len(mism) == 0, (d, vals[mism][:5], got[mism][:5], want[mism][:5])
