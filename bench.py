@@ -135,6 +135,13 @@ def run_bench() -> dict:
         "quality_classifier_scores",
         "tokenized_sequences",
         "q141_global_median_exact",
+        # round-3o representatives (absent before this revision of BENCH_r03):
+        # histogram-quantile robust stats, basket mining, fact-to-fact join,
+        # and a transcript-KG analytic
+        "q150_winsorized_mean",
+        "q158_pair_lift",
+        "q165_open_order_backlog",
+        "kg_seller_price_cv",
     ]
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         picks = []
