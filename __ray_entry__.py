@@ -329,6 +329,52 @@ def _kg_seller_response_p50(sf_dir: str):
     )
 
 
+def _kg_role_transitions(sf_dir: str):
+    """Dialogue-structure statistic: the (prev-role → next-role) transition
+    matrix over turn_idx-ordered conversations, with per-source-role
+    probabilities — q97's user-sequence Markov shape applied to the
+    transcript stream (who talks after whom; a buyer→buyer spike means
+    unanswered customers). ONE conv-bucket shuffle, in-bucket vectorized
+    grouped shift, ≤ |roles|² partial rows per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg, round_away
+
+    ds = _transcripts_ds(sf_dir).select_columns(["conv_id", "turn_idx", "role"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = d["conv_id"].to_numpy()
+        role = d["role"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        g = pd.DataFrame(
+            {"from_role": role[:-1][same], "to_role": role[1:][same]}
+        )
+        out = g.groupby(["from_role", "to_role"], as_index=False).size().rename(
+            columns={"size": "p_n"}
+        )
+        return out.astype({"p_n": "int64"})
+
+    parts = bucketed_group_agg(ds, ["conv_id"], final, n_buckets=32)
+
+    def reduce_(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["from_role", "to_role"], as_index=False)["p_n"].sum()
+        tot = g.groupby("from_role")["p_n"].transform("sum")
+        return pd.DataFrame(
+            {
+                "from_role": g["from_role"],
+                "to_role": g["to_role"],
+                "n": g["p_n"].astype("int64"),
+                "p": round_away(
+                    g["p_n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64), 6
+                ),
+            }
+        )
+
+    return bucketed_group_agg(parts, ["from_role"], reduce_, n_buckets=2)
+
+
 def _kg_seller_price_cv(sf_dir: str):
     """Pricing-volatility scorecard row: per-seller coefficient of
     variation of quoted prices (sample std / mean) — the consistency
@@ -1150,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_response_p50": _kg_seller_response_p50,
         "q178_share_swing": windows.q178_share_swing,
         "kg_seller_price_cv": _kg_seller_price_cv,
+        "kg_role_transitions": _kg_role_transitions,
         "q179_segment_priority_residuals": relational.q179_segment_priority_residuals,
         "q180_clv_quartile_migration": relational.q180_clv_quartile_migration,
         "q181_source_lang_purity": textstats.q181_source_lang_purity,
@@ -1365,6 +1412,21 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*), 4)
                        AS avg_price
             FROM j GROUP BY 1
+        """,
+        "kg_role_transitions": f"""
+            WITH s AS (
+                SELECT conv_id, role,
+                       lead(role) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS nxt
+                FROM read_parquet('{tx_glob}')),
+            c AS (
+                SELECT role AS from_role, nxt AS to_role,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+            SELECT from_role, to_role, n,
+                   round(CAST(n AS DOUBLE)
+                         / sum(n) OVER (PARTITION BY from_role), 6) AS p
+            FROM c
         """,
         "kg_seller_price_cv": f"""
             WITH c AS (
