@@ -329,6 +329,70 @@ def _kg_seller_response_p50(sf_dir: str):
     )
 
 
+def _kg_conv_funnel(sf_dir: str):
+    """Conversation-outcome funnel: per seller, how many conversations
+    mention a product, then quote a price AT OR AFTER the first product
+    turn, then surface a phone number at or after that price — q58's
+    ordered-funnel shape on the transcript knowledge graph, with all three
+    stage signals coming from SQL-proven extractions (has_* flags /
+    exploded mentions). ONE conv-bucket shuffle of the exploded flags;
+    in-bucket three cascaded conditional mins per conversation; seller
+    partials out."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
+    from ethiomart_amharic_ner_ray.stages.extract import explode_entities
+
+    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
+    ds = ds.map_batches(explode_entities, batch_format="pyarrow")
+    ds = ds.select_columns(["conv_id", "turn_idx", "has_product", "has_price", "has_phone"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        out = []
+        prod = d.loc[d["has_product"]].groupby("conv_id")["turn_idx"].min()
+        pr = d.loc[d["has_price"], ["conv_id", "turn_idx"]].merge(
+            prod.rename("prod_t"), left_on="conv_id", right_index=True
+        )
+        pr = pr.loc[pr["turn_idx"] >= pr["prod_t"]].groupby("conv_id")["turn_idx"].min()
+        ph = d.loc[d["has_phone"], ["conv_id", "turn_idx"]].merge(
+            pr.rename("price_t"), left_on="conv_id", right_index=True
+        )
+        ph = ph.loc[ph["turn_idx"] >= ph["price_t"]].groupby("conv_id")["turn_idx"].min()
+        convs = pd.DataFrame({"conv_id": d["conv_id"].unique()})
+        convs["seller"] = convs["conv_id"].str.split("-").str[0]
+        convs["s1"] = convs["conv_id"].isin(prod.index).astype("int64")
+        convs["s2"] = convs["conv_id"].isin(pr.index).astype("int64")
+        convs["s3"] = convs["conv_id"].isin(ph.index).astype("int64")
+        g = convs.groupby("seller", as_index=False).agg(
+            p_convs=("s1", "size"),
+            p_product=("s1", "sum"),
+            p_price=("s2", "sum"),
+            p_phone=("s3", "sum"),
+        )
+        return g.astype(
+            {"p_convs": "int64", "p_product": "int64", "p_price": "int64", "p_phone": "int64"}
+        )
+
+    parts = bucketed_group_agg(ds, ["conv_id"], final, n_buckets=32)
+
+    def reduce_(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seller", as_index=False).agg(
+            n_convs=("p_convs", "sum"),
+            n_product=("p_product", "sum"),
+            n_price=("p_price", "sum"),
+            n_phone=("p_phone", "sum"),
+        )
+        return g.astype(
+            {"n_convs": "int64", "n_product": "int64", "n_price": "int64", "n_phone": "int64"}
+        )
+
+    return bucketed_group_agg(parts, ["seller"], reduce_, n_buckets=8)
+
+
 def _kg_role_transitions(sf_dir: str):
     """Dialogue-structure statistic: the (prev-role → next-role) transition
     matrix over turn_idx-ordered conversations, with per-source-role
@@ -1197,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q178_share_swing": windows.q178_share_swing,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
+        "kg_conv_funnel": _kg_conv_funnel,
         "q179_segment_priority_residuals": relational.q179_segment_priority_residuals,
         "q180_clv_quartile_migration": relational.q180_clv_quartile_migration,
         "q181_source_lang_purity": textstats.q181_source_lang_purity,
@@ -1412,6 +1477,54 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*), 4)
                        AS avg_price
             FROM j GROUP BY 1
+        """,
+        "kg_conv_funnel": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            pr AS (
+                SELECT conv_id, turn_idx, clean,
+                       regexp_extract(clean,
+                           '(?i)(ሽያጭ|ለመግዛት|ይግዙ|ይሸጥ|ለሽያጭ|ገዝተውልኝ)\\s*([^\\n]+)',
+                           2) AS raw
+                FROM c),
+            fl AS (
+                SELECT conv_id, turn_idx,
+                       regexp_matches(clean,
+                           '(?i)\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d+)?\\s*(?:ብር|birr|br|ዶላር|dollar)')
+                           AS has_price,
+                       regexp_matches(clean,
+                           '(?:^|[^0-9])(?:09[0-9]{{8}}|9[0-9]{{8}})(?:[^0-9]|$)')
+                           AS has_phone,
+                       trim(regexp_replace(regexp_replace(raw,
+                                '(?i)\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d+)?\\s*(?:ብር|birr|br|ዶላር|dollar).*$',
+                                ''),
+                                '((?:^|[^0-9]))(?:09[0-9]{{8}}|9[0-9]{{8}})(?:[^0-9]|$).*$',
+                                '\\1'),
+                            ' ,.!?') <> '' AS has_product
+                FROM pr),
+            prod AS (SELECT conv_id, min(turn_idx) AS t1
+                     FROM fl WHERE has_product GROUP BY 1),
+            pri AS (SELECT fl.conv_id, min(fl.turn_idx) AS t2
+                    FROM fl JOIN prod USING (conv_id)
+                    WHERE fl.has_price AND fl.turn_idx >= prod.t1 GROUP BY 1),
+            pho AS (SELECT fl.conv_id, min(fl.turn_idx) AS t3
+                    FROM fl JOIN pri USING (conv_id)
+                    WHERE fl.has_phone AND fl.turn_idx >= pri.t2 GROUP BY 1),
+            conv AS (SELECT DISTINCT conv_id FROM fl)
+            SELECT split_part(conv.conv_id, '-', 1) AS seller,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(sum(CASE WHEN prod.conv_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_product,
+                   CAST(sum(CASE WHEN pri.conv_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_price,
+                   CAST(sum(CASE WHEN pho.conv_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_phone
+            FROM conv
+            LEFT JOIN prod USING (conv_id)
+            LEFT JOIN pri USING (conv_id)
+            LEFT JOIN pho USING (conv_id)
+            GROUP BY 1
         """,
         "kg_role_transitions": f"""
             WITH s AS (

@@ -254,6 +254,7 @@ SQL_CHECKED_TX = [
     "kg_seller_response_p50",
     "kg_seller_price_cv",
     "kg_role_transitions",
+    "kg_conv_funnel",
     "kg_clean_text",
     "kg_price_redact",
     "kg_mention_flags",
