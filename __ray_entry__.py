@@ -393,6 +393,45 @@ def _kg_conv_funnel(sf_dir: str):
     return bucketed_group_agg(parts, ["seller"], reduce_, n_buckets=8)
 
 
+def _kg_loc_corridors(sf_dir: str):
+    """Location co-mention corridors: ordered pairs of DISTINCT gazetteer
+    locations appearing in the SAME conversation (delivery-route /
+    coverage-area discovery — the loc↔loc edge of the knowledge graph,
+    next to kg_seller_loc_matrix's seller↔loc edge). Distinct (conv, loc)
+    pairs co-locate per conversation in ONE conv-bucket shuffle; the
+    in-bucket pair expansion is quadratic only in the gazetteer-bounded
+    per-conv loc set, and pair counts collapse to a gazetteer²-bounded
+    exchange."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+
+    locs = _kg_entity_values_exploded(sf_dir, "locations", "loc")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["conv_id", "loc"]].drop_duplicates()
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["conv_id", "loc"])
+        m = d.merge(d, on="conv_id", suffixes=("_a", "_b"))
+        m = m.loc[m["loc_a"] < m["loc_b"]]
+        g = m.groupby(["loc_a", "loc_b"], as_index=False).size().rename(columns={"size": "p_n"})
+        return g.astype({"p_n": "int64"})
+
+    parts = bucketed_group_agg(
+        locs.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["conv_id"],
+        pair_final,
+        n_buckets=32,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["loc_a", "loc_b"], as_index=False)["p_n"].sum()
+        return g.rename(columns={"p_n": "n_convs"}).astype({"n_convs": "int64"})
+
+    return bucketed_group_agg(parts, ["loc_a", "loc_b"], final, n_buckets=4)
+
+
 def _kg_role_transitions(sf_dir: str):
     """Dialogue-structure statistic: the (prev-role → next-role) transition
     matrix over turn_idx-ordered conversations, with per-source-role
@@ -1262,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
+        "kg_loc_corridors": _kg_loc_corridors,
         "q179_segment_priority_residuals": relational.q179_segment_priority_residuals,
         "q180_clv_quartile_migration": relational.q180_clv_quartile_migration,
         "q181_source_lang_purity": textstats.q181_source_lang_purity,
@@ -1477,6 +1517,22 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*), 4)
                        AS avg_price
             FROM j GROUP BY 1
+        """,
+        "kg_loc_corridors": f"""
+            WITH c AS (
+                SELECT conv_id, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            l AS (
+                SELECT DISTINCT conv_id,
+                       unnest(regexp_extract_all(
+                           translate(clean, '{fold_src}', '{fold_dst}'),
+                           '{loc_pattern}')) AS loc
+                FROM c)
+            SELECT a.loc AS loc_a, b.loc AS loc_b,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM l a JOIN l b
+              ON a.conv_id = b.conv_id AND a.loc < b.loc
+            GROUP BY 1, 2
         """,
         "kg_conv_funnel": f"""
             WITH c AS (

@@ -255,6 +255,7 @@ SQL_CHECKED_TX = [
     "kg_seller_price_cv",
     "kg_role_transitions",
     "kg_conv_funnel",
+    "kg_loc_corridors",
     "kg_clean_text",
     "kg_price_redact",
     "kg_mention_flags",
