@@ -432,6 +432,48 @@ def _kg_loc_corridors(sf_dir: str):
     return bucketed_group_agg(parts, ["loc_a", "loc_b"], final, n_buckets=4)
 
 
+def _kg_shared_phones(sf_dir: str):
+    """Account-linking audit: canonical phone numbers vs the sellers whose
+    conversations they appear in — the duplicate-contact fraud screen (one
+    operator behind several storefronts), reported as an always-nonempty
+    summary: total distinct phones, phones shared across >1 seller, and
+    the widest sharing fan-out. Distinct (phone, seller) pairs ride ONE
+    phone-bucket shuffle; per-phone distinct-seller counts collapse to a
+    3-scalar driver reduce."""
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+
+    phones = _kg_entity_values_exploded(sf_dir, "phones", "phone")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"phone": df["phone"], "seller": df["conv_id"].str.split("-").str[0]}
+        )
+        return d.drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        g = d.groupby("phone", as_index=False)["seller"].nunique()
+        return g.rename(columns={"seller": "ns"}).astype({"ns": "int64"})
+
+    per_phone = bucketed_group_agg(
+        phones.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["phone"],
+        final,
+        n_buckets=16,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_phones": pd.array([len(per_phone)], dtype="int64"),
+            "n_shared": pd.array([int((per_phone["ns"] > 1).sum())], dtype="int64"),
+            "max_sellers": pd.array(
+                [int(per_phone["ns"].max()) if len(per_phone) else 0], dtype="int64"
+            ),
+        }
+    )
+
+
 def _kg_role_transitions(sf_dir: str):
     """Dialogue-structure statistic: the (prev-role → next-role) transition
     matrix over turn_idx-ordered conversations, with per-source-role
@@ -1302,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
         "kg_loc_corridors": _kg_loc_corridors,
+        "kg_shared_phones": _kg_shared_phones,
         "q179_segment_priority_residuals": relational.q179_segment_priority_residuals,
         "q180_clv_quartile_migration": relational.q180_clv_quartile_migration,
         "q181_source_lang_purity": textstats.q181_source_lang_purity,
@@ -1517,6 +1560,28 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(cents) AS DOUBLE) / 100.0) / count(*), 4)
                        AS avg_price
             FROM j GROUP BY 1
+        """,
+        "kg_shared_phones": f"""
+            WITH c AS (
+                SELECT conv_id, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            r AS (
+                SELECT conv_id,
+                       unnest(regexp_extract_all(clean, '[0-9]+')) AS run
+                FROM c),
+            p AS (
+                SELECT DISTINCT
+                       CASE WHEN length(run) = 9 THEN '0' || run
+                            ELSE run END AS phone,
+                       split_part(conv_id, '-', 1) AS seller
+                FROM r
+                WHERE regexp_full_match(run, '09[0-9]{{8}}|9[0-9]{{8}}'))
+            SELECT CAST(count(*) AS BIGINT) AS n_phones,
+                   CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared,
+                   CAST(max(ns) AS BIGINT) AS max_sellers
+            FROM (SELECT phone, count(DISTINCT seller) AS ns
+                  FROM p GROUP BY 1)
         """,
         "kg_loc_corridors": f"""
             WITH c AS (

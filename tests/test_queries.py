@@ -256,6 +256,7 @@ SQL_CHECKED_TX = [
     "kg_role_transitions",
     "kg_conv_funnel",
     "kg_loc_corridors",
+    "kg_shared_phones",
     "kg_clean_text",
     "kg_price_redact",
     "kg_mention_flags",
