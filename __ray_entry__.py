@@ -1340,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_price_by_location": _kg_price_by_location,
         "kg_seller_response_p50": _kg_seller_response_p50,
         "q178_share_swing": windows.q178_share_swing,
+        "q183_hourly_load_p95": windows.q183_hourly_load_p95,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3474,6 +3475,16 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g
             LEFT JOIN c ON c.segment = g.segment AND c.priority = g.priority
             CROSS JOIN t
+        """,
+        "q183_hourly_load_p95": """
+            WITH c AS (
+                SELECT CAST(hour(ts) AS BIGINT) AS hod,
+                       date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT hod, CAST(count(*) AS BIGINT) AS n_days,
+                   round(quantile_cont(CAST(n AS DOUBLE), 0.95), 4) AS p95_events
+            FROM c GROUP BY 1
         """,
         "q178_share_swing": """
             WITH c AS (

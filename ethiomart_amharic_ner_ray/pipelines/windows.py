@@ -1696,3 +1696,51 @@ def q178_share_swing(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).astype({"n_days": "int64"})
+
+
+def q183_hourly_load_p95(sf_dir: str) -> pd.DataFrame:
+    """Capacity-planning curve: for each hour-of-day, the p95 of that
+    hour's PER-DAY event count — the provisioning number (mean load hides
+    the bursts you size for). One bounded (hour-of-day, day) count
+    exchange; each hour's daily-count multiset is a small histogram and
+    the exact interpolated p95 comes off it with the quantile_cont rule
+    (bitwise via _wq_interp). Hours with zero events on a day simply don't
+    appear — identical on both oracle sides."""
+    import numpy as np
+
+    from ethiomart_amharic_ner_ray.pipelines.relational import _wq_interp
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"hod": df["ts"].dt.hour.astype("int64"), "day": df["ts"].dt.floor("D")}
+        )
+        return d.groupby(["hod", "day"], as_index=False).size().rename(columns={"size": "p_n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["hod", "day"], as_index=False)["p_n"].sum()
+        return g.astype({"p_n": "int64"})
+
+    daily = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["hod", "day"],
+            final,
+            n_buckets=8,
+        )
+        .to_pandas()
+    )
+    out = []
+    for hod, g in daily.groupby("hod", sort=True):
+        h = g.groupby("p_n", as_index=False).size().sort_values("p_n", kind="mergesort")
+        v = h["p_n"].to_numpy(dtype=np.float64)
+        c = h["size"].to_numpy(dtype=np.int64)
+        out.append(
+            {
+                "hod": int(hod),
+                "n_days": int(c.sum()),
+                "p95_events": float(round_away(np.array([_wq_interp(v, c, 0.95)]), 4)[0]),
+            }
+        )
+    return pd.DataFrame(out).astype({"hod": "int64", "n_days": "int64"})

@@ -222,6 +222,7 @@ SQL_CHECKED = [
     "q175_prefix_families",
     "q176_return_rate_wilson",
     "q178_share_swing",
+    "q183_hourly_load_p95",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
