@@ -1341,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_seller_response_p50": _kg_seller_response_p50,
         "q178_share_swing": windows.q178_share_swing,
         "q183_hourly_load_p95": windows.q183_hourly_load_p95,
+        "q184_weekly_control_chart": windows.q184_weekly_control_chart,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3475,6 +3476,29 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g
             LEFT JOIN c ON c.segment = g.segment AND c.priority = g.priority
             CROSS JOIN t
+        """,
+        "q184_weekly_control_chart": """
+            WITH w AS (
+                SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1),
+            s AS (SELECT count(*) AS n, sum(cents) AS sc,
+                         sum(cents * cents) AS sc2
+                  FROM w)
+            SELECT w.week,
+                   round(CAST(w.cents AS DOUBLE) / 100.0, 2) AS revenue,
+                   CAST(CASE WHEN CAST(w.cents AS DOUBLE) / 100.0
+                                  < (CAST(s.sc AS DOUBLE) / s.n
+                                     - 2.0 * sqrt((CAST(s.sc2 AS DOUBLE)
+                                         - CAST(s.sc AS DOUBLE) * s.sc / s.n)
+                                         / (s.n - 1.0))) / 100.0
+                               OR CAST(w.cents AS DOUBLE) / 100.0
+                                  > (CAST(s.sc AS DOUBLE) / s.n
+                                     + 2.0 * sqrt((CAST(s.sc2 AS DOUBLE)
+                                         - CAST(s.sc AS DOUBLE) * s.sc / s.n)
+                                         / (s.n - 1.0))) / 100.0
+                        THEN 1 ELSE 0 END AS BIGINT) AS out_of_band
+            FROM w CROSS JOIN s
         """,
         "q183_hourly_load_p95": """
             WITH c AS (

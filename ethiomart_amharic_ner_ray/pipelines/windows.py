@@ -1744,3 +1744,68 @@ def q183_hourly_load_p95(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).astype({"hod": "int64", "n_days": "int64"})
+
+
+def q184_weekly_control_chart(sf_dir: str) -> pd.DataFrame:
+    """Shewhart control chart over weekly revenue: which weeks fall outside
+    the mean ± 2σ band of ALL weekly totals — the steady-state monitor
+    next to q164's CUSUM (CUSUM finds the one level shift; the control
+    chart flags every excursion week). Weekly totals are exact int64
+    cents through one calendar-bounded exchange; the band is computed from
+    those exact integers (sample σ over weeks) and the per-week compare
+    uses the identical expression in the SQL oracle."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df["o_orderdate"].astype("datetime64[us]")
+        week = (dt.dt.normalize() - pd.to_timedelta(dt.dt.dayofweek, unit="D")).astype(
+            "datetime64[us]"
+        )
+        d = pd.DataFrame(
+            {
+                "week": week,
+                "cents": np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        return d.groupby("week", as_index=False)["cents"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("week", as_index=False)["cents"].sum()
+        return g.astype({"cents": "int64"})
+
+    weekly = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["week"],
+            final,
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("week", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    c = weekly["cents"].to_numpy(dtype=np.int64)
+    n = len(c)
+    s = float(c.sum())
+    # c*c overflows int64 for ~1e9-cent weeks (numpy wraps SILENTLY while
+    # DuckDB's sum promotes to HUGEINT) — the calendar-sized table makes
+    # exact Python ints free, and float() then rounds once like the SQL's
+    # CAST(HUGEINT AS DOUBLE)
+    s2 = float(sum(int(x) * int(x) for x in c))
+    mean = s / n
+    sd = np.sqrt((s2 - s * s / n) / (n - 1.0)) if n > 1 else 0.0
+    rev = c.astype(np.float64) / 100.0
+    lo = (mean - 2.0 * sd) / 100.0
+    hi = (mean + 2.0 * sd) / 100.0
+    flag = ((rev < lo) | (rev > hi)).astype("int64")
+    return pd.DataFrame(
+        {
+            "week": weekly["week"].astype("datetime64[us]"),
+            "revenue": round_away(rev, 2),
+            "out_of_band": flag,
+        }
+    )

@@ -223,6 +223,7 @@ SQL_CHECKED = [
     "q176_return_rate_wilson",
     "q178_share_swing",
     "q183_hourly_load_p95",
+    "q184_weekly_control_chart",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
