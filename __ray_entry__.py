@@ -527,7 +527,11 @@ def _kg_seller_price_cv(sf_dir: str):
     int64 cents sufficient statistics (n, Σ, Σ²) ride a seller-sized
     exchange; std and CV evaluate from the exact integers with the same
     expression in the SQL oracle. Sellers with < 2 quotes are excluded
-    (sample std undefined)."""
+    (sample std undefined). Overflow bound: cents² sums stay inside int64
+    while per-seller Σcents² < 9.2e18 (prices to ~1e8 cents across ~1e4
+    quotes); beyond that, split the partial into (hi, lo) 64-bit limbs or
+    move to the q184 exact-Python-int reduction — DuckDB's side promotes
+    to HUGEINT automatically, so the engine must widen FIRST."""
     import numpy as np
     import pandas as pd
 
