@@ -1346,6 +1346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q178_share_swing": windows.q178_share_swing,
         "q183_hourly_load_p95": windows.q183_hourly_load_p95,
         "q184_weekly_control_chart": windows.q184_weekly_control_chart,
+        "q185_quantity_discount_curve": relational.q185_quantity_discount_curve,
+        "q186_leadtime_p90_matrix": relational.q186_leadtime_p90_matrix,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3480,6 +3482,24 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g
             LEFT JOIN c ON c.segment = g.segment AND c.priority = g.priority
             CROSS JOIN t
+        """,
+        "q185_quantity_discount_curve": """
+            SELECT CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
+            FROM lineitem GROUP BY 1
+        """,
+        "q186_leadtime_p90_matrix": """
+            WITH j AS (
+                SELECT o.o_orderpriority AS priority,
+                       CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                           AS month,
+                       date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT priority, month, CAST(count(*) AS BIGINT) AS n_items,
+                   round(quantile_cont(CAST(days AS DOUBLE), 0.9), 4) AS p90_days
+            FROM j GROUP BY 1, 2
         """,
         "q184_weekly_control_chart": """
             WITH w AS (

@@ -4334,3 +4334,112 @@ def q180_clv_quartile_migration(sf_dir: str) -> pd.DataFrame:
         .rename(columns={"size": "n_customers"})
     )
     return out.astype({"q_year1": "int64", "q_year2": "int64", "n_customers": "int64"})
+
+
+def q185_quantity_discount_curve(sf_dir: str) -> "ray.data.Dataset":
+    """Volume-discount curve: mean discount at each order quantity — the
+    pricing-policy readback (does the discount schedule actually slope?).
+    Quantity is a closed small-int vocabulary, so (qty, Σd100, n) partials
+    are schema-bounded and exact; one tiny exchange, one division."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "qty": df["l_quantity"].to_numpy(dtype=np.float64).astype(np.int64),
+                "d100": np.rint(df["l_discount"].to_numpy(dtype=np.float64) * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        return d.groupby("qty", as_index=False).agg(p_s=("d100", "sum"), p_n=("d100", "size"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("qty", as_index=False).agg(s=("p_s", "sum"), n=("p_n", "sum"))
+        return pd.DataFrame(
+            {
+                "qty": g["qty"].astype("int64"),
+                "n_items": g["n"].astype("int64"),
+                "avg_discount": round_away(
+                    (g["s"].to_numpy(dtype=np.float64) / 100.0)
+                    / g["n"].to_numpy(dtype=np.float64),
+                    6,
+                ),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["qty"],
+        final,
+        n_buckets=4,
+    )
+
+
+def q186_leadtime_p90_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Fulfillment SLA matrix: p90 order-to-ship lead time per (priority,
+    order month) — q151's mean/max sharpened to the tail percentile the
+    SLA is written against, on the seasonality axis. The join reuses
+    q151's one orderkey-bucketed shuffle, but the merge_fn now emits
+    (priority, month, lead_days)→count HISTOGRAM partials (day-grid
+    bounded), and the exact interpolated p90 comes off each cell's merged
+    histogram with the bitwise quantile rule."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_orderkey": "l_orderkey"})
+
+    orders = orders.map_batches(rename, batch_format="pandas", batch_size=65536)
+
+    def merge_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="l_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "priority": pd.Series([], dtype="object"),
+                    "month": pd.Series([], dtype="datetime64[us]"),
+                    "days": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        days = (
+            m["l_shipdate"].to_numpy().astype("datetime64[D]").astype("int64")
+            - m["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        )
+        month = (
+            m["o_orderdate"].astype("datetime64[us]").dt.to_period("M").dt.to_timestamp()
+        )
+        d = pd.DataFrame(
+            {
+                "priority": m["o_orderpriority"],
+                "month": month.astype("datetime64[us]"),
+                "days": days,
+            }
+        )
+        g = d.groupby(["priority", "month", "days"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype({"days": "int64", "cnt": "int64"})
+
+    parts = bucketed_join(li, orders, on="l_orderkey", n_buckets=32, merge_fn=merge_fn)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["priority", "month", "days"], as_index=False)["cnt"].sum()
+        out = []
+        for (prio, month), gg in g.sort_values(
+            ["priority", "month", "days"], kind="mergesort"
+        ).groupby(["priority", "month"], sort=False):
+            v = gg["days"].to_numpy(dtype=np.float64)
+            c = gg["cnt"].to_numpy(dtype=np.int64)
+            out.append(
+                {
+                    "priority": prio,
+                    "month": month,
+                    "n_items": int(c.sum()),
+                    "p90_days": float(round_away(np.array([_wq_interp(v, c, 0.9)]), 4)[0]),
+                }
+            )
+        res = pd.DataFrame(out)
+        res["month"] = res["month"].astype("datetime64[us]")
+        return res.astype({"n_items": "int64"})
+
+    return bucketed_group_agg(parts, ["priority", "month"], final, n_buckets=8)

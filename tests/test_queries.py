@@ -224,6 +224,8 @@ SQL_CHECKED = [
     "q178_share_swing",
     "q183_hourly_load_p95",
     "q184_weekly_control_chart",
+    "q185_quantity_discount_curve",
+    "q186_leadtime_p90_matrix",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
