@@ -107,43 +107,147 @@ def _merge_word(s: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def bpe_train(sf_dir: str, n_merges: int = 20) -> pd.DataFrame:
+@ray.remote(num_cpus=0)
+class _BpeShardActor:
+    """One shard of the word-frequency table, held in memory across merge
+    rounds. BPE training is the textbook case for dropping from Dataset to
+    actors: the state (a vocabulary shard) is bounded and mutated every
+    round, and the per-round exchange is tiny (one (left, right) broadcast
+    down, pair-vocab-bounded count partials up). The round-3 Dataset-only
+    loop paid TWO full Ray jobs per round (pair-count pass + apply pass
+    with a materialize) — ~150 ms/round of pure orchestration at sf0.1;
+    the actor loop pays one sub-ms RPC. At 100 TB the word table is still
+    vocabulary-sized (the Sennrich trick, module docstring): shards scale
+    with the cluster, the driver only ever sees pair partials."""
+
+    def __init__(self, blocks: list) -> None:
+        # refs nested inside a list are NOT auto-dereferenced by Ray
+        blocks = ray.get(list(blocks)) if blocks else []
+        tabs = [
+            t.select(["token", "tf"]).replace_schema_metadata(None)
+            for t in (
+                b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in blocks
+            )
+            # split(equal=True) pads with schema-less empty blocks
+            if "token" in t.schema.names and t.num_rows
+        ]
+        t = pa.concat_tables(tabs, promote_options="default") if tabs else None
+        if t is None or t.num_rows == 0:
+            self.tf: list[int] = []
+            self.syms: list[list[str]] = []
+        else:
+            self.tf = [int(x) for x in t.column("tf").to_pylist()]
+            self.syms = [list(w) + [_EOW] for w in t.column("token").to_pylist()]
+        # snapshot BEFORE any merge mutates self.syms into product symbols
+        self._alphabet: set[str] = set()
+        for s in self.syms:
+            self._alphabet.update(s)
+        self._alphabet.discard(_EOW)
+
+    def _counts(self) -> dict[tuple[str, str], int]:
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in zip(self.tf, self.syms):
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + w
+        return counts
+
+    @staticmethod
+    def _to_table(counts: dict[tuple[str, str], int]) -> pa.Table:
+        if not counts:
+            return pa.table(
+                {
+                    "left": pa.array([], pa.string()),
+                    "right": pa.array([], pa.string()),
+                    "p_n": pa.array([], pa.int64()),
+                }
+            )
+        ls, rs = zip(*counts.keys())
+        return pa.table(
+            {
+                "left": pa.array(list(ls), pa.string()),
+                "right": pa.array(list(rs), pa.string()),
+                "p_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def pair_counts(self) -> pa.Table:
+        return self._to_table(self._counts())
+
+    def alphabet(self) -> list[str]:
+        """Distinct base characters of this shard's tokens (snapshotted at
+        init). The word table holds every distinct corpus token, so the
+        union over shards equals the corpus alphabet — build_vocab's
+        separate corpus scan is redundant when training just ran."""
+        return sorted(self._alphabet)
+
+    def apply_and_count(self, left: str, right: str) -> pa.Table:
+        """Fused round step: apply the winning merge to every word in the
+        shard, then return the NEW pair partials — one RPC per round."""
+        self.syms = [
+            _merge_word(s, left, right) if left in s else s for s in self.syms
+        ]
+        return self._to_table(self._counts())
+
+
+def bpe_train(
+    sf_dir: str, n_merges: int = 20, n_shards: int = 8, return_alphabet: bool = False
+):
     """Learn ``n_merges`` BPE merges over the documents corpus. Returns the
     merge table (rank, left, right, pair_count) — deterministic: the winner
     is the max weighted pair count, ties broken by lexicographic (left,
-    right). Stops early when no pair occurs twice."""
-    words = _word_counts(sf_dir).map_batches(_init_symbols, batch_format="pyarrow")
-    # vocabulary-sized checkpoint per round (see module docstring)
-    words = words.materialize()
+    right). Stops early when no pair occurs twice.
 
-    merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        parts = words.map_batches(_pair_partials, batch_format="pyarrow").to_pandas()
-        if not len(parts):
-            break
-        g = parts.groupby(["left", "right"], as_index=False).agg(n=("p_n", "sum"))
-        g = g.sort_values(["n", "left", "right"], ascending=[False, True, True], kind="mergesort")
-        best = g.iloc[0]
-        if int(best["n"]) < 2:
-            break
-        left, right = str(best["left"]), str(best["right"])
-        merges.append((rank, left, right, int(best["n"])))
-
-        def apply_merge(t: pa.Table, left=left, right=right) -> pa.Table:
-            merged = [_merge_word(s, left, right) for s in t.column("symbols").to_pylist()]
-            return pa.table(
-                {
-                    "token": t.column("token"),
-                    "tf": t.column("tf"),
-                    "symbols": pa.array(merged, pa.list_(pa.string())),
-                }
+    Pass 0 (the only corpus-wide pass) is a distributed word count; the
+    merge rounds run on an actor pool holding word-table shards
+    (``_BpeShardActor``) — integer partials summed on the driver are
+    order-independent, so the result is bit-identical to the round-3
+    Dataset-loop implementation (pinned by tests/test_bpe.py)."""
+    words = _word_counts(sf_dir).materialize()
+    # num_cpus=0 actors: round work is a short burst (vocab-shard scan),
+    # and reserving whole CPUs can deadlock against a concurrently
+    # running Dataset job on a small pool (the test fixture's 4-CPU
+    # session). Cap shards by the pool so splits stay non-trivial.
+    n_shards = max(1, min(n_shards, int(ray.cluster_resources().get("CPU", n_shards))))
+    # round-robin the materialized block refs — NOT split(equal=True),
+    # which silently DROPS rows to equalize shard sizes
+    refs = words.to_arrow_refs()
+    n_shards = max(1, min(n_shards, len(refs)))
+    shards: list[list] = [[] for _ in range(n_shards)]
+    for i, r in enumerate(refs):
+        shards[i % n_shards].append(r)
+    actors = [_BpeShardActor.remote(rs) for rs in shards]
+    alphabet: list[str] = []
+    try:
+        parts_refs = [a.pair_counts.remote() for a in actors]
+        if return_alphabet:
+            alpha_refs = [a.alphabet.remote() for a in actors]
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(n_merges):
+            parts = pa.concat_tables(ray.get(parts_refs)).to_pandas()
+            if not len(parts):
+                break
+            g = parts.groupby(["left", "right"], as_index=False).agg(n=("p_n", "sum"))
+            g = g.sort_values(
+                ["n", "left", "right"], ascending=[False, True, True], kind="mergesort"
             )
+            best = g.iloc[0]
+            if int(best["n"]) < 2:
+                break
+            left, right = str(best["left"]), str(best["right"])
+            merges.append((rank, left, right, int(best["n"])))
+            if rank + 1 < n_merges:
+                parts_refs = [a.apply_and_count.remote(left, right) for a in actors]
+        if return_alphabet:
+            alphabet = sorted(set().union(*ray.get(alpha_refs))) if alpha_refs else []
+    finally:
+        for a in actors:
+            ray.kill(a)
 
-        words = words.map_batches(apply_merge, batch_format="pyarrow").materialize()
-
-    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
+    out = pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
         {"rank": "int64", "pair_count": "int64"}
     )
+    return (out, alphabet) if return_alphabet else out
 
 
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -3615,27 +3615,24 @@ def q158_pair_lift(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFra
 
     pair_counts = bucketed_group_agg(pairs, ["part_a", "part_b"], pair_final, n_buckets=16)
 
-    # marginals: per-part order counts from the same distinct pairs (the
-    # distinct pass above already bounded them); order total from a
-    # distinct count. Both reduce to dimension-sized frames.
+    # marginals: per-part order counts + distinct-order count, both emitted
+    # as PER-BUCKET partials inside the orderkey-bucket merge fn. Each
+    # order lives wholly in one bucket, so a distinct (order, part) pair
+    # appears in exactly one bucket and per-bucket counts sum exactly; the
+    # distinct-order count rides the same frame under sentinel key -1.
+    # The driver merge is dimension-sized (buckets x parts), never the
+    # fact-sized pair stream (the round-3 single-batch coalesce is gone).
+    def marg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        g = d.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n_a"})
+        g = pd.concat(
+            [g, pd.DataFrame({"l_partkey": [-1], "n_a": [d["l_orderkey"].nunique()]})],
+            ignore_index=True,
+        )
+        return g.astype({"l_partkey": "int64", "n_a": "int64"})
+
     marg = (
-        bucketed_group_agg(
-            lp,
-            ["l_orderkey"],
-            lambda df: df.drop_duplicates(["l_orderkey", "l_partkey"]),
-            n_buckets=32,
-        )
-        .map_batches(
-            lambda df: pd.concat(
-                [
-                    df.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n_a"}),
-                    pd.DataFrame({"l_partkey": [-1], "n_a": [df["l_orderkey"].nunique()]}),
-                ],
-                ignore_index=True,
-            ),
-            batch_format="pandas",
-            batch_size=1 << 30,
-        )
+        bucketed_group_agg(lp, ["l_orderkey"], marg_partial, n_buckets=32)
         .to_pandas()
         .groupby("l_partkey", as_index=False)["n_a"]
         .sum()

@@ -42,30 +42,40 @@ from .common import bucketed_group_agg, get_broadcast, read_table
 EOD = "<eod>"
 
 
-def build_vocab(sf_dir: str, merges: pd.DataFrame) -> dict[str, int]:
+def build_vocab(
+    sf_dir: str, merges: pd.DataFrame, alphabet: list[str] | None = None
+) -> dict[str, int]:
     """Deterministic symbol→id table: sorted distinct base symbols (corpus
     characters + the end-of-word marker), then each merge's product symbol
-    in rank order (skipping products already present), then <eod>."""
-    ds = read_table(sf_dir, "documents", columns=["text"])
+    in rank order (skipping products already present), then <eod>.
 
-    def chars(t: pa.Table) -> pa.Table:
-        txt = pc.utf8_trim_whitespace(t.column("text"))
-        toks = pc.list_flatten(pc.split_pattern_regex(txt, pattern=r"\s+")).to_pylist()
-        seen = set()
-        for w in toks:
-            seen.update(w)
-        return pa.table({"sym": pa.array(sorted(seen), pa.string())})
+    Pass ``alphabet`` (from ``bpe_train(..., return_alphabet=True)``, which
+    reads it off the word-table shards) to skip the corpus scan — the word
+    table holds every distinct token, so its character set IS the corpus
+    alphabet."""
+    if alphabet is not None:
+        base = list(alphabet)
+    else:
+        ds = read_table(sf_dir, "documents", columns=["text"])
 
-    def distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+        def chars(t: pa.Table) -> pa.Table:
+            txt = pc.utf8_trim_whitespace(t.column("text"))
+            toks = pc.list_flatten(pc.split_pattern_regex(txt, pattern=r"\s+")).to_pylist()
+            seen = set()
+            for w in toks:
+                seen.update(w)
+            return pa.table({"sym": pa.array(sorted(seen), pa.string())})
 
-    base = (
-        bucketed_group_agg(
-            ds.map_batches(chars, batch_format="pyarrow"), ["sym"], distinct, n_buckets=8
+        def distinct(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop_duplicates()
+
+        base = (
+            bucketed_group_agg(
+                ds.map_batches(chars, batch_format="pyarrow"), ["sym"], distinct, n_buckets=8
+            )
+            .to_pandas()["sym"]  # alphabet-sized, driver-safe by definition
+            .tolist()
         )
-        .to_pandas()["sym"]  # alphabet-sized, driver-safe by definition
-        .tolist()
-    )
     vocab: dict[str, int] = {}
     for s in sorted(base) + [_EOW]:
         if s not in vocab:
@@ -88,39 +98,74 @@ def tokenized_sequences(
     """(seq_id, input_ids list<int32>[seq_len]) — the packed training
     sequences of the whole corpus, exactly as an in-process
     encode→concat→chunk would produce them."""
-    merges = bpe_train(sf_dir, n_merges=n_merges)
+    merges, alphabet = bpe_train(sf_dir, n_merges=n_merges, return_alphabet=True)
     ranks = {
         (l, r): int(k) for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
     }
-    vocab = build_vocab(sf_dir, merges)
+    vocab = build_vocab(sf_dir, merges, alphabet=alphabet)
     eod_id = vocab[EOD]
     ref = ray.put((ranks, vocab))
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def encode(t: pa.Table) -> pa.Table:
+        # factorize-then-encode: BPE's per-word merge loop is inherently
+        # sequential Python, so run it ONCE PER UNIQUE WORD in the batch
+        # (dictionary_encode gives uniques + codes zero-copy), then rebuild
+        # every document's id list with numpy gathers over the unique-word
+        # id pool — no Python loop over the token stream. Zipf makes the
+        # unique set a small fraction of the token count, so the Python
+        # cost drops from O(tokens) to O(uniques) per batch.
         rk, vc = get_broadcast(ref)
-        memo: dict[str, list[int]] = {}
         txt = pc.utf8_trim_whitespace(t.column("text"))
         toks = pc.split_pattern_regex(txt, pattern=r"\s+")
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks).to_pylist()
+        flat = pc.list_flatten(toks)
         n_docs = t.num_rows
-        out: list[list[int]] = [[] for _ in range(n_docs)]
-        for p, w in zip(parent, flat):
-            if not w:
-                continue
-            ids = memo.get(w)
-            if ids is None:
-                ids = [vc[s] for s in bpe_encode_word(w, rk)]
-                memo[w] = ids
-            out[p].extend(ids)
+        dictd = flat.combine_chunks().dictionary_encode() if isinstance(
+            flat, pa.ChunkedArray
+        ) else flat.dictionary_encode()
+        codes = dictd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_words = dictd.dictionary.to_pylist()
+
+        uid_chunks: list[list[int]] = []
+        uniq_lens = np.empty(len(uniq_words), dtype=np.int64)
+        for u, w in enumerate(uniq_words):
+            ids = [vc[s] for s in bpe_encode_word(w, rk)] if w else []
+            uid_chunks.append(ids)
+            uniq_lens[u] = len(ids)
+        uid_off = np.zeros(len(uniq_words) + 1, dtype=np.int64)
+        np.cumsum(uniq_lens, out=uid_off[1:])
+        uid_flat = np.fromiter(
+            (i for ids in uid_chunks for i in ids), dtype=np.int32, count=int(uid_off[-1])
+        )
+
+        tok_len = uniq_lens[codes]
+        starts = uid_off[codes]
+        total = int(tok_len.sum())
+        # flat gather indices: for each token, starts[tok] + 0..len-1
+        cum = np.cumsum(tok_len)
+        out_idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum - tok_len, tok_len)
+            + np.repeat(starts, tok_len)
+        )
+        flat_ids = uid_flat[out_idx]
+        doc_n = np.bincount(
+            parent.astype(np.int64), weights=tok_len.astype(np.float64), minlength=n_docs
+        ).astype(np.int64)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(doc_n, out=offsets[1:])
+        # per-batch id volume is block-size bounded, comfortably < 2^31
+        ids_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat_ids, pa.int32())
+        )
         return pa.table(
             {
                 "doc_id": t.column("doc_id").cast(pa.int64()),
-                "ids": pa.array(out, pa.list_(pa.int32())),
+                "ids": ids_arr,
                 # +1 for the <eod> separator every document contributes
-                "n": pa.array([len(x) + 1 for x in out], pa.int64()),
+                "n": pa.array((doc_n + 1), pa.int64()),
             }
         )
 

@@ -655,3 +655,66 @@ def test_q159_planted_double_charges(ray_session, tmp_path):
     want["day"] = want["day"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert int(got["n_flagged"].sum()) == 5  # e1,e2,e3 + the twin pair
+
+
+def test_q158_planted_many_parts_per_order(ray_session, tmp_path):
+    """Scale-shape regression for the round-3 weak finding: the marginal
+    pass must survive orders with MANY distinct parts (the pair-expansion
+    hot case) and duplicate (order, part) rows, with the per-bucket
+    partial counts summing to the exact DISTINCT-pair marginals. Plants a
+    60-part hot order (1770 pairs from one order), overlapping mid-size
+    orders that create lift above/below 1, duplicated lineitem rows, and
+    single-part orders that only move the marginals."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.relational import q158_pair_lift
+
+    rows = []
+    # hot order: 60 distinct parts, every row duplicated 3x
+    for p in range(1, 61):
+        rows += [(1000, p)] * 3
+    # overlapping pairs across several orders -> n_ab >= 2 support
+    for ok in range(2000, 2010):
+        rows += [(ok, 1), (ok, 2)]           # strong co-occurrence
+    for ok in range(3000, 3006):
+        rows += [(ok, 3), (ok, 70 + (ok % 3))]  # weaker, spread
+    # single-part orders: inflate marginals (lower lift) without pairs
+    for ok in range(4000, 4030):
+        rows.append((ok, 1))
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    got = q158_pair_lift(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.sql(
+        f"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM '{tmp_path}/lineitem.parquet'),
+            tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lp),
+            marg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a
+                     FROM lp GROUP BY 1),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT p.part_a, p.part_b, p.n_ab,
+                   round((CAST(p.n_ab AS DOUBLE) * t.n)
+                         / (CAST(ma.n_a AS DOUBLE) * mb.n_a), 6) AS lift
+            FROM pairs p
+            JOIN marg ma ON ma.l_partkey = p.part_a
+            JOIN marg mb ON mb.l_partkey = p.part_b
+            CROSS JOIN tot t
+            ORDER BY lift DESC, p.part_a, p.part_b LIMIT 50"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted strong pair must outrank the hot order's incidental pairs
+    top = got.iloc[0]
+    assert (int(top["part_a"]), int(top["part_b"])) == (1, 2) or top["lift"] > 1
