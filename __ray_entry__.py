@@ -541,7 +541,9 @@ def _kg_seller_price_cv(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df["price"].str.split(" ").str[0].astype("float64")
-        cents = np.rint(v.to_numpy() * 100).astype(np.int64)
+        # round_away, not np.rint: free-text prices have arbitrary decimals
+        # (not the 2dp TPC-H grid), and DuckDB round() is half-away-from-zero
+        cents = round_away(v.to_numpy() * 100, 0).astype(np.int64)
         d = pd.DataFrame(
             {
                 "seller": df["conv_id"].str.split("-").str[0],
@@ -636,7 +638,9 @@ def _kg_price_by_location(sf_dir: str):
         d = pd.DataFrame(
             {
                 "conv_id": df["conv_id"],
-                "cents": np.rint(v.to_numpy() * 100).astype(np.int64),
+                # round_away matches DuckDB round() on arbitrary-decimal
+                # free-text prices (np.rint banker's-rounds .5 cents away)
+                "cents": round_away(v.to_numpy() * 100, 0).astype(np.int64),
             }
         )
         return d.groupby("conv_id", as_index=False).agg(
@@ -713,7 +717,9 @@ def _kg_tool_assisted_pricing(sf_dir: str):
     tx = _transcripts_ds(sf_dir).select_columns(["conv_id", "turn_idx", "tool"])
 
     def tool_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.loc[df["tool"] != ""]
+        # notna() first: SQL `tool <> ''` excludes NULLs (three-valued
+        # logic), while pandas `NaN != ""` is True
+        d = df.loc[df["tool"].notna() & (df["tool"] != "")]
         return (
             d.groupby("conv_id", as_index=False)["turn_idx"]
             .min()
@@ -1585,9 +1591,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM r
                 WHERE regexp_full_match(run, '09[0-9]{{8}}|9[0-9]{{8}}'))
             SELECT CAST(count(*) AS BIGINT) AS n_phones,
-                   CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_shared,
-                   CAST(max(ns) AS BIGINT) AS max_sellers
+                   CAST(COALESCE(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_shared,
+                   CAST(COALESCE(max(ns), 0) AS BIGINT) AS max_sellers
             FROM (SELECT phone, count(DISTINCT seller) AS ns
                   FROM p GROUP BY 1)
         """,

@@ -4309,21 +4309,39 @@ def q180_clv_quartile_migration(sf_dir: str) -> pd.DataFrame:
             .size()
             .sort_values(colname, kind="mergesort")
         )
-        thresholds[colname] = _disc_quantiles_from_hist(
-            h[colname].to_numpy(dtype=np.int64),
-            h["size"].to_numpy(dtype=np.int64),
-            [0.25, 0.5, 0.75],
+        # degenerate cohort: nobody has year-2 revenue -> no thresholds
+        # (the oracle's quantile over the empty subset is NULL); every
+        # customer lands in the churned column below, matching the SQL
+        thresholds[colname] = (
+            _disc_quantiles_from_hist(
+                h[colname].to_numpy(dtype=np.int64),
+                h["size"].to_numpy(dtype=np.int64),
+                [0.25, 0.5, 0.75],
+            )
+            if len(h)
+            else None
         )
     t1 = thresholds["y1"]
     t2 = thresholds["y2"]
+    if t1 is None:  # no orders at all
+        return pd.DataFrame(
+            {
+                "q_year1": pd.Series([], dtype="int64"),
+                "q_year2": pd.Series([], dtype="int64"),
+                "n_customers": pd.Series([], dtype="int64"),
+            }
+        )
     v1 = agg["y1"].to_numpy(dtype=np.int64)
     v2 = agg["y2"].to_numpy(dtype=np.int64)
     q1 = 1 + (v1 > t1[0]).astype(np.int64) + (v1 > t1[1]) + (v1 > t1[2])
-    q2 = np.where(
-        v2 <= 0,
-        0,  # churned: no year-2 revenue
-        1 + (v2 > t2[0]).astype(np.int64) + (v2 > t2[1]) + (v2 > t2[2]),
-    )
+    if t2 is None:
+        q2 = np.zeros(len(v2), dtype=np.int64)  # all churned
+    else:
+        q2 = np.where(
+            v2 <= 0,
+            0,  # churned: no year-2 revenue
+            1 + (v2 > t2[0]).astype(np.int64) + (v2 > t2[1]) + (v2 > t2[2]),
+        )
     out = (
         pd.DataFrame({"q_year1": q1, "q_year2": q2})
         .groupby(["q_year1", "q_year2"], as_index=False)

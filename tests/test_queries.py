@@ -718,3 +718,30 @@ def test_q158_planted_many_parts_per_order(ray_session, tmp_path):
     # the planted strong pair must outrank the hot order's incidental pairs
     top = got.iloc[0]
     assert (int(top["part_a"]), int(top["part_b"])) == (1, 2) or top["lift"] > 1
+
+
+def test_q180_no_year2_revenue(ray_session, tmp_path):
+    """ADVICE round-3: when no customer has year-2 revenue the y2 quantile
+    set is empty — the engine must emit the all-churned column (q_year2=0)
+    instead of raising on an empty histogram, matching the oracle's NULL
+    thresholds."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.relational import q180_clv_quartile_migration
+
+    df = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 2, 3, 4],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-06-01", "2024-02-01", "2024-03-01", "2024-04-01"]
+            ),
+            "o_totalprice": [100.0, 50.0, 200.0, 300.0, 400.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+    out = q180_clv_quartile_migration(str(tmp_path))
+    assert (out["q_year2"] == 0).all()
+    assert int(out["n_customers"].sum()) == 4
