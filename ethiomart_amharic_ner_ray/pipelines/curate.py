@@ -100,6 +100,95 @@ def _quality_thresholds(ds: "ray.data.Dataset", q: float) -> dict:
     return thr
 
 
+def _span_rewrite(surv_ckpt: str, out_dir: str, k: int) -> tuple[str, int, int]:
+    """Stage 1c: span-level dedup as a corpus REWRITE (Lee et al.; q133's
+    rule) over the dedup-survivor checkpoint — every k-token span seen in
+    ≥2 documents survives only in its lowest-doc_id owner; non-owners drop
+    the covered tokens. Returns ``(rewritten_ckpt_dir, n_docs_rewritten,
+    n_tokens_removed)``.
+
+    Shape: the removal set rides q133's one shingle-bucket shuffle
+    (span_removal_starts); removals then meet the full survivor corpus in
+    ONE bucketed_join on doc_id whose merge_fn passes untouched docs
+    through vectorized and rebuilds only the affected ones. The rewritten
+    corpus is its own Parquet checkpoint: written to a temp dir, atomically
+    os.replace'd into place, then stamped with a fingerprint sidecar — a
+    re-run with the same k reuses it without recomputing (crash anywhere
+    before the stamp ⇒ full recompute; stale-k stamps never match)."""
+    import shutil
+
+    from .textstats import span_removal_starts
+
+    ckpt = os.path.join(out_dir, "span_rewritten")
+    fp = f"span-v1|k={k}"
+    fp_path = os.path.join(ckpt, "_SPAN_DONE.json")
+    if os.path.exists(fp_path):
+        try:
+            meta = json.load(open(fp_path))
+        except (json.JSONDecodeError, OSError):
+            meta = {}
+        if meta.get("fingerprint") == fp:
+            return ckpt, int(meta["n_docs_rewritten"]), int(meta["n_tokens_removed"])
+
+    docs = ray.data.read_parquet(surv_ckpt, columns=["doc_id", "source", "text"])
+    removals = span_removal_starts(
+        ray.data.read_parquet(surv_ckpt, columns=["doc_id", "text"]), k
+    )
+
+    def rewrite(docs_df: pd.DataFrame, rem_df: pd.DataFrame) -> pd.DataFrame:
+        out = docs_df[["doc_id", "source", "text"]].copy()
+        out["n_removed"] = 0
+        if len(rem_df):
+            by_doc = {int(d): g["pos"].to_numpy() for d, g in rem_df.groupby("doc_id")}
+            hit = out["doc_id"].astype("int64").isin(by_doc.keys()).to_numpy()
+            new_text, new_n = [], []
+            for did, text in zip(out.loc[hit, "doc_id"], out.loc[hit, "text"]):
+                toks = text.strip().split()
+                cover = np.zeros(len(toks), dtype=bool)
+                for s in by_doc[int(did)]:
+                    cover[s : s + k] = True
+                new_text.append(" ".join(np.asarray(toks, dtype=object)[~cover]))
+                new_n.append(int(cover.sum()))
+            out.loc[hit, "text"] = new_text
+            out.loc[hit, "n_removed"] = new_n
+        return out
+
+    from .common import bucketed_join
+
+    rewritten = bucketed_join(docs, removals, on="doc_id", n_buckets=16, merge_fn=rewrite)
+    tmp = ckpt + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    rewritten.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    ).write_parquet(tmp)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.replace(tmp, ckpt)
+
+    agg = (
+        ray.data.read_parquet(ckpt, columns=["n_removed"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "d": [int((df["n_removed"] > 0).sum())],
+                    "t": [int(df["n_removed"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sum()
+    )
+    meta = {
+        "fingerprint": fp,
+        "n_docs_rewritten": int(agg["d"]),
+        "n_tokens_removed": int(agg["t"]),
+    }
+    with open(fp_path, "w") as f:
+        json.dump(meta, f)
+    return ckpt, meta["n_docs_rewritten"], meta["n_tokens_removed"]
+
+
 def run_curation_pipeline(
     input_dir: str,
     out_dir: str,
@@ -108,6 +197,7 @@ def run_curation_pipeline(
     n_shards: int = 8,
     seed: int = 17,
     near_dup_jaccard: float | None = None,
+    span_k: int | None = None,
 ) -> dict:
     """Run the full curation flow over ``<input_dir>/documents.parquet``;
     returns aggregate stats and writes ``out_dir/{train,val}/shard-*.parquet``
@@ -175,6 +265,16 @@ def run_curation_pipeline(
         n_near_dup = len(rep_map)
         rep_ref = ray.put(rep_map)
 
+    # stage 1c (optional): span-level dedup REWRITE between near-dup
+    # clustering (which reads the ORIGINAL survivor text — detection
+    # before surgery) and the quality gate (which must judge the text a
+    # training run would actually consume). Own checkpoint + resume.
+    n_span_docs = 0
+    n_span_tokens = 0
+    if span_k is not None:
+        span_ckpt, n_span_docs, n_span_tokens = _span_rewrite(ckpt, out_dir, span_k)
+        surv_ds = ray.data.read_parquet(span_ckpt, columns=["doc_id", "source", "text"])
+
     # stage 2: per-source quality thresholds → broadcast filter
     thr = _quality_thresholds(surv_ds, quality_q)
     tref = ray.put(thr)
@@ -218,6 +318,9 @@ def run_curation_pipeline(
         "seed": seed,
         "near_dup_jaccard": near_dup_jaccard,
         "n_near_dup_clustered": n_near_dup,
+        "span_k": span_k,
+        "n_docs_span_rewritten": n_span_docs,
+        "n_span_tokens_removed": n_span_tokens,
     }
     with open(os.path.join(out_dir, "curation_manifest.json"), "w") as f:
         json.dump(manifest, f)
@@ -231,7 +334,7 @@ def curation_summary(sf_dir: str) -> pd.DataFrame:
 
     out = "/tmp/graft_curation"
     shutil.rmtree(out, ignore_errors=True)
-    m = run_curation_pipeline(sf_dir, out)
+    m = run_curation_pipeline(sf_dir, out, span_k=5)
     return pd.DataFrame(
         {
             "n_input": [m["n_input"]],
@@ -239,5 +342,7 @@ def curation_summary(sf_dir: str) -> pd.DataFrame:
             "n_after_quality": [m["n_after_quality"]],
             "n_train": [m["n_train"]],
             "n_val": [m["n_val"]],
+            "n_docs_span_rewritten": [m["n_docs_span_rewritten"]],
+            "n_span_tokens_removed": [m["n_span_tokens_removed"]],
         }
     )

@@ -1698,30 +1698,19 @@ def q132_source_overlap(sf_dir: str, k: int = 5) -> "pd.DataFrame":
     )
 
 
-def q133_span_removal(sf_dir: str, k: int = 5) -> "pd.DataFrame":
-    """Exact duplicated-substring REMOVAL (Lee et al., "Deduplicating
-    Training Data Makes Language Models Better" — the transform q121 only
-    measures): every k-token span that occurs in ≥2 documents keeps ALL
-    its occurrences in the lowest-doc_id owner and is cut from every other
-    document; a non-owner doc drops each token covered by any such span.
-    Emits one row per AFFECTED document: token counts and the md5 of the
-    rebuilt text (kept tokens joined in original order).
-
-    Shape: (shingle, doc, pos) occurrences ride ONE shingle-bucket shuffle
-    (positions must travel — this is a rewrite, not a count); each bucket
-    owns its shingles outright, so ownership and the distinct
-    (doc, start) removal set are decided in-bucket with no second pass
-    over the corpus. Removals then meet their documents in ONE
-    bucketed_join on doc_id (inner join == affected-docs filter for
-    free), and the rebuild is a per-doc coverage mask inside the join
-    bucket. At 100 TB the shingle string column becomes a 128-bit hash
-    (q121's documented trade)."""
+def span_removal_starts(
+    ds: "ray.data.Dataset", k: int, n_buckets: int = 16
+) -> "ray.data.Dataset":
+    """(doc_id, pos) start positions of every duplicated k-token span a
+    NON-OWNER document must cut (Lee et al. rule: the lowest-doc_id owner
+    keeps all occurrences). One shingle-bucket shuffle; each bucket owns
+    its shingles, so ownership and the distinct removal set are decided
+    in-bucket. Shared by q133_span_removal (stats query) and the curation
+    pipeline's span-rewrite stage."""
     import numpy as np
     import pandas as pd
 
-    from .common import bucketed_group_agg, bucketed_join
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    from .common import bucketed_group_agg
 
     def occurrences(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1763,7 +1752,34 @@ def q133_span_removal(sf_dir: str, k: int = 5) -> "pd.DataFrame":
         out = df.loc[(nd >= 2) & (df["doc_id"] != owner), ["doc_id", "pos"]]
         return out.drop_duplicates()
 
-    removals = bucketed_group_agg(occ, ["sh"], removal_starts, n_buckets=16)
+    return bucketed_group_agg(occ, ["sh"], removal_starts, n_buckets=n_buckets)
+
+
+def q133_span_removal(sf_dir: str, k: int = 5) -> "pd.DataFrame":
+    """Exact duplicated-substring REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the transform q121 only
+    measures): every k-token span that occurs in ≥2 documents keeps ALL
+    its occurrences in the lowest-doc_id owner and is cut from every other
+    document; a non-owner doc drops each token covered by any such span.
+    Emits one row per AFFECTED document: token counts and the md5 of the
+    rebuilt text (kept tokens joined in original order).
+
+    Shape: (shingle, doc, pos) occurrences ride ONE shingle-bucket shuffle
+    (positions must travel — this is a rewrite, not a count); each bucket
+    owns its shingles outright, so ownership and the distinct
+    (doc, start) removal set are decided in-bucket with no second pass
+    over the corpus. Removals then meet their documents in ONE
+    bucketed_join on doc_id (inner join == affected-docs filter for
+    free), and the rebuild is a per-doc coverage mask inside the join
+    bucket. At 100 TB the shingle string column becomes a 128-bit hash
+    (q121's documented trade)."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    removals = span_removal_starts(ds, k)
 
     def rebuild(docs: pd.DataFrame, rem: pd.DataFrame) -> pd.DataFrame:
         merged = docs.merge(rem, on="doc_id", how="inner")

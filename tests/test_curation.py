@@ -140,3 +140,89 @@ class TestNearDupSplit:
                 continue
             want = "train" if hashlib.md5(str(d).encode()).hexdigest() < TRAIN_HEX else "val"
             assert s == want, (d, s, want)
+
+
+@pytest.fixture(scope="module")
+def run_span(ray_session, tmp_path_factory):
+    from ethiomart_amharic_ner_ray.pipelines.curate import run_curation_pipeline
+
+    out = str(tmp_path_factory.mktemp("curation_span"))
+    m = run_curation_pipeline(SF, out, span_k=5)
+    return out, m
+
+
+class TestSpanRewriteStage:
+    def test_rewrite_matches_q133(self, run_span):
+        # the checkpointed rewrite must agree doc-for-doc with the
+        # SQL-checked q133 stats query (same k, same owner rule) — at
+        # sf0.001 survivors == input, so the two corpora coincide
+        out, m = run_span
+        if m["n_input"] != m["n_after_dedup"]:
+            pytest.skip("fixture has exact dups; corpora differ by design")
+        from ethiomart_amharic_ner_ray.pipelines.textstats import q133_span_removal
+
+        want = q133_span_removal(SF, k=5).set_index("doc_id")
+        got = pq.read_table(f"{out}/span_rewritten").to_pandas()
+        affected = got.loc[got["n_removed"] > 0].set_index("doc_id")
+        assert len(affected) == len(want) == m["n_docs_span_rewritten"]
+        assert int(got["n_removed"].sum()) == m["n_span_tokens_removed"]
+        for did, row in affected.iterrows():
+            assert hashlib.md5(row["text"].encode("utf-8")).hexdigest() == want.loc[
+                did, "clean_md5"
+            ], did
+            assert int(row["n_removed"]) == int(want.loc[did, "n_removed"])
+
+    def test_untouched_docs_pass_through(self, run_span):
+        out, m = run_span
+        got = pq.read_table(f"{out}/span_rewritten").to_pandas().set_index("doc_id")
+        src = pq.read_table(f"{out}/dedup_survivors").to_pandas().set_index("doc_id")
+        clean = got.loc[got["n_removed"] == 0]
+        assert len(clean) > 0
+        for did, row in clean.iterrows():
+            assert row["text"] == src.loc[did, "text"], did
+
+    def test_resume_reuses_checkpoint(self, run_span):
+        import os
+        import time
+
+        from ethiomart_amharic_ner_ray.pipelines.curate import _span_rewrite
+
+        out, m = run_span
+        files = sorted(glob.glob(f"{out}/span_rewritten/*.parquet"))
+        mtimes = [os.path.getmtime(f) for f in files]
+        time.sleep(0.05)
+        ckpt, nd, nt = _span_rewrite(f"{out}/dedup_survivors", out, 5)
+        assert (nd, nt) == (m["n_docs_span_rewritten"], m["n_span_tokens_removed"])
+        assert [os.path.getmtime(f) for f in sorted(glob.glob(f"{ckpt}/*.parquet"))] == mtimes
+
+    def test_stale_or_missing_stamp_recomputes(self, run_span):
+        import os
+
+        from ethiomart_amharic_ner_ray.pipelines.curate import _span_rewrite
+
+        out, m = run_span
+        os.remove(f"{out}/span_rewritten/_SPAN_DONE.json")
+        ckpt, nd, nt = _span_rewrite(f"{out}/dedup_survivors", out, 5)
+        assert (nd, nt) == (m["n_docs_span_rewritten"], m["n_span_tokens_removed"])
+        assert os.path.exists(f"{out}/span_rewritten/_SPAN_DONE.json")
+        # a different k must never reuse the k=5 checkpoint
+        ckpt6, nd6, nt6 = _span_rewrite(f"{out}/dedup_survivors", out, 6)
+        meta = json.load(open(f"{out}/span_rewritten/_SPAN_DONE.json"))
+        assert meta["fingerprint"] == "span-v1|k=6"
+
+    def test_byte_stable_rerun_with_span(self, run_span, tmp_path):
+        from ethiomart_amharic_ner_ray.pipelines.curate import run_curation_pipeline
+
+        out, m = run_span
+        out2 = str(tmp_path / "rerun_span")
+        m2 = run_curation_pipeline(SF, out2, span_k=5)
+        for key in ("n_train", "n_val", "n_docs_span_rewritten", "n_span_tokens_removed"):
+            assert m[key] == m2[key], key
+        for split in ("train", "val"):
+            a = sorted(glob.glob(f"{out}/{split}/shard-*.parquet"))
+            b = sorted(glob.glob(f"{out2}/{split}/shard-*.parquet"))
+            assert [Path(p).name for p in a] == [Path(p).name for p in b]
+            for pa_, pb in zip(a, b):
+                pd.testing.assert_frame_equal(
+                    pq.read_table(pa_).to_pandas(), pq.read_table(pb).to_pandas()
+                )
