@@ -327,11 +327,49 @@ def ensure_candidates(out_dir: str, n_buckets: int, extractor: str, mentions_fp:
     return True
 
 
+def _auto_compact(out_dir: str, threshold: int) -> dict:
+    """Opportunistic small-file maintenance AFTER an update commits: every
+    update appends delta-* files to touched mention buckets and rewrites
+    touched candidate cbuckets, so a long update chain fragments exactly
+    the hot partitions. When any partition's file count crosses
+    ``threshold``, run ``compact_hive_dir`` over that store (candidates
+    re-sorted on sbucket so stage-2's row-group pruning keeps working;
+    row-group size is preserved — _compact_one_partition writes
+    CAND_ROW_GROUP-sized groups). Crash-safe by construction: compaction's
+    marker/double-rename protocol converges via _recover_compactions,
+    which run_kg_update now invokes FIRST on every store — a compaction
+    killed at any point can never duplicate or lose a bucket, and a
+    half-renamed ``cbucket=N.trash`` dir can never be mis-parsed by
+    _bucket_files."""
+    from .export import compact_hive_dir
+
+    report: dict = {}
+    for sub, sort_by in (("mentions", None), ("candidates", ["sbucket"]), ("triples", None)):
+        root = _os.path.join(out_dir, sub)
+        worst = 0
+        for d in _glob.glob(_os.path.join(root, "*=*")):
+            if d.endswith((".compact", ".trash")) or not _os.path.isdir(d):
+                continue
+            worst = max(worst, len(_glob.glob(_os.path.join(d, "*.parquet"))))
+        if worst > threshold:
+            rep = compact_hive_dir(root, sort_by=sort_by)
+            report[sub] = {
+                "max_files_before": worst,
+                "partitions_compacted": int(
+                    (rep["files_after"] < rep["files_before"]).sum()
+                )
+                if len(rep)
+                else 0,
+            }
+    return report
+
+
 def run_kg_update(
     input_path: str,
     delta_path: str,
     out_dir: str,
     concurrency=(1, 8),
+    compact_files_threshold: int = 8,
 ) -> dict:
     """Fold the new turns under ``delta_path`` into the completed
     ``run_kg_pipeline`` checkpoint at ``out_dir`` (built from
@@ -364,6 +402,15 @@ def run_kg_update(
             f"{out_dir}: no completed base run (run_metrics.json with a "
             f"fingerprint is required before an incremental update)"
         ) from exc
+    # finish any compaction a previous session crashed mid-swap BEFORE any
+    # manifest validation or bucket glob touches the stores (a lingering
+    # `bucket=N.trash` dir would otherwise corrupt bucket parsing)
+    from .export import _recover_compactions
+
+    for d in (mentions_dir, candidates_dir, triples_dir):
+        if _os.path.isdir(d):
+            _recover_compactions(d)
+
     params = _parse_fp_params(old_fp)
     n_buckets = params.get("n_buckets")
     normalizer = params.get("normalizer", 1)
@@ -595,4 +642,9 @@ def run_kg_update(
     with open(tmp, "w") as fh:
         _json.dump(stats, fh, sort_keys=True)
     _os.replace(tmp, sidecar)
+
+    # maintenance AFTER the commit point: a crash inside compaction loses
+    # nothing (the update is durable; recovery-first on the next call
+    # converges the swap). Stats are advisory, not part of the sidecar.
+    stats["compaction"] = _auto_compact(out_dir, compact_files_threshold)
     return stats

@@ -327,3 +327,116 @@ class TestCompactionComposesWithUpdates:
             return df[key].sort_values(key).reset_index(drop=True)
 
         pd.testing.assert_frame_equal(read(out), read(out2))
+
+
+class TestAutoCompaction:
+    """run_kg_update's built-in maintenance: small files accumulated by an
+    update chain are compacted automatically once a partition crosses the
+    file-count threshold, and a compaction crashed mid-swap converges on
+    the next update (recovery-first)."""
+
+    KEY = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+    def _read_triples(self, out):
+        import pandas as pd
+
+        df = pd.concat(
+            [pq.read_table(f).to_pandas() for f in glob.glob(out + "/triples/bucket=*/*.parquet")]
+        )
+        return df[self.KEY].sort_values(self.KEY).reset_index(drop=True)
+
+    def _rebuild_all(self, tmp_path, srcs, n_buckets=8):
+        allin = tmp_path / "allin"
+        allin.mkdir()
+        for s in srcs:
+            for f in glob.glob(str(s) + "/*.parquet"):
+                shutil.copy(f, str(allin / f"{abs(hash(f))}.parquet"))
+        out2 = str(tmp_path / "out_rebuild")
+        run_kg_pipeline(str(allin), out2, n_buckets=n_buckets)
+        return out2
+
+    def test_soak_ten_updates_files_bounded_and_equal(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.sources.transcripts import (
+            ensure_transcripts,
+            generate_transcripts,
+        )
+
+        base = ensure_transcripts(str(tmp_path / "base"), 800, seed=31)
+        out = str(tmp_path / "out")
+        run_kg_pipeline(base, out, n_buckets=8)
+
+        def maxfiles(sub, prefix):
+            worst = 0
+            for d in glob.glob(f"{out}/{sub}/{prefix}=*"):
+                if d.endswith((".compact", ".trash")):
+                    continue
+                worst = max(worst, len(glob.glob(d + "/*.parquet")))
+            return worst
+
+        fired = False
+        deltas = []
+        for i in range(10):
+            d = tmp_path / f"d{i}"
+            d.mkdir()
+            pq.write_table(
+                generate_transcripts(120, seed=40 + i, conv_base=900000 + i * 5000),
+                str(d / "dl.parquet"),
+            )
+            deltas.append(d)
+            st = run_kg_update(base, str(d), out, compact_files_threshold=6)
+            fired = fired or bool(st.get("compaction"))
+            # post-update state is always at-or-below threshold+1 per store:
+            # growth per update is ~1 file/bucket and compaction fires the
+            # moment the threshold is crossed — stage-2 read volume (file
+            # count per bucket) stays FLAT across the chain instead of
+            # growing linearly with update count
+            assert maxfiles("mentions", "bucket") <= 7, i
+            assert maxfiles("candidates", "cbucket") <= 7, i
+        assert fired, "10-update soak never triggered a compaction"
+
+        out2 = self._rebuild_all(tmp_path, [base] + deltas)
+        pd.testing.assert_frame_equal(self._read_triples(out), self._read_triples(out2))
+
+    def test_update_after_crashed_compaction_converges(self, ray_session, tmp_path):
+        import json
+
+        import pandas as pd
+
+        from ethiomart_amharic_ner_ray.sources.transcripts import (
+            ensure_transcripts,
+            generate_transcripts,
+        )
+
+        base = ensure_transcripts(str(tmp_path / "base"), 600, seed=51)
+        out = str(tmp_path / "out")
+        run_kg_pipeline(base, out, n_buckets=8)
+        d0 = tmp_path / "d0"
+        d0.mkdir()
+        pq.write_table(
+            generate_transcripts(150, seed=52, conv_base=910000), str(d0 / "dl.parquet")
+        )
+        run_kg_update(base, str(d0), out)
+
+        # hand-craft the mid-swap crash state on one candidates partition:
+        # COMPLETE .compact dir present, original renamed to .trash
+        cdirs = sorted(glob.glob(out + "/candidates/cbucket=*"))
+        victim = cdirs[0]
+        shutil.copytree(victim, victim + ".compact")
+        with open(victim + ".compact/_COMPLETE", "w") as f:
+            json.dump({"replaces": [], "rows": 0}, f)
+        os.rename(victim, victim + ".trash")
+
+        d1 = tmp_path / "d1"
+        d1.mkdir()
+        pq.write_table(
+            generate_transcripts(150, seed=53, conv_base=920000), str(d1 / "dl.parquet")
+        )
+        st = run_kg_update(base, str(d1), out)  # must not crash on .trash dirs
+        assert st["triples_rows"] > 0
+        assert not glob.glob(out + "/candidates/*.compact")
+        assert not glob.glob(out + "/candidates/*.trash")
+
+        out2 = self._rebuild_all(tmp_path, [base, d0, d1])
+        pd.testing.assert_frame_equal(self._read_triples(out), self._read_triples(out2))
