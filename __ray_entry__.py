@@ -132,44 +132,101 @@ def _kg_mention_flags_full(sf_dir: str):
     price/phone + punctuation-strip non-emptiness rule in RE2 (the
     lookbehind-free phone form keeps the preceding non-digit via \\1, which
     matches raw[:match.start()] semantics exactly)."""
-    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
-    from ethiomart_amharic_ner_ray.stages.extract import explode_entities
-
-    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
-    ds = ds.map_batches(explode_entities, batch_format="pyarrow")
-    return ds.select_columns(
-        ["conv_id", "turn_idx", "has_price", "has_phone", "has_product"]
+    return _kg_exploded_ds(
+        sf_dir, ["conv_id", "turn_idx", "has_price", "has_phone", "has_product"]
     )
 
 
 def _kg_mentions_exploded(sf_dir: str):
-    """M4/J1 parity: mentions struct → top-level entity list columns + flags."""
+    """M4/J1 parity: mentions struct → top-level entity list columns + flags
+    (served from the shared exploded-mention checkpoint)."""
+    return _kg_exploded_ds(
+        sf_dir,
+        ["conv_id", "turn_idx", "prices", "phones", "products", "locations",
+         "has_price", "has_phone", "has_product"],
+    )
+
+
+
+_KG_EXPLODED_COLS = [
+    "conv_id",
+    "turn_idx",
+    "seller",
+    "prices",
+    "phones",
+    "products",
+    "locations",
+    "has_price",
+    "has_phone",
+    "has_product",
+]
+
+
+def _kg_exploded_checkpoint(sf_dir: str) -> str:
+    """Build ONCE per input signature the Parquet checkpoint of the
+    exploded-mention pass (normalize → extract → explode), shared by the
+    whole kg_* analytics family — the flagship's mentions-checkpoint
+    pattern applied to the driver surface: a sweep over N kg_* queries
+    pays the extraction corpus pass once, and every query after that is a
+    column-pruned Parquet read. Input-signature stamped (file names +
+    sizes of the generated transcripts), atomically swapped into place, so
+    a regenerated corpus can never serve stale mentions. At cluster scale
+    this directory is the run's mentions store on shared storage."""
+    import glob as _g
+    import hashlib as _hl
+    import json as _json
+    import shutil as _sh
+
+    tdir = transcripts_dir_for(sf_dir)
+    files = sorted(_g.glob(os.path.join(tdir, "*.parquet")))
+    sig = "expl-v1|" + "|".join(
+        f"{os.path.basename(f)}:{os.path.getsize(f)}" for f in files
+    )
+    key = _hl.blake2b(sig.encode(), digest_size=8).hexdigest()
+    dest = f"/tmp/graft_kg_exploded/{key}"
+    marker = os.path.join(dest, "_DONE.json")
+    if os.path.exists(marker):
+        try:
+            if _json.load(open(marker)).get("sig") == sig:
+                return dest
+        except (ValueError, OSError):
+            pass
+
     from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
     from ethiomart_amharic_ner_ray.stages.extract import explode_entities
 
     ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
     ds = ds.map_batches(explode_entities, batch_format="pyarrow")
-    return ds.select_columns(
-        ["conv_id", "turn_idx", "prices", "phones", "products", "locations",
-         "has_price", "has_phone", "has_product"]
-    )
+    ds = ds.select_columns(_KG_EXPLODED_COLS)
+    tmp = dest + ".tmp"
+    _sh.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    ).write_parquet(tmp)
+    _sh.rmtree(dest, ignore_errors=True)
+    os.replace(tmp, dest)
+    with open(marker, "w") as f:
+        _json.dump({"sig": sig}, f)
+    return dest
 
+
+def _kg_exploded_ds(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    """Column-pruned read of the shared exploded-mention checkpoint."""
+    return ray.data.read_parquet(_kg_exploded_checkpoint(sf_dir), columns=columns)
 
 
 def _kg_entity_values_exploded(sf_dir: str, col: str, out_name: str):
     """Exploded canonical mention VALUES as one row per mention — the
     hash-checkable complement of _kg_mention_flags (flags prove existence;
     this proves the extracted/canonicalized values themselves). Flatten is
-    a zero-copy Arrow list_flatten + parent-index gather per batch."""
+    a zero-copy Arrow list_flatten + parent-index gather per batch, over
+    the SHARED exploded-mention checkpoint (extraction runs once per
+    driver sweep, not once per query)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
-    from ethiomart_amharic_ner_ray.stages.extract import explode_entities
-
-    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
-    ds = ds.map_batches(explode_entities, batch_format="pyarrow")
-    ds = ds.select_columns(["conv_id", "turn_idx", col])
+    ds = _kg_exploded_ds(sf_dir, ["conv_id", "turn_idx", col])
 
     def flatten(t: pa.Table) -> pa.Table:
         lst = t.column(col)
@@ -816,12 +873,7 @@ def _kg_mention_flags(sf_dir: str):
     the exploded mention lists vs DuckDB regexp existence over the SQL
     clean_text (the phone oracle rewrites the v2 lookarounds — RE2 has
     none — as the equivalent bounded-context alternation)."""
-    from ethiomart_amharic_ner_ray.pipelines.kg import build_mentions
-    from ethiomart_amharic_ner_ray.stages.extract import explode_entities
-
-    ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
-    ds = ds.map_batches(explode_entities, batch_format="pyarrow")
-    return ds.select_columns(["conv_id", "turn_idx", "has_price", "has_phone"])
+    return _kg_exploded_ds(sf_dir, ["conv_id", "turn_idx", "has_price", "has_phone"])
 
 
 def _kg_seller_price_stats(sf_dir: str):
