@@ -1406,6 +1406,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q184_weekly_control_chart": windows.q184_weekly_control_chart,
         "q185_quantity_discount_curve": relational.q185_quantity_discount_curve,
         "q186_leadtime_p90_matrix": relational.q186_leadtime_p90_matrix,
+        "q187_theil_index": relational.q187_theil_index,
+        "q188_assoc_rules": relational.q188_assoc_rules,
+        "q189_user_burstiness": windows.q189_user_burstiness,
+        "q190_source_ttr": textstats.q190_source_ttr,
+        "q191_simpson_diversity": textstats.q191_simpson_diversity,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3547,6 +3552,93 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
                                AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "q187_theil_index": """
+            WITH s AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1),
+            j AS (
+                SELECT c.c_mktsegment AS segment, s.cents
+                FROM s JOIN customer c ON s.o_custkey = c.c_custkey),
+            m AS (
+                SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(cents) AS DOUBLE) / count(*) AS mu
+                FROM j GROUP BY 1)
+            SELECT j.segment, m.n AS n_customers,
+                   round(sum((j.cents / m.mu) * ln(j.cents / m.mu)) / m.n, 6)
+                       AS theil
+            FROM j JOIN m USING (segment)
+            GROUP BY j.segment, m.n
+        """,
+        "q188_assoc_rules": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lp),
+            marg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a
+                     FROM lp GROUP BY 1),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2),
+            rules AS (
+                SELECT part_a AS antecedent, part_b AS consequent, n_ab
+                FROM pairs
+                UNION ALL
+                SELECT part_b AS antecedent, part_a AS consequent, n_ab
+                FROM pairs)
+            SELECT r.antecedent, r.consequent, r.n_ab,
+                   round(CAST(r.n_ab AS DOUBLE) / ma.n_a, 6) AS confidence,
+                   round(CAST(r.n_ab AS DOUBLE) * t.n
+                         / (CAST(ma.n_a AS DOUBLE) * mc.n_a), 6) AS lift
+            FROM rules r
+            JOIN marg ma ON ma.l_partkey = r.antecedent
+            JOIN marg mc ON mc.l_partkey = r.consequent
+            CROSS JOIN tot t
+            ORDER BY confidence DESC, r.antecedent, r.consequent
+            LIMIT 50
+        """,
+        "q189_user_burstiness": """
+            SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+                   round((stddev_pop(gap) - avg(gap))
+                         / (stddev_pop(gap) + avg(gap)), 6) AS burstiness
+            FROM (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) / 1e6 AS gap
+                FROM events)
+            GROUP BY user_id
+            HAVING count(gap) >= 2 AND stddev_pop(gap) + avg(gap) > 0
+        """,
+        "q190_source_ttr": r"""
+            WITH c AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM documents)
+                WHERE tok <> ''
+                GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+            FROM c GROUP BY 1
+        """,
+        "q191_simpson_diversity": r"""
+            WITH c AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM documents)
+                WHERE tok <> ''
+                GROUP BY 1, 2)
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(sum(CAST(c AS DOUBLE) * c)
+                         / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS simpson
+            FROM c GROUP BY 1
         """,
         "q186_leadtime_p90_matrix": """
             WITH j AS (

@@ -4458,3 +4458,171 @@ def q186_leadtime_p90_matrix(sf_dir: str) -> "ray.data.Dataset":
         return res.astype({"n_items": "int64"})
 
     return bucketed_group_agg(parts, ["priority", "month"], final, n_buckets=8)
+
+
+def q187_theil_index(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality index of customer spend per market segment — the
+    decomposable cousin of q144's Gini (T sums across subgroups, so a
+    cluster job can compute region/segment terms independently). Shape:
+    orders reduce to per-customer exact cents through one custkey-bucket
+    two-phase with the segment stamped from the broadcast customer map
+    inside the merge; customers then collapse to per-(segment, spend)
+    value-count HISTOGRAMS (segment × distinct-value bounded — never one
+    row per customer leaves the bucket), and the driver evaluates
+    T = Σ c·(x/μ)·ln(x/μ) / n off the merged histogram. μ is the exact
+    int64 cents total over n, so both oracle sides divide identical
+    integers; the ln-sum is order-insensitive to ~1e-12 relative, absorbed
+    by the 6-decimal round (the q157 correlation convention)."""
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ck = cust.column("c_custkey").to_numpy()
+    order_k = np.argsort(ck)
+    seg = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order_k]
+    ref = ray.put((ck[order_k], seg))
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "cents": np.rint(
+                    df["o_totalprice"].to_numpy(dtype=np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        return d.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        keys, segs = get_broadcast(ref)
+        g = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        g["segment"] = segs[np.searchsorted(keys, g["o_custkey"].to_numpy(dtype=np.int64))]
+        h = g.groupby(["segment", "cents"], as_index=False).size().rename(columns={"size": "cnt"})
+        return h.astype({"cents": "int64", "cnt": "int64"})
+
+    merged = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["o_custkey"],
+            hist,
+            n_buckets=32,
+        )
+        .to_pandas()
+        .groupby(["segment", "cents"], as_index=False)["cnt"]
+        .sum()
+    )
+    out = []
+    for s, g in merged.groupby("segment", sort=True):
+        x = g["cents"].to_numpy(dtype=np.float64)
+        c = g["cnt"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        mu = (g["cents"].to_numpy(dtype=np.int64) * g["cnt"].to_numpy(dtype=np.int64)).sum() / n
+        r = x / mu
+        out.append(
+            {
+                "segment": s,
+                "n_customers": int(n),
+                "theil": float(round_away(np.array([(c * r * np.log(r)).sum() / n]), 6)[0]),
+            }
+        )
+    return pd.DataFrame(out).astype({"n_customers": "int64"})
+
+
+def q188_assoc_rules(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFrame:
+    """Directed association rules antecedent→consequent over co-purchase
+    pairs: confidence n_ab/n_a (how often a basket holding the antecedent
+    also holds the consequent) next to q158's symmetric lift — the actual
+    recommender primitive. Reuses the q158 machinery end to end: distinct
+    (order, part) pairs, one orderkey-bucket expansion for the a<b pair
+    counts, and the PER-BUCKET marginal partials (per-part distinct-order
+    counts + the sentinel distinct-order total riding the same frame) that
+    replaced the round-3 single-batch coalesce. Each undirected pair then
+    emits both directions into a streaming confidence map; top-k rides the
+    per-batch-top-k under (confidence desc, antecedent, consequent).
+    Confidence and lift are double ratios of exact int64 counts — bitwise
+    equal on both oracle sides."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def lp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_orderkey", "l_partkey"])
+
+    def pair_expand(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m.loc[m["l_partkey_a"] < m["l_partkey_b"]]
+        g = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        return g.rename(
+            columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b", "size": "p_n"}
+        )
+
+    lp = ds.map_batches(lp_partial, batch_format="pandas", batch_size=65536)
+    pairs = bucketed_group_agg(lp, ["l_orderkey"], pair_expand, n_buckets=32)
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["part_a", "part_b"], as_index=False)["p_n"].sum()
+        return g.rename(columns={"p_n": "n_ab"}).astype({"n_ab": "int64"})
+
+    pair_counts = bucketed_group_agg(pairs, ["part_a", "part_b"], pair_final, n_buckets=16)
+
+    def marg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        g = d.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n_a"})
+        g = pd.concat(
+            [g, pd.DataFrame({"l_partkey": [-1], "n_a": [d["l_orderkey"].nunique()]})],
+            ignore_index=True,
+        )
+        return g.astype({"l_partkey": "int64", "n_a": "int64"})
+
+    marg = (
+        bucketed_group_agg(lp, ["l_orderkey"], marg_partial, n_buckets=32)
+        .to_pandas()
+        .groupby("l_partkey", as_index=False)["n_a"]
+        .sum()
+    )
+    n_orders = int(marg.loc[marg["l_partkey"] == -1, "n_a"].iloc[0])
+    marg = marg.loc[marg["l_partkey"] != -1]
+    keys = marg["l_partkey"].to_numpy(dtype=np.int64)
+    order_k = np.argsort(keys)
+    ref = ray.put((keys[order_k], marg["n_a"].to_numpy(dtype=np.int64)[order_k], n_orders))
+
+    def rules_topk(df: pd.DataFrame) -> pd.DataFrame:
+        keys, na, n_tot = get_broadcast(ref)
+        d = df.loc[df["n_ab"] >= min_support]
+        cols = {
+            "antecedent": "int64",
+            "consequent": "int64",
+            "n_ab": "int64",
+            "confidence": "float64",
+            "lift": "float64",
+        }
+        if len(d) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        both = pd.concat(
+            [
+                d.rename(columns={"part_a": "antecedent", "part_b": "consequent"}),
+                d.rename(columns={"part_b": "antecedent", "part_a": "consequent"}),
+            ],
+            ignore_index=True,
+        )
+        ia = np.searchsorted(keys, both["antecedent"].to_numpy(dtype=np.int64))
+        ic = np.searchsorted(keys, both["consequent"].to_numpy(dtype=np.int64))
+        nab = both["n_ab"].to_numpy(dtype=np.float64)
+        both["confidence"] = round_away(nab / na[ia].astype(np.float64), 6)
+        both["lift"] = round_away(
+            nab * float(n_tot) / (na[ia].astype(np.float64) * na[ic].astype(np.float64)), 6
+        )
+        return both.sort_values(
+            ["confidence", "antecedent", "consequent"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)[list(cols)]
+
+    cand = pair_counts.map_batches(rules_topk, batch_format="pandas", batch_size=65536).to_pandas()
+    return (
+        cand.sort_values(
+            ["confidence", "antecedent", "consequent"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -2726,3 +2726,96 @@ def q182_prefix_family_diversity(sf_dir: str, k_chars: int = 32, min_docs: int =
     from .common import bucketed_join
 
     return bucketed_join(counts, distinct, on="prefix", n_buckets=8, merge_fn=merge_fn)
+
+
+def _source_token_counts(sf_dir: str, n_buckets: int = 16) -> "ray.data.Dataset":
+    """Per-(source, token) total counts through ONE token-bucket shuffle —
+    per-batch partials collapse before the exchange (a token's rows per
+    batch become one partial row), so the shuffle moves vocabulary-bounded
+    partials, not the token stream. Shared by the lexical-diversity family
+    (q190 TTR / q191 Simpson)."""
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        src = pc.take(t.column("source"), pc.list_parent_indices(toks))
+        d = pd.DataFrame({"source": src.to_pylist(), "token": flat.to_pylist()})
+        d = d[d["token"] != ""]
+        g = d.groupby(["source", "token"], as_index=False).size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(
+            g.astype({"c": "int64"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df):
+        return df.groupby(["source", "token"], as_index=False)["c"].sum()
+
+    return bucketed_group_agg(parts, ["token"], final, n_buckets=n_buckets)
+
+
+def q190_source_ttr(sf_dir: str) -> "pd.DataFrame":
+    """Type-token ratio per source — the coarse lexical-diversity gate
+    (template-generated sources sit far below organic ones). The
+    (source, token) counts ride _source_token_counts' one token-bucket
+    shuffle; each bucket owns its tokens outright, so per-source
+    (n_types, n_tokens) partials are exact per bucket and the driver merge
+    is sources × buckets sized. TTR is a double ratio of exact int64
+    counts — bitwise equal on both oracle sides."""
+    import pandas as pd
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            tp_types=("token", "size"), tp_tokens=("c", "sum")
+        )
+        return g.astype({"tp_types": "int64", "tp_tokens": "int64"})
+
+    merged = (
+        _source_token_counts(sf_dir)
+        .map_batches(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n_types=("tp_types", "sum"), n_tokens=("tp_tokens", "sum"))
+    )
+    merged["ttr"] = round_away(
+        merged["n_types"].to_numpy(dtype="float64")
+        / merged["n_tokens"].to_numpy(dtype="float64"),
+        6,
+    )
+    return merged.astype({"n_types": "int64", "n_tokens": "int64"})
+
+
+def q191_simpson_diversity(sf_dir: str) -> "pd.DataFrame":
+    """Simpson concentration λ = Σ(cᵢ/N)² of the token distribution per
+    source (the collision probability of two random tokens — 1/λ is the
+    effective vocabulary size, the q162-HHI idea applied to language).
+    Same one-shuffle shape as q190; per bucket the partial is (Σcᵢ², Σcᵢ)
+    — both exact int64 (bound: the top token's c² must stay < 2^63, i.e.
+    c < 3e9 occurrences per source; past that the partial widens to
+    float128 limbs before the oracle's HUGEINT does). λ is a ratio of
+    exact integers, bitwise equal on both sides."""
+    import pandas as pd
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype="int64")
+        d = pd.DataFrame({"source": df["source"], "c": c, "c2": c * c})
+        return d.groupby("source", as_index=False).agg(
+            tp_c=("c", "sum"), tp_c2=("c2", "sum")
+        )
+
+    merged = (
+        _source_token_counts(sf_dir)
+        .map_batches(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n_tokens=("tp_c", "sum"), s_c2=("tp_c2", "sum"))
+    )
+    n = merged["n_tokens"].to_numpy(dtype="float64")
+    merged["simpson"] = round_away(merged["s_c2"].to_numpy(dtype="float64") / (n * n), 6)
+    return merged.drop(columns=["s_c2"]).astype({"n_tokens": "int64"})

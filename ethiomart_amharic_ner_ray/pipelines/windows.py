@@ -1809,3 +1809,52 @@ def q184_weekly_control_chart(sf_dir: str) -> pd.DataFrame:
             "out_of_band": flag,
         }
     )
+
+
+def q189_user_burstiness(sf_dir: str) -> "ray.data.Dataset":
+    """Burstiness index per user (Goh & Barabási): B = (σ−μ)/(σ+μ) over
+    the inter-event gaps — B→−1 for metronome users, 0 for Poisson, →+1
+    for bursty ones; the behavioral-regularity signal q36's mean/max
+    misses. Same partition discipline as q36: ONE user_id-bucket shuffle,
+    in-bucket grouped shift-and-diff over (ts, event_id)-sorted rows, gap
+    arithmetic exact microsecond int64 / 1e6. Users need ≥2 gaps (σ of one
+    gap is trivially 0) and a positive μ+σ denominator; both filters are
+    integer/exact-zero conditions so the oracle's HAVING lands
+    identically. σ is the population std (ddof=0 == stddev_pop)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id")["ts"].shift()
+        gap = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            - prev.astype("datetime64[us]").astype("int64")
+        ) / 1e6
+        gap[prev.isna()] = np.nan
+        g = (
+            pd.DataFrame({"user_id": df["user_id"], "gap": gap})
+            .dropna(subset=["gap"])
+            .groupby("user_id", as_index=False)
+            .agg(
+                n_gaps=("gap", "size"),
+                mu=("gap", "mean"),
+                sd=("gap", lambda s: float(np.std(s.to_numpy(), ddof=0))),
+            )
+        )
+        g = g.loc[(g["n_gaps"] >= 2) & (g["mu"] + g["sd"] > 0)]
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "n_gaps": g["n_gaps"].astype("int64"),
+                "burstiness": round_away(
+                    (g["sd"].to_numpy() - g["mu"].to_numpy())
+                    / (g["sd"].to_numpy() + g["mu"].to_numpy()),
+                    6,
+                ),
+            }
+        )
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)

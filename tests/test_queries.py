@@ -226,6 +226,11 @@ SQL_CHECKED = [
     "q184_weekly_control_chart",
     "q185_quantity_discount_curve",
     "q186_leadtime_p90_matrix",
+    "q187_theil_index",
+    "q188_assoc_rules",
+    "q189_user_burstiness",
+    "q190_source_ttr",
+    "q191_simpson_diversity",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
