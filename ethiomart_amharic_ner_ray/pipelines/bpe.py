@@ -40,10 +40,23 @@ _EOW = "</w>"
 
 
 def _word_counts(sf_dir: str) -> "ray.data.Dataset":
-    """Distributed exact (word, tf) table over documents (pass 0)."""
-    from .textstats import _token_partials
+    """Distributed exact (word, tf) table over documents (pass 0).
 
-    partials = _token_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    BPE needs only term frequency (not document frequency), so the partial
+    is a pure-Arrow ``value_counts`` over the flattened token stream — no
+    ``to_pylist`` materialization, no pandas round-trip (the shared
+    q35-family partial pays both for its per-doc df counts)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        flat = pc.list_flatten(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
+        vc = flat.value_counts()
+        tok = vc.field("values")
+        out = pa.table({"token": tok, "tf": pc.cast(vc.field("counts"), pa.int64())})
+        return out.filter(pc.not_equal(tok, ""))
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("token", as_index=False).agg(tf=("tf", "sum"))
