@@ -168,6 +168,45 @@ def _ckpt_write(checkpoint_dir: str, fingerprint: str, it: int, w: np.ndarray, b
     os.replace(tmp, path)
 
 
+@ray.remote(num_cpus=0)
+class _GradShardActor:
+    """One shard of the cached feature table, CSR-decoded ONCE and held
+    across gradient iterations — the iterative-algorithm actor shape
+    (pipelines/bpe.py's merge loop is the same pattern): per round the
+    driver sends the (D+1)-float model and gets back one (D+1)-float
+    partial, instead of paying a full Ray Dataset job (~100 ms of pure
+    orchestration per iteration at fixture scale, 15× per training run).
+    num_cpus=0: the per-round burst is short and reserving whole CPUs can
+    deadlock against a concurrent Dataset job on a small pool."""
+
+    def __init__(self, blocks: list, n_features: int) -> None:
+        blocks = ray.get(list(blocks)) if blocks else []
+        tabs = [
+            b.replace_schema_metadata(None)
+            for b in blocks
+            if b.num_rows and "y" in b.schema.names
+        ]
+        self.D = n_features
+        if tabs:
+            t = pa.concat_tables(tabs, promote_options="default")
+            self.indptr, self.indices, self.values, self.y = _csr(t)
+        else:
+            self.indptr = np.zeros(1, dtype=np.int64)
+            self.indices = np.array([], dtype=np.int64)
+            self.values = np.array([], dtype=np.float64)
+            self.y = np.array([], dtype=np.float64)
+        self.parent = np.repeat(np.arange(len(self.y)), np.diff(self.indptr))
+
+    def grad(self, w: np.ndarray, b: float):
+        z = _forward(self.indptr, self.indices, self.values, w, b)
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - self.y
+        gw = np.zeros(self.D, dtype=np.float64)
+        if len(self.indices):
+            np.add.at(gw, self.indices, self.values * r[self.parent])
+        return gw, float(r.sum()), len(self.y)
+
+
 def train_quality_classifier(
     sf_dir: str,
     target_lang: str = "en",
@@ -201,7 +240,16 @@ def train_quality_classifier(
         .materialize()  # iteration cache: sparse projection, not raw text;
         # the cluster path checkpoints this to Parquet instead
     )
-    n_total = feat.count()
+    # shard the cached CSR features onto an actor pool: each iteration is
+    # then ONE model broadcast + one (D+1)-float partial per shard, not a
+    # full Dataset job (the bpe_train actor-loop pattern). Round-robin
+    # block refs — never split(equal=True), which drops rows.
+    refs = feat.to_arrow_refs()
+    n_shards = max(1, min(16, int(ray.cluster_resources().get("CPU", 16)), len(refs)))
+    shards: list[list] = [[] for _ in range(n_shards)]
+    for i, r in enumerate(refs):
+        shards[i % n_shards].append(r)
+    actors = [_GradShardActor.remote(rs, n_features) for rs in shards]
 
     fingerprint = f"qc-v1|{sf_dir}|{target_lang}|{n_features}|{lr}|{l2}"
     w = np.zeros(n_features, dtype=np.float64)
@@ -213,37 +261,24 @@ def train_quality_classifier(
             w = np.asarray(ck["w"], dtype=np.float64)
             b = float(ck["b"])
             start = int(ck["iter"]) + 1
-    for it in range(start, iters):
-        ref = ray.put((w, b))
-
-        def grad_partial(t: pa.Table, ref=ref, D=n_features) -> pa.Table:
-            ww, bb = get_broadcast(ref)
-            indptr, indices, values, y = _csr(t)
-            z = _forward(indptr, indices, values, ww, bb)
-            p = 1.0 / (1.0 + np.exp(-z))
-            r = p - y
-            gw = np.zeros(D, dtype=np.float64)
-            if len(indices):
-                parent = np.repeat(np.arange(len(y)), np.diff(indptr))
-                np.add.at(gw, indices, values * r[parent])
-            return pa.table(
-                {
-                    "gw": pa.array([gw.tolist()], pa.list_(pa.float64(), D)),
-                    "gb": pa.array([float(r.sum())]),
-                    "n": pa.array([len(y)], pa.int64()),
-                }
-            )
-
-        agg = feat.map_batches(grad_partial, batch_format="pyarrow").to_pandas()
-        gw = np.zeros(n_features, dtype=np.float64)
-        gb = 0.0
-        for row_gw, row_gb in zip(agg["gw"], agg["gb"]):
-            gw += np.asarray(row_gw, dtype=np.float64)
-            gb += row_gb
-        w -= lr * (gw / n_total + l2 * w)
-        b -= lr * (gb / n_total)
-        if checkpoint_dir is not None:
-            _ckpt_write(checkpoint_dir, fingerprint, it, w, b)
+    try:
+        n_total = None
+        for it in range(start, iters):
+            parts = ray.get([a.grad.remote(w, b) for a in actors])
+            if n_total is None:
+                n_total = sum(p[2] for p in parts)
+            gw = np.zeros(n_features, dtype=np.float64)
+            gb = 0.0
+            for pgw, pgb, _ in parts:  # fixed actor order: deterministic sum
+                gw += pgw
+                gb += pgb
+            w -= lr * (gw / n_total + l2 * w)
+            b -= lr * (gb / n_total)
+            if checkpoint_dir is not None:
+                _ckpt_write(checkpoint_dir, fingerprint, it, w, b)
+    finally:
+        for a in actors:
+            ray.kill(a)
     return w, b
 
 
