@@ -1411,6 +1411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q189_user_burstiness": windows.q189_user_burstiness,
         "q190_source_ttr": textstats.q190_source_ttr,
         "q191_simpson_diversity": textstats.q191_simpson_diversity,
+        "q192_crosssource_dup_matrix": dedup.q192_crosssource_dup_matrix,
+        "q193_length_decile_bands": textstats.q193_length_decile_bands,
+        "q194_cluster_size_hist": dedup.q194_cluster_size_hist,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3552,6 +3555,89 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
                                AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "q192_crosssource_dup_matrix": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s
+                FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+                WHERE len(toks) >= 5),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            p AS (
+                SELECT doc_a, doc_b,
+                       i::DOUBLE / (sa.sz + sb.sz - i) AS jac
+                FROM inter
+                JOIN sz sa ON doc_a = sa.doc_id
+                JOIN sz sb ON doc_b = sb.doc_id
+                WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+            m AS (
+                SELECT least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b, p.jac
+                FROM p
+                JOIN documents da ON p.doc_a = da.doc_id
+                JOIN documents db ON p.doc_b = db.doc_id)
+            SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(max(jac), 4) AS max_jaccard
+            FROM m GROUP BY 1, 2
+        """,
+        "q193_length_decile_bands": """
+            WITH t AS (
+                SELECT quantile_disc(n_chars, 0.1) AS t1,
+                       quantile_disc(n_chars, 0.2) AS t2,
+                       quantile_disc(n_chars, 0.3) AS t3,
+                       quantile_disc(n_chars, 0.4) AS t4,
+                       quantile_disc(n_chars, 0.5) AS t5,
+                       quantile_disc(n_chars, 0.6) AS t6,
+                       quantile_disc(n_chars, 0.7) AS t7,
+                       quantile_disc(n_chars, 0.8) AS t8,
+                       quantile_disc(n_chars, 0.9) AS t9
+                FROM documents)
+            SELECT source,
+                   CAST(1 + (n_chars > t.t1)::INT + (n_chars > t.t2)::INT
+                          + (n_chars > t.t3)::INT + (n_chars > t.t4)::INT
+                          + (n_chars > t.t5)::INT + (n_chars > t.t6)::INT
+                          + (n_chars > t.t7)::INT + (n_chars > t.t8)::INT
+                          + (n_chars > t.t9)::INT AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents CROSS JOIN t
+            GROUP BY 1, 2
+        """,
+        "q194_cluster_size_hist": r"""
+            WITH RECURSIVE tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s
+                FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+                WHERE len(toks) >= 5),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            edges AS (
+                SELECT da, db FROM inter
+                JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+            und AS (SELECT da AS a, db AS b FROM edges UNION SELECT db, da FROM edges),
+            reach AS (
+                SELECT a AS node, b AS reached FROM und
+                UNION
+                SELECT r.node, u.b FROM reach r JOIN und u ON r.reached = u.a
+                WHERE u.b <> r.node),
+            lbl AS (SELECT node, least(node, min(reached)) AS rep FROM reach GROUP BY node),
+            csz AS (SELECT rep, count(*) AS sz FROM lbl GROUP BY rep)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM csz GROUP BY 1
         """,
         "q187_theil_index": """
             WITH s AS (

@@ -642,3 +642,97 @@ def q130_leakage_free_split(sf_dir: str, train_fraction: float = 0.8) -> "ray.da
         )
 
     return bucketed_group_agg(ds.map_batches(tag, batch_format="pyarrow"), ["h"], final, n_buckets=32)
+
+
+def q192_crosssource_dup_matrix(
+    sf_dir: str, k: int = 5, threshold: float = 0.5
+) -> pd.DataFrame:
+    """Cross-source duplication matrix: for every (source, source) pair,
+    how many exact-Jaccard near-dup pairs (q71's join, same k/threshold)
+    straddle them — the contamination readout that tells you WHICH feeds
+    copy from each other before any is trusted as 'independent'. The
+    (small) verified-pair stream meets the (doc_id, source) projection in
+    TWO bucketed joins (the doc→source map is corpus-sized, so it is never
+    broadcast); the unordered matrix collapses via per-batch
+    (lo, hi, count, max-jaccard) partials — sources²-bounded. max is
+    order-insensitive and rounding is monotone, so max(round(j,4)) on the
+    engine side equals round(max(j),4) in the oracle."""
+    import numpy as np
+
+    from .common import bucketed_join, read_table
+
+    pairs = jaccard_pairs_exact(sf_dir, k=k, threshold=threshold)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def ren(mapping):
+        # Dataset.rename_columns assumes Arrow blocks; the pair stream's
+        # final stage emits pandas blocks, so rename inside map_batches
+        return lambda df: df.rename(columns=mapping)
+
+    j1 = bucketed_join(
+        pairs.map_batches(ren({"doc_a": "doc_id"}), batch_format="pandas"),
+        docs,
+        on="doc_id",
+        n_buckets=16,
+    ).map_batches(
+        ren({"doc_id": "doc_a", "source": "source_a", "doc_b": "doc_id"}),
+        batch_format="pandas",
+    )
+    j2 = bucketed_join(j1, docs, on="doc_id", n_buckets=16).map_batches(
+        ren({"doc_id": "doc_b", "source": "source_b"}), batch_format="pandas"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["source_a"].to_numpy(dtype=object)
+        b = df["source_b"].to_numpy(dtype=object)
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        d = pd.DataFrame({"source_a": lo, "source_b": hi, "jaccard": df["jaccard"]})
+        return d.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_pairs=("jaccard", "size"), max_jaccard=("jaccard", "max")
+        )
+
+    merged = (
+        j2.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["source_a", "source_b"], as_index=False)
+        .agg(n_pairs=("n_pairs", "sum"), max_jaccard=("max_jaccard", "max"))
+    )
+    return merged.astype({"n_pairs": "int64"})
+
+
+def q194_cluster_size_hist(
+    sf_dir: str, k: int = 5, threshold: float = 0.5
+) -> pd.DataFrame:
+    """Near-dup cluster-size histogram off the EXACT pair set: the shape
+    of the duplication problem (many doubletons = mirror noise; a few huge
+    components = template families needing df-caps upstream). Exact pairs
+    (q71) → distributed min-label connected components (no driver
+    union-find) → per-rep sizes → (cluster_size, n_clusters) — every
+    reduction is component-bounded, and the oracle reproduces the closure
+    with q72's recursive CTE. Singleton docs (no edges) are not clusters
+    and do not appear."""
+    from .graph import connected_components_minlabel
+
+    pairs = jaccard_pairs_exact(sf_dir, k=k, threshold=threshold)
+    labels = connected_components_minlabel(
+        pairs.map_batches(
+            lambda df: df.rename(columns={"doc_a": "a", "doc_b": "b"})[["a", "b"]],
+            batch_format="pandas",
+        ),
+        n_buckets=16,
+    ).to_pandas()
+    if labels.empty:
+        return pd.DataFrame(
+            {
+                "cluster_size": pd.array([], dtype="int64"),
+                "n_clusters": pd.array([], dtype="int64"),
+            }
+        )
+    sizes = labels.groupby("cluster_rep", as_index=False).size()
+    out = (
+        sizes.groupby("size", as_index=False)
+        .agg(n_clusters=("size", "size"))
+        .rename(columns={"size": "cluster_size"})
+    )
+    return out.astype({"cluster_size": "int64", "n_clusters": "int64"})

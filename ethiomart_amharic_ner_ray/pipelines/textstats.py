@@ -2819,3 +2819,56 @@ def q191_simpson_diversity(sf_dir: str) -> "pd.DataFrame":
     n = merged["n_tokens"].to_numpy(dtype="float64")
     merged["simpson"] = round_away(merged["s_c2"].to_numpy(dtype="float64") / (n * n), 6)
     return merged.drop(columns=["s_c2"]).astype({"n_tokens": "int64"})
+
+
+def q193_length_decile_bands(sf_dir: str) -> "pd.DataFrame":
+    """Length-distribution drift per source: each document banded into the
+    CORPUS-level n_chars deciles — a uniform source shows ~10% per band,
+    a template farm piles into one (the visual companion to q155's KS
+    statistic). Pass 1 reduces n_chars to a value-count histogram
+    (char-length-bounded, schema-sized partials, no shuffle of rows);
+    the driver takes the 9 discrete decile thresholds off it (DuckDB
+    quantile_disc rank rule); pass 2 re-scans with the thresholds
+    broadcast and emits (source, band) count partials. Banding is an
+    integer comparison against exact int64 thresholds — tie and edge
+    placement lands identically on both oracle sides."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import get_broadcast
+    from .relational import _disc_quantiles_from_hist
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size().rename(columns={"size": "cnt"})
+        return g.astype({"n_chars": "int64", "cnt": "int64"})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("n_chars", as_index=False)["cnt"]
+        .sum()
+        .sort_values("n_chars", kind="mergesort")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    thr = _disc_quantiles_from_hist(
+        hist["n_chars"].to_numpy(dtype=np.int64), hist["cnt"].to_numpy(dtype=np.int64), qs
+    )
+    ref = ray.put(np.asarray(thr, dtype=np.int64))
+
+    def band_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = get_broadcast(ref)
+        x = df["n_chars"].to_numpy(dtype=np.int64)
+        band = 1 + (x[:, None] > t[None, :]).sum(axis=1).astype(np.int64)
+        d = pd.DataFrame({"source": df["source"], "band": band})
+        g = d.groupby(["source", "band"], as_index=False).size().rename(columns={"size": "n_docs"})
+        return g.astype({"band": "int64", "n_docs": "int64"})
+
+    merged = (
+        ds.map_batches(band_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["source", "band"], as_index=False)["n_docs"]
+        .sum()
+    )
+    return merged.astype({"band": "int64", "n_docs": "int64"})

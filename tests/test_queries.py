@@ -231,6 +231,9 @@ SQL_CHECKED = [
     "q189_user_burstiness",
     "q190_source_ttr",
     "q191_simpson_diversity",
+    "q192_crosssource_dup_matrix",
+    "q193_length_decile_bands",
+    "q194_cluster_size_hist",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
