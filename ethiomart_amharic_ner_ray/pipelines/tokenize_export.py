@@ -203,30 +203,51 @@ def tokenized_sequences(
         return df
 
     def spans(df: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
+        # a range bucket is CONTIGUOUS in the global token order, so its
+        # docs' runs concatenate into one flat stream starting at the
+        # range offset; sequence boundaries are then a fixed seq_len grid
+        # over that stream. Chunk rows are emitted per grid segment
+        # (#seqs-in-range + 1 rows), not per (doc, seq) — the round-3
+        # per-doc while-loop is gone and assemble sees the identical
+        # (seq_id, start)-ordered content.
+        out_seq: list[int] = []
+        out_start: list[int] = []
+        out_chunk: list[list[int]] = []
         for rb, grp in df.groupby("_rb"):
             g = grp.sort_values("doc_id", kind="mergesort")
-            off = int(range_offsets.get(rb, 0)) + (g["n"].cumsum() - g["n"]).to_numpy()
-            for o, ids in zip(off, g["ids"]):
-                run = list(ids) + [eod_id]
-                pos = o
-                i = 0
-                while i < len(run):
-                    seq = pos // seq_len
-                    take = min(seq_len - (pos % seq_len), len(run) - i)
-                    if seq < n_seqs:
-                        out_rows.append(
-                            {
-                                "seq_id": int(seq),
-                                "start": int(pos % seq_len),
-                                "chunk": run[i : i + take],
-                            }
-                        )
-                    pos += take
-                    i += take
-        if not out_rows:
+            lens = np.fromiter((len(x) for x in g["ids"]), dtype=np.int64, count=len(g))
+            total = int(lens.sum()) + len(g)
+            if total == 0:
+                continue
+            flat = np.empty(total, dtype=np.int64)
+            eod_pos = np.cumsum(lens + 1) - 1
+            mask = np.ones(total, dtype=bool)
+            mask[eod_pos] = False
+            flat[eod_pos] = eod_id
+            if lens.sum():
+                flat[mask] = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in g["ids"]]
+                )
+            off0 = int(range_offsets.get(rb, 0))
+            s = (off0 + np.arange(total)) // seq_len
+            cut = np.flatnonzero(np.diff(s)) + 1
+            starts_i = np.concatenate(([0], cut))
+            ends_i = np.concatenate((cut, [total]))
+            for a, b in zip(starts_i, ends_i):
+                seq = int(s[a])
+                if seq < n_seqs:
+                    out_seq.append(seq)
+                    out_start.append(int((off0 + a) % seq_len))
+                    out_chunk.append(flat[a:b].tolist())
+        if not out_seq:
             return pd.DataFrame({"seq_id": pd.array([], dtype="int64"), "start": pd.array([], dtype="int64"), "chunk": pd.Series([], dtype=object)})
-        return pd.DataFrame(out_rows)
+        return pd.DataFrame(
+            {
+                "seq_id": pd.array(out_seq, dtype="int64"),
+                "start": pd.array(out_start, dtype="int64"),
+                "chunk": out_chunk,
+            }
+        )
 
     spanned = bucketed_group_agg(
         enc.map_batches(stamp, batch_format="pandas"), ["_rb"], spans, n_buckets=n_ranges
