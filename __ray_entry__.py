@@ -1414,6 +1414,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q192_crosssource_dup_matrix": dedup.q192_crosssource_dup_matrix,
         "q193_length_decile_bands": textstats.q193_length_decile_bands,
         "q194_cluster_size_hist": dedup.q194_cluster_size_hist,
+        "q195_anova_f": relational.q195_anova_f,
+        "q196_poisson_dispersion": relational.q196_poisson_dispersion,
+        "q197_embedding_norm_outliers": similarity.q197_embedding_norm_outliers,
+        "q198_weekday_chi2": relational.q198_weekday_chi2,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3555,6 +3559,81 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
                                AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "q195_anova_f": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events),
+            g AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s,
+                       CAST(sum(v * v) AS BIGINT) AS q
+                FROM v GROUP BY 1),
+            t AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(n) AS BIGINT) AS nt,
+                       CAST(sum(s) AS DOUBLE) AS ss,
+                       CAST(sum(q) AS DOUBLE) AS qq,
+                       sum(CAST(s AS DOUBLE) * s / n) AS w
+                FROM g)
+            SELECT k AS k_groups, nt AS n_total,
+                   round(((w - ss * ss / nt) / (k - 1))
+                         / ((qq - w) / (nt - k)), 6) AS f_stat
+            FROM t
+        """,
+        "q196_poisson_dispersion": """
+            WITH d AS (
+                SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+            a AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS s,
+                       CAST(sum(c * c) AS BIGINT) AS q
+                FROM d GROUP BY 1)
+            SELECT event_type, n AS n_days,
+                   round(CAST(s AS DOUBLE) / n, 4) AS mean_daily,
+                   round((CAST(q AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                         / (CAST(s AS DOUBLE) / n), 6) AS dispersion
+            FROM a
+        """,
+        "q197_embedding_norm_outliers": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_sum(list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1e3) AS BIGINT)
+                              * CAST(round(CAST(x AS DOUBLE) * 1e3) AS BIGINT)))
+                           AS n2
+                FROM embeddings),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(n2) AS s,
+                         max(n2) AS mx FROM v),
+            th AS (SELECT n, s, mx,
+                          (s - 1) // (4 * n) AS tlo,
+                          (4 * s) // n AS thi FROM t)
+            SELECT th.n AS n_vecs,
+                   round(CAST(th.s AS DOUBLE) / th.n, 4) AS mean_norm2,
+                   CAST((SELECT count(*) FROM v, th
+                         WHERE v.n2 <= th.tlo OR v.n2 > th.thi) AS BIGINT)
+                       AS n_outliers,
+                   round(CAST(th.mx AS DOUBLE)
+                         / (CAST(th.s AS DOUBLE) / th.n), 6) AS max_ratio
+            FROM th
+        """,
+        "q198_weekday_chi2": """
+            WITH c AS (
+                SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT)
+                           AS isodow,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+            SELECT c.isodow, c.n AS n_orders,
+                   round(CAST(t.nt AS DOUBLE) / 7, 4) AS expected,
+                   round((c.n - CAST(t.nt AS DOUBLE) / 7)
+                         * (c.n - CAST(t.nt AS DOUBLE) / 7)
+                         / (CAST(t.nt AS DOUBLE) / 7), 6) AS chi2_term
+            FROM c CROSS JOIN t
         """,
         "q192_crosssource_dup_matrix": r"""
             WITH tk AS (

@@ -4626,3 +4626,150 @@ def q188_assoc_rules(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataF
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def q195_anova_f(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F statistic of event value across event types — the
+    'does the type matter at all' gate before any per-type modeling.
+    Values quantize to exact int64 centi-units (the engine-wide money
+    convention; bound: Σv² needs v·√rows < 3e9·√1e18), so the per-type
+    (n, Σv, Σv²) partials are schema-bounded and EXACT through one tiny
+    exchange; F assembles from identical integer sums on both oracle
+    sides via the textbook Σs²/n − S²/N decomposition."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        d = pd.DataFrame({"event_type": df["event_type"], "v": v, "v2": v * v})
+        return d.groupby("event_type", as_index=False).agg(
+            p_n=("v", "size"), p_s=("v", "sum"), p_q=("v2", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("p_n", "sum"), s=("p_s", "sum"), q=("p_q", "sum")
+        )
+        return g
+
+    groups = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["event_type"],
+            final,
+            n_buckets=4,
+        )
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), s=("s", "sum"), q=("q", "sum"))
+        .sort_values("event_type", kind="mergesort")
+    )
+    k = len(groups)
+    n_total = int(groups["n"].sum())
+    S = float(groups["s"].sum())
+    Q = float(groups["q"].sum())
+    within = float(
+        (groups["s"].to_numpy(dtype=np.float64) ** 2 / groups["n"].to_numpy(dtype=np.float64)).sum()
+    )
+    ssb = within - S * S / n_total
+    ssw = Q - within
+    f = (ssb / (k - 1)) / (ssw / (n_total - k)) if k > 1 and ssw > 0 else float("nan")
+    return pd.DataFrame(
+        {
+            "k_groups": pd.array([k], dtype="int64"),
+            "n_total": pd.array([n_total], dtype="int64"),
+            "f_stat": [round_away(np.array([f]), 6)[0]],
+        }
+    )
+
+
+def q196_poisson_dispersion(sf_dir: str) -> pd.DataFrame:
+    """Poisson dispersion (variance-to-mean ratio of DAILY counts) per
+    event type: ≈1 is Poisson arrivals, ≫1 is burst/campaign days — the
+    distributional sibling of q119's seasonality strength. Day-level
+    counts reduce through ONE (type, day)-bucket two-phase (a day's rows
+    land in one bucket, so counts are exact); the day rows are
+    types×days-bounded and collapse to per-type (n_days, Σc, Σc²)
+    partials. The ratio assembles from exact integers with the explicit
+    Σc²/n − (Σc/n)² expression on BOTH sides (never the built-in
+    var_pop, whose single-pass update would differ in the last bits)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64),
+            }
+        )
+        g = d.groupby(["event_type", "day"], as_index=False).size().rename(columns={"size": "c"})
+        return g.astype({"day": "int64", "c": "int64"})
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False)["c"].sum()
+        c = g["c"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame({"event_type": g["event_type"], "c": c, "c2": c * c})
+        return d.groupby("event_type", as_index=False).agg(
+            p_days=("c", "size"), p_s=("c", "sum"), p_q=("c2", "sum")
+        )
+
+    merged = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["event_type", "day"],
+            per_day,
+            n_buckets=16,
+        )
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n_days=("p_days", "sum"), s=("p_s", "sum"), q=("p_q", "sum"))
+    )
+    n = merged["n_days"].to_numpy(dtype=np.float64)
+    s = merged["s"].to_numpy(dtype=np.float64)
+    q = merged["q"].to_numpy(dtype=np.float64)
+    mean = s / n
+    disp = (q / n - mean * mean) / mean
+    out = pd.DataFrame(
+        {
+            "event_type": merged["event_type"],
+            "n_days": merged["n_days"].astype("int64"),
+            "mean_daily": round_away(mean, 4),
+            "dispersion": round_away(disp, 6),
+        }
+    )
+    return out
+
+
+def q198_weekday_chi2(sf_dir: str) -> pd.DataFrame:
+    """Weekday-uniformity chi-square of order volume: per ISO weekday the
+    observed count, the uniform expectation N/7, and the (O−E)²/E term —
+    the one-glance answer to 'is ordering calendar-flat?'. Counts are a
+    7-bin schema-bounded partial sum (no shuffle to speak of); expected
+    and the chi-square term are doubles of exact integers with identical
+    expressions on both sides."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dow = (
+            pd.to_datetime(df["o_orderdate"]).dt.dayofweek.to_numpy(dtype=np.int64) + 1
+        )  # 1=Mon ... 7=Sun == DuckDB isodow
+        d = pd.DataFrame({"isodow": dow})
+        return d.groupby("isodow", as_index=False).size().rename(columns={"size": "n"})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("isodow", as_index=False)["n"]
+        .sum()
+    )
+    n_total = int(merged["n"].sum())
+    e = n_total / 7.0
+    o = merged["n"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame(
+        {
+            "isodow": merged["isodow"].astype("int64"),
+            "n_orders": merged["n"].astype("int64"),
+            "expected": round_away(np.full(len(merged), e), 4),
+            "chi2_term": round_away((o - e) ** 2 / e, 6),
+        }
+    )
+    return out

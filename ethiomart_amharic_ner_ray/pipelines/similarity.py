@@ -1626,3 +1626,70 @@ def text_semantic_search(
         .reset_index(drop=True)
         .astype({"doc_id": "int64", "cos_sim": "float64"})
     )
+
+
+def q197_embedding_norm_outliers(sf_dir: str) -> pd.DataFrame:
+    """Embedding-norm outlier audit: vectors whose squared norm falls
+    outside [mean/4, 4·mean] — the cheap degenerate-embedding detector
+    (zero vectors, un-normalized strays, encoder fallbacks) run before
+    any ANN index build. Exactness discipline: components quantize to
+    int64 MILLI-units (float32→double is bit-exact, round-away == DuckDB
+    round; v² ≤ dim·2.5e7 keeps per-vector norm² far inside int64 even at
+    1e9 vectors), pass 1 reduces (n, Σnorm², max) partials with the Σ
+    merged in arbitrary-precision Python int, and the driver turns the
+    mean bounds into two INTEGER thresholds (floor-division identities:
+    n2 ≤ (Σ−1)//(4n) ⇔ 4·n2·n < Σ; n2 > (4Σ)//n ⇔ n2·n > 4Σ) so pass 2
+    and the oracle's HUGEINT arithmetic count identical rows — no float
+    enters any comparison. Returns one row: (n_vecs, mean_norm2,
+    n_outliers, max_ratio)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> np.ndarray:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.cast(pc.list_flatten(col), pa.float64()).to_numpy(zero_copy_only=False)
+        v = round_away(flat * 1e3, 0).astype(np.int64)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        return np.bincount(
+            parents, weights=(v * v).astype(np.float64), minlength=t.num_rows
+        ).astype(np.int64)
+
+    def partial1(t: pa.Table) -> pa.Table:
+        n2 = norms(t)
+        return pa.table(
+            {
+                "p_n": pa.array([t.num_rows], pa.int64()),
+                "p_s": pa.array([int(n2.sum())], pa.int64()),
+                "p_max": pa.array([int(n2.max()) if len(n2) else 0], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial1, batch_format="pyarrow").to_pandas()
+    n = int(agg["p_n"].sum())
+    s = sum(int(x) for x in agg["p_s"])  # arbitrary-precision merge
+    mx = int(agg["p_max"].max())
+    t_lo = (s - 1) // (4 * n)  # n2 <= t_lo  <=>  4*n2*n < s
+    t_hi = (4 * s) // n        # n2 >  t_hi  <=>  n2*n > 4*s
+    ref = ray.put((int(t_lo), int(t_hi)))
+
+    def partial2(t: pa.Table) -> pa.Table:
+        from .common import get_broadcast
+
+        lo, hi = get_broadcast(ref)
+        n2 = norms(t)
+        out = int(((n2 <= lo) | (n2 > hi)).sum())
+        return pa.table({"p_out": pa.array([out], pa.int64())})
+
+    n_out = int(ds.map_batches(partial2, batch_format="pyarrow").to_pandas()["p_out"].sum())
+    mean = s / n
+    return pd.DataFrame(
+        {
+            "n_vecs": pd.array([n], dtype="int64"),
+            "mean_norm2": [float(round_away(np.array([mean]), 4)[0])],
+            "n_outliers": pd.array([n_out], dtype="int64"),
+            "max_ratio": [float(round_away(np.array([mx / mean]), 6)[0])],
+        }
+    )

@@ -234,6 +234,10 @@ SQL_CHECKED = [
     "q192_crosssource_dup_matrix",
     "q193_length_decile_bands",
     "q194_cluster_size_hist",
+    "q195_anova_f",
+    "q196_poisson_dispersion",
+    "q197_embedding_norm_outliers",
+    "q198_weekday_chi2",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
