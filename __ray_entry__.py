@@ -3572,7 +3572,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM v GROUP BY 1),
             t AS (
                 SELECT CAST(count(*) AS BIGINT) AS k,
-                       CAST(sum(n) AS BIGINT) AS nt,
+                       CAST(COALESCE(sum(n), 0) AS BIGINT) AS nt,
                        CAST(sum(s) AS DOUBLE) AS ss,
                        CAST(sum(q) AS DOUBLE) AS qq,
                        sum(CAST(s AS DOUBLE) * s / n) AS w

@@ -4524,6 +4524,14 @@ def q187_theil_index(sf_dir: str) -> pd.DataFrame:
                 "theil": float(round_away(np.array([(c * r * np.log(r)).sum() / n]), 6)[0]),
             }
         )
+    if not out:  # no orders at all: typed empty frame, matching the oracle
+        return pd.DataFrame(
+            {
+                "segment": pd.Series([], dtype="object"),
+                "n_customers": pd.Series([], dtype="int64"),
+                "theil": pd.Series([], dtype="float64"),
+            }
+        )
     return pd.DataFrame(out).astype({"n_customers": "int64"})
 
 
@@ -4670,9 +4678,12 @@ def q195_anova_f(sf_dir: str) -> pd.DataFrame:
     within = float(
         (groups["s"].to_numpy(dtype=np.float64) ** 2 / groups["n"].to_numpy(dtype=np.float64)).sum()
     )
-    ssb = within - S * S / n_total
-    ssw = Q - within
-    f = (ssb / (k - 1)) / (ssw / (n_total - k)) if k > 1 and ssw > 0 else float("nan")
+    if k > 1 and n_total > k:
+        ssb = within - S * S / n_total
+        ssw = Q - within
+        f = (ssb / (k - 1)) / (ssw / (n_total - k)) if ssw > 0 else float("nan")
+    else:  # degenerate: <2 groups (or empty input) has no between-term
+        f = float("nan")
     return pd.DataFrame(
         {
             "k_groups": pd.array([k], dtype="int64"),
