@@ -1418,6 +1418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q196_poisson_dispersion": relational.q196_poisson_dispersion,
         "q197_embedding_norm_outliers": similarity.q197_embedding_norm_outliers,
         "q198_weekday_chi2": relational.q198_weekday_chi2,
+        "q199_val_oov_rate": textstats.q199_val_oov_rate,
+        "q200_part_affinity_jaccard": relational.q200_part_affinity_jaccard,
+        "q201_event_hour_heatmap": relational.q201_event_hour_heatmap,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3559,6 +3562,65 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
                                AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "q199_val_oov_rate": r"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       md5(CAST(doc_id AS VARCHAR))
+                           < 'cccccccc000000000000000000000000' AS is_train
+                FROM documents),
+            t AS (
+                SELECT is_train, tok FROM (
+                    SELECT is_train,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM d)
+                WHERE tok <> ''),
+            c AS (
+                SELECT tok,
+                       CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_tr,
+                       CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                           AS n_val
+                FROM t GROUP BY 1)
+            SELECT CAST(sum(n_val) AS BIGINT) AS n_val_tokens,
+                   CAST(sum(CASE WHEN n_tr = 0 THEN n_val ELSE 0 END) AS BIGINT)
+                       AS n_oov_tokens,
+                   CAST(sum(CASE WHEN n_tr = 0 AND n_val > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov_types,
+                   round(CAST(sum(CASE WHEN n_tr = 0 THEN n_val ELSE 0 END)
+                              AS DOUBLE) / sum(n_val), 6) AS oov_rate
+            FROM c
+        """,
+        "q200_part_affinity_jaccard": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            marg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a
+                     FROM lp GROUP BY 1),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2)
+            SELECT p.part_a, p.part_b, p.n_ab,
+                   round(CAST(p.n_ab AS DOUBLE)
+                         / (ma.n_a + mb.n_a - p.n_ab), 6) AS jaccard
+            FROM pairs p
+            JOIN marg ma ON ma.l_partkey = p.part_a
+            JOIN marg mb ON mb.l_partkey = p.part_b
+            ORDER BY jaccard DESC, p.part_a, p.part_b
+            LIMIT 50
+        """,
+        "q201_event_hour_heatmap": """
+            WITH c AS (
+                SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS isodow,
+                       CAST(hour(ts) AS BIGINT) AS hour,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n_events) AS BIGINT) AS nt FROM c)
+            SELECT c.isodow, c.hour, c.n_events,
+                   round(CAST(c.n_events AS DOUBLE) / t.nt, 6) AS share
+            FROM c CROSS JOIN t
         """,
         "q195_anova_f": """
             WITH v AS (

@@ -3579,19 +3579,17 @@ def q157_brand_discount_qty_corr(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def q158_pair_lift(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFrame:
-    """Association-rule LIFT for co-purchase pairs: lift(a,b) =
-    P(a,b)/(P(a)·P(b)) = n_ab·N / (n_a·n_b) — the normalization q81's raw
-    pair counts lack (a pair of two individually-popular parts is not a
-    signal; a pair that co-occurs far above its marginals is). Pair counts
-    reuse q149's basket expansion (one order-bucket shuffle, a<b
-    direction); marginal order-counts per part and the total order count N
-    are a second two-phase pass over the SAME distinct (order, part)
-    pairs; marginals broadcast (dimension-sized) into a streaming lift map
-    over the pair counts, and the top-k rides q05's per-batch-top-k under
-    the total order (lift desc, part_a, part_b). Lift is a double ratio of
-    exact int64 products (<2^53), so both oracle sides compute identical
-    bits."""
+def _copurchase_counts(sf_dir: str):
+    """Shared co-purchase machinery for the association family (q158 lift /
+    q188 rules / q200 affinity): distinct (order, part) pairs reduce
+    through one orderkey-bucket expansion to undirected a<b pair counts,
+    and the marginals (per-part distinct-order counts + the distinct-order
+    total under sentinel key -1) are emitted as PER-BUCKET partials inside
+    the same orderkey bucketing — each order lives wholly in one bucket,
+    so the partials sum exactly and the driver merge is dimension-sized.
+    Returns (pair_counts Dataset[part_a, part_b, n_ab],
+    broadcast_ref (sorted part keys, n_a, n_orders))."""
+
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
     def lp_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3615,13 +3613,6 @@ def q158_pair_lift(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFra
 
     pair_counts = bucketed_group_agg(pairs, ["part_a", "part_b"], pair_final, n_buckets=16)
 
-    # marginals: per-part order counts + distinct-order count, both emitted
-    # as PER-BUCKET partials inside the orderkey-bucket merge fn. Each
-    # order lives wholly in one bucket, so a distinct (order, part) pair
-    # appears in exactly one bucket and per-bucket counts sum exactly; the
-    # distinct-order count rides the same frame under sentinel key -1.
-    # The driver merge is dimension-sized (buckets x parts), never the
-    # fact-sized pair stream (the round-3 single-batch coalesce is gone).
     def marg_partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["l_orderkey", "l_partkey"])
         g = d.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n_a"})
@@ -3642,6 +3633,23 @@ def q158_pair_lift(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFra
     keys = marg["l_partkey"].to_numpy(dtype=np.int64)
     order_k = np.argsort(keys)
     ref = ray.put((keys[order_k], marg["n_a"].to_numpy(dtype=np.int64)[order_k], n_orders))
+    return pair_counts, ref
+
+
+def q158_pair_lift(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFrame:
+    """Association-rule LIFT for co-purchase pairs: lift(a,b) =
+    P(a,b)/(P(a)·P(b)) = n_ab·N / (n_a·n_b) — the normalization q81's raw
+    pair counts lack (a pair of two individually-popular parts is not a
+    signal; a pair that co-occurs far above its marginals is). Pair counts
+    reuse q149's basket expansion (one order-bucket shuffle, a<b
+    direction); marginal order-counts per part and the total order count N
+    are a second two-phase pass over the SAME distinct (order, part)
+    pairs; marginals broadcast (dimension-sized) into a streaming lift map
+    over the pair counts, and the top-k rides q05's per-batch-top-k under
+    the total order (lift desc, part_a, part_b). Lift is a double ratio of
+    exact int64 products (<2^53), so both oracle sides compute identical
+    bits."""
+    pair_counts, ref = _copurchase_counts(sf_dir)
 
     def lift_topk(df: pd.DataFrame) -> pd.DataFrame:
         keys, na, n_tot = get_broadcast(ref)
@@ -4548,49 +4556,7 @@ def q188_assoc_rules(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataF
     per-batch-top-k under (confidence desc, antecedent, consequent).
     Confidence and lift are double ratios of exact int64 counts — bitwise
     equal on both oracle sides."""
-    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def lp_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["l_orderkey", "l_partkey"])
-
-    def pair_expand(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
-        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
-        m = m.loc[m["l_partkey_a"] < m["l_partkey_b"]]
-        g = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
-        return g.rename(
-            columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b", "size": "p_n"}
-        )
-
-    lp = ds.map_batches(lp_partial, batch_format="pandas", batch_size=65536)
-    pairs = bucketed_group_agg(lp, ["l_orderkey"], pair_expand, n_buckets=32)
-
-    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["part_a", "part_b"], as_index=False)["p_n"].sum()
-        return g.rename(columns={"p_n": "n_ab"}).astype({"n_ab": "int64"})
-
-    pair_counts = bucketed_group_agg(pairs, ["part_a", "part_b"], pair_final, n_buckets=16)
-
-    def marg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
-        g = d.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n_a"})
-        g = pd.concat(
-            [g, pd.DataFrame({"l_partkey": [-1], "n_a": [d["l_orderkey"].nunique()]})],
-            ignore_index=True,
-        )
-        return g.astype({"l_partkey": "int64", "n_a": "int64"})
-
-    marg = (
-        bucketed_group_agg(lp, ["l_orderkey"], marg_partial, n_buckets=32)
-        .to_pandas()
-        .groupby("l_partkey", as_index=False)["n_a"]
-        .sum()
-    )
-    n_orders = int(marg.loc[marg["l_partkey"] == -1, "n_a"].iloc[0])
-    marg = marg.loc[marg["l_partkey"] != -1]
-    keys = marg["l_partkey"].to_numpy(dtype=np.int64)
-    order_k = np.argsort(keys)
-    ref = ray.put((keys[order_k], marg["n_a"].to_numpy(dtype=np.int64)[order_k], n_orders))
+    pair_counts, ref = _copurchase_counts(sf_dir)
 
     def rules_topk(df: pd.DataFrame) -> pd.DataFrame:
         keys, na, n_tot = get_broadcast(ref)
@@ -4784,3 +4750,74 @@ def q198_weekday_chi2(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out
+
+
+def q200_part_affinity_jaccard(sf_dir: str, min_support: int = 2, k: int = 50) -> pd.DataFrame:
+    """Part-affinity Jaccard: |orders(a)∩orders(b)| / |orders(a)∪orders(b)|
+    for co-purchased part pairs — the symmetric, marginal-normalized
+    affinity that (unlike q158's lift) is bounded in [0,1] and immune to
+    the rare-pair lift blow-up. Third consumer of _copurchase_counts: pair
+    counts and exact marginals reduce once, the Jaccard is a double ratio
+    of exact int64 counts, top-k rides the per-batch-top-k under
+    (jaccard desc, part_a, part_b)."""
+    pair_counts, ref = _copurchase_counts(sf_dir)
+
+    def jac_topk(df: pd.DataFrame) -> pd.DataFrame:
+        keys, na, _ = get_broadcast(ref)
+        d = df.loc[df["n_ab"] >= min_support].copy()
+        if len(d) == 0:
+            return pd.DataFrame(
+                {
+                    "part_a": pd.Series([], dtype="int64"),
+                    "part_b": pd.Series([], dtype="int64"),
+                    "n_ab": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        ia = np.searchsorted(keys, d["part_a"].to_numpy(dtype=np.int64))
+        ib = np.searchsorted(keys, d["part_b"].to_numpy(dtype=np.int64))
+        nab = d["n_ab"].to_numpy(dtype=np.float64)
+        d["jaccard"] = round_away(
+            nab / (na[ia].astype(np.float64) + na[ib].astype(np.float64) - nab), 6
+        )
+        return d.sort_values(
+            ["jaccard", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+
+    cand = pair_counts.map_batches(jac_topk, batch_format="pandas", batch_size=65536).to_pandas()
+    return (
+        cand.sort_values(
+            ["jaccard", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def q201_event_hour_heatmap(sf_dir: str) -> pd.DataFrame:
+    """(ISO weekday × hour) event-volume heatmap with each cell's share of
+    total — the ops-calendar view q183's hourly p95 sits behind. A 168-cell
+    schema-bounded partial sum; share is a double ratio of exact counts."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df["ts"])
+        d = pd.DataFrame(
+            {
+                "isodow": ts.dt.dayofweek.to_numpy(dtype=np.int64) + 1,
+                "hour": ts.dt.hour.to_numpy(dtype=np.int64),
+            }
+        )
+        return d.groupby(["isodow", "hour"], as_index=False).size().rename(columns={"size": "n"})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["isodow", "hour"], as_index=False)["n"]
+        .sum()
+    )
+    total = int(merged["n"].sum())
+    merged["share"] = round_away(merged["n"].to_numpy(dtype=np.float64) / total, 6)
+    return merged.rename(columns={"n": "n_events"}).astype(
+        {"isodow": "int64", "hour": "int64", "n_events": "int64"}
+    )

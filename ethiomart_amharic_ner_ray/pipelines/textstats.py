@@ -2872,3 +2872,76 @@ def q193_length_decile_bands(sf_dir: str) -> "pd.DataFrame":
         .sum()
     )
     return merged.astype({"band": "int64", "n_docs": "int64"})
+
+
+def q199_val_oov_rate(sf_dir: str, train_fraction: float = 0.8) -> "pd.DataFrame":
+    """Validation OOV audit: after the md5 doc split (q130's hex-prefix
+    rule on the doc's own id), what fraction of VALIDATION token
+    occurrences — and how many distinct types — never appear in the train
+    vocabulary. The held-out-shift readout every tokenizer/embedding
+    decision should see before training. Per-batch (token, n_train,
+    n_val) partials ride ONE token-bucket shuffle; each bucket owns its
+    tokens, so the OOV decision (n_train == 0) is exact in-bucket and
+    only (Σval, Σoov, Σoov_types) leave it. Integer counts end to end;
+    the rate is one double ratio."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    frac_hex = format(int(train_fraction * 16**8), "08x") + "0" * 24
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        doc = pc.take(t.column("doc_id"), pc.list_parent_indices(toks))
+        is_train = {
+            int(d): hashlib.md5(str(int(d)).encode("ascii")).hexdigest() < frac_hex
+            for d in pd.unique(t.column("doc_id").to_numpy(zero_copy_only=False))
+        }
+        d = pd.DataFrame(
+            {"doc_id": doc.to_numpy(zero_copy_only=False), "token": flat.to_pylist()}
+        )
+        d = d[d["token"] != ""]
+        d["tr"] = d["doc_id"].map(is_train)
+        g = d.groupby("token", as_index=False).agg(
+            n_train=("tr", "sum"), n_tok=("tr", "size")
+        )
+        g["n_val"] = g["n_tok"] - g["n_train"]
+        return pa.Table.from_pandas(
+            g[["token", "n_train", "n_val"]].astype({"n_train": "int64", "n_val": "int64"}),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("token", as_index=False).agg(
+            n_train=("n_train", "sum"), n_val=("n_val", "sum")
+        )
+        oov = g.loc[(g["n_train"] == 0) & (g["n_val"] > 0)]
+        return pd.DataFrame(
+            {
+                "p_val": [int(g["n_val"].sum())],
+                "p_oov": [int(oov["n_val"].sum())],
+                "p_oov_types": [len(oov)],
+            }
+        )
+
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"], per_bucket, n_buckets=16
+    ).to_pandas()
+    n_val = int(parts["p_val"].sum())
+    n_oov = int(parts["p_oov"].sum())
+    return pd.DataFrame(
+        {
+            "n_val_tokens": pd.array([n_val], dtype="int64"),
+            "n_oov_tokens": pd.array([n_oov], dtype="int64"),
+            "n_oov_types": pd.array([int(parts["p_oov_types"].sum())], dtype="int64"),
+            "oov_rate": [
+                float(round_away(np.array([n_oov / n_val if n_val else float("nan")]), 6)[0])
+            ],
+        }
+    )

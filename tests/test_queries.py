@@ -238,6 +238,9 @@ SQL_CHECKED = [
     "q196_poisson_dispersion",
     "q197_embedding_norm_outliers",
     "q198_weekday_chi2",
+    "q199_val_oov_rate",
+    "q200_part_affinity_jaccard",
+    "q201_event_hour_heatmap",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
