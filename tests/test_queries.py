@@ -760,3 +760,88 @@ def test_q180_no_year2_revenue(ray_session, tmp_path):
     out = q180_clv_quartile_migration(str(tmp_path))
     assert (out["q_year2"] == 0).all()
     assert int(out["n_customers"].sum()) == 4
+
+
+def test_q189_planted_metronome_and_burst(ray_session, tmp_path):
+    """Burstiness edge semantics: a metronome user (equal positive gaps,
+    sigma=0) must land at exactly -1, a bursty user above 0, a single-gap
+    user is excluded (needs >=2 gaps), and an all-zero-gap user (exact
+    duplicate timestamps) fails the positive-denominator filter on BOTH
+    sides."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.windows import q189_user_burstiness
+
+    t0 = pd.Timestamp("2025-01-01")
+    rows = []
+    # metronome: 5 events, 60s apart
+    rows += [(i, 1, t0 + pd.Timedelta(seconds=60 * i)) for i in range(5)]
+    # bursty: 3 tight then a huge gap
+    rows += [(10, 2, t0), (11, 2, t0 + pd.Timedelta(seconds=1)),
+             (12, 2, t0 + pd.Timedelta(seconds=2)), (13, 2, t0 + pd.Timedelta(hours=10))]
+    # single gap: excluded
+    rows += [(20, 3, t0), (21, 3, t0 + pd.Timedelta(seconds=30))]
+    # all-identical timestamps: zero mean+std, excluded
+    rows += [(30, 4, t0), (31, 4, t0), (32, 4, t0)]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = (
+        q189_user_burstiness(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["user_id"]) == [1, 2]
+    assert got.loc[got["user_id"] == 1, "burstiness"].iloc[0] == -1.0
+    assert got.loc[got["user_id"] == 2, "burstiness"].iloc[0] > 0
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+                   round((stddev_pop(gap) - avg(gap))
+                         / (stddev_pop(gap) + avg(gap)), 6) AS burstiness
+            FROM (SELECT user_id,
+                         date_diff('microsecond',
+                                   lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id),
+                                   ts) / 1e6 AS gap
+                  FROM '{tmp_path}/events.parquet')
+            GROUP BY user_id
+            HAVING count(gap) >= 2 AND stddev_pop(gap) + avg(gap) > 0
+            ORDER BY user_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q197_planted_norm_outliers(ray_session, tmp_path):
+    """Norm-band semantics: a zero vector (norm 0 <= mean/4) and a 10x
+    vector (norm > 4*mean) are both flagged; the uniform bulk is not."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.similarity import q197_embedding_norm_outliers
+
+    rng = np.random.default_rng(3)
+    # 300 bulk vectors keep the mean representative; the 5x vector is a
+    # 25x norm-squared outlier without dominating the mean itself
+    bulk = rng.normal(0, 0.1, (300, 8)).astype("float32")
+    vecs = list(bulk) + [np.zeros(8, dtype="float32"), (bulk[0] * 5).astype("float32")]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = q197_embedding_norm_outliers(str(tmp_path))
+    assert int(out["n_vecs"].iloc[0]) == 302
+    assert int(out["n_outliers"].iloc[0]) == 2
+    assert out["max_ratio"].iloc[0] > 4
