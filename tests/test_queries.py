@@ -831,8 +831,8 @@ def test_q197_planted_norm_outliers(ray_session, tmp_path):
     rng = np.random.default_rng(3)
     # 300 bulk vectors keep the mean representative; the 5x vector is a
     # 25x norm-squared outlier without dominating the mean itself
-    bulk = rng.normal(0, 0.1, (300, 8)).astype("float32")
-    vecs = list(bulk) + [np.zeros(8, dtype="float32"), (bulk[0] * 5).astype("float32")]
+    bulk = rng.normal(0, 0.1, (300, 32)).astype("float32")
+    vecs = list(bulk) + [np.zeros(32, dtype="float32"), (bulk[0] * 5).astype("float32")]
     tbl = pa.table(
         {
             "vec_id": pa.array(range(len(vecs)), pa.int64()),
