@@ -1421,6 +1421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q199_val_oov_rate": textstats.q199_val_oov_rate,
         "q200_part_affinity_jaccard": relational.q200_part_affinity_jaccard,
         "q201_event_hour_heatmap": relational.q201_event_hour_heatmap,
+        "q202_lang_confusion_matrix": textstats.q202_lang_confusion_matrix,
+        "q203_l_diversity": relational.q203_l_diversity,
+        "q204_shingle_df_histogram": textstats.q204_shingle_df_histogram,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3562,6 +3565,43 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
                                AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "q202_lang_confusion_matrix": """
+            WITH p AS (
+                SELECT lang,
+                       CASE WHEN regexp_matches(text, '[ሀ-፿]') THEN 'am'
+                            WHEN regexp_matches(text, '\\b(the|and|of|a)\\b')
+                                THEN 'en'
+                            ELSE 'other' END AS pred_lang
+                FROM documents),
+            c AS (
+                SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+                FROM p GROUP BY 1, 2),
+            r AS (SELECT lang, sum(n_docs) AS rt FROM c GROUP BY 1)
+            SELECT c.lang, c.pred_lang, c.n_docs,
+                   round(CAST(c.n_docs AS DOUBLE) / r.rt, 6) AS row_share
+            FROM c JOIN r USING (lang)
+        """,
+        "q203_l_diversity": """
+            SELECT c_mktsegment AS segment,
+                   CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS k_size,
+                   CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS l_distinct
+            FROM customer GROUP BY 1, 2
+        """,
+        "q204_shingle_df_histogram": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(toks[i : i + 3], ' ') AS s
+                FROM tk, UNNEST(generate_series(1, len(toks) - 3)) AS u(i)
+                WHERE len(toks) >= 4),
+            d AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+            SELECT df, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM d GROUP BY 1
         """,
         "q199_val_oov_rate": r"""
             WITH d AS (

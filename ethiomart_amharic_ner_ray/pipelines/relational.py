@@ -4821,3 +4821,60 @@ def q201_event_hour_heatmap(sf_dir: str) -> pd.DataFrame:
     return merged.rename(columns={"n": "n_events"}).astype(
         {"isodow": "int64", "hour": "int64", "n_events": "int64"}
     )
+
+
+def q203_l_diversity(sf_dir: str) -> pd.DataFrame:
+    """l-diversity audit over the customer table (k-anonymity's q142
+    sibling): per quasi-identifier group (mktsegment, nationkey), the
+    group size k AND the number of distinct sensitive values l (account
+    balance in exact cents) — a group with small l leaks its members'
+    attribute even when k is large. Per-batch distinct
+    (segment, nation, cents) triples collapse before ONE group-key-bucket
+    shuffle; in-bucket the group owns all its rows, so k and l are exact;
+    output is |segments|×|nations| bounded."""
+    ds = read_table(
+        sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_acctbal"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "segment": df["c_mktsegment"],
+                "nationkey": df["c_nationkey"].astype("int64"),
+                "cents": np.rint(
+                    df["c_acctbal"].to_numpy(dtype=np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = d.groupby(["segment", "nationkey"], as_index=False).agg(
+            p_k=("cents", "size")
+        )
+        dd = d.drop_duplicates()
+        dd["p_k"] = 0  # distinct rows carry no size; sizes ride the p_k rows
+        return pd.concat([g.assign(cents=np.int64(0), _kind=1),
+                          dd.assign(_kind=0)], ignore_index=True)[
+            ["segment", "nationkey", "cents", "p_k", "_kind"]
+        ].astype({"cents": "int64", "p_k": "int64", "_kind": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.loc[df["_kind"] == 1].groupby(
+            ["segment", "nationkey"], as_index=False
+        )["p_k"].sum()
+        lvals = (
+            df.loc[df["_kind"] == 0]
+            .drop_duplicates(["segment", "nationkey", "cents"])
+            .groupby(["segment", "nationkey"], as_index=False)
+            .size()
+            .rename(columns={"size": "l_distinct"})
+        )
+        out = sizes.merge(lvals, on=["segment", "nationkey"])
+        return out.rename(columns={"p_k": "k_size"}).astype(
+            {"k_size": "int64", "l_distinct": "int64"}
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["segment", "nationkey"],
+        final,
+        n_buckets=8,
+    )

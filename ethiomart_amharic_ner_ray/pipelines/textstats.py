@@ -2945,3 +2945,80 @@ def q199_val_oov_rate(sf_dir: str, train_fraction: float = 0.8) -> "pd.DataFrame
             ],
         }
     )
+
+
+def q202_lang_confusion_matrix(sf_dir: str) -> "pd.DataFrame":
+    """Declared-vs-predicted language confusion matrix: the metadata lang
+    column against q14's deterministic heuristic — the quality audit that
+    tells you whether to trust a crawl's self-reported language before
+    routing by it. Langs × predictions bounded partial counts (the
+    prediction is per-batch Arrow regex, no shuffle of rows), with each
+    cell's share of its declared-lang row."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        has_am = pc.match_substring_regex(text, "[ሀ-፿]")
+        has_en = pc.match_substring_regex(text, r"\b(the|and|of|a)\b")
+        pred = pc.if_else(has_am, "am", pc.if_else(has_en, "en", "other"))
+        d = pd.DataFrame({"lang": t.column("lang").to_pylist(), "pred_lang": pred.to_pylist()})
+        g = d.groupby(["lang", "pred_lang"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            g.astype({"n": "int64"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "pred_lang"], as_index=False)["n"]
+        .sum()
+    )
+    row_tot = merged.groupby("lang")["n"].transform("sum")
+    merged["row_share"] = round_away(
+        merged["n"].to_numpy(dtype="float64") / row_tot.to_numpy(dtype="float64"), 6
+    )
+    return merged.rename(columns={"n": "n_docs"}).astype({"n_docs": "int64"})
+
+
+def q204_shingle_df_histogram(sf_dir: str, k: int = 4) -> "pd.DataFrame":
+    """Document-frequency histogram of k-token shingles — the direct
+    design input for the exact-Jaccard join's skew story (a shingle in d
+    docs emits d·(d−1)/2 pair rows; this table says where the df-cap must
+    sit before that join is run at corpus scale — see
+    dedup.jaccard_pairs_exact's docstring). Distinct (shingle, doc) rows
+    ride ONE shingle-bucket two-phase to per-shingle df; dfs collapse to
+    the (df, n_shingles) histogram in a second bounded exchange."""
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sh": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+        )
+        rows, sh = _shingle_frame(t, k)
+        if not len(rows):
+            return empty
+        d = pd.DataFrame(
+            {"sh": sh.to_numpy(), "doc_id": t.column("doc_id").to_numpy()[rows]}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
+
+    def df_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.drop_duplicates(["sh", "doc_id"]).groupby("sh", as_index=False).size()
+        h = g.groupby("size", as_index=False).agg(n_shingles=("size", "size"))
+        return h.rename(columns={"size": "df"}).astype({"df": "int64", "n_shingles": "int64"})
+
+    merged = (
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pyarrow"), ["sh"], df_partial, n_buckets=16
+        )
+        .to_pandas()
+        .groupby("df", as_index=False)["n_shingles"]
+        .sum()
+    )
+    return merged.astype({"df": "int64", "n_shingles": "int64"})

@@ -241,6 +241,9 @@ SQL_CHECKED = [
     "q199_val_oov_rate",
     "q200_part_affinity_jaccard",
     "q201_event_hour_heatmap",
+    "q202_lang_confusion_matrix",
+    "q203_l_diversity",
+    "q204_shingle_df_histogram",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
