@@ -1424,6 +1424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q202_lang_confusion_matrix": textstats.q202_lang_confusion_matrix,
         "q203_l_diversity": relational.q203_l_diversity,
         "q204_shingle_df_histogram": textstats.q204_shingle_df_histogram,
+        "q205_conditional_entropy": textstats.q205_conditional_entropy,
+        "q206_ngram_coverage_curve": textstats.q206_ngram_coverage_curve,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3565,6 +3567,49 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
                                AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "q205_conditional_entropy": """
+            WITH c AS (
+                SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS isodow,
+                       event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+            m AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS s FROM c GROUP BY 1),
+            ht AS (SELECT -sum((m.s / tot.t) * ln(m.s / tot.t)) AS h
+                   FROM m CROSS JOIN tot),
+            d AS (SELECT isodow, CAST(sum(n) AS DOUBLE) AS nd FROM c GROUP BY 1),
+            hd AS (SELECT c.isodow, max(d.nd) AS nd,
+                          -sum((CAST(c.n AS DOUBLE) / d.nd)
+                               * ln(CAST(c.n AS DOUBLE) / d.nd)) AS h
+                   FROM c JOIN d USING (isodow) GROUP BY c.isodow),
+            hc AS (SELECT sum((hd.nd / tot.t) * hd.h) AS h
+                   FROM hd CROSS JOIN tot)
+            SELECT round(ht.h, 6) AS h_type,
+                   round(hc.h, 6) AS h_type_given_dow,
+                   round(ht.h - hc.h, 6) AS info_gain
+            FROM ht CROSS JOIN hc
+        """,
+        "q206_ngram_coverage_curve": r"""
+            WITH b AS (
+                SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+                    SELECT arr[i] || ' ' || arr[i+1] AS bigram,
+                           arr[i] AS w1, arr[i+1] AS w2
+                    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+                          FROM documents),
+                         unnest(generate_series(1, len(arr) - 1)) AS t(i))
+                WHERE w1 <> '' AND w2 <> ''
+                GROUP BY bigram),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM b),
+            r AS (SELECT n, row_number() OVER (ORDER BY n DESC, bigram) AS rk
+                  FROM b),
+            ks AS (SELECT unnest([10, 100, 1000]) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(sum(CASE WHEN r.rk <= ks.k THEN r.n END), 0)
+                        AS BIGINT) AS covered,
+                   round(CAST(COALESCE(sum(CASE WHEN r.rk <= ks.k THEN r.n END),
+                                       0) AS DOUBLE) / tot.t, 6) AS coverage
+            FROM ks CROSS JOIN tot CROSS JOIN r
+            GROUP BY ks.k, tot.t
         """,
         "q202_lang_confusion_matrix": """
             WITH p AS (

@@ -3022,3 +3022,99 @@ def q204_shingle_df_histogram(sf_dir: str, k: int = 4) -> "pd.DataFrame":
         .sum()
     )
     return merged.astype({"df": "int64", "n_shingles": "int64"})
+
+
+def q205_conditional_entropy(sf_dir: str) -> "pd.DataFrame":
+    """Information gain of weekday on the event-type mix: H(type),
+    H(type|isodow) and their difference — 'does the calendar carry any
+    information about what users do', the scale-free cousin of q111's
+    chi-square. One 7×|types| bounded count exchange; every probability
+    is a ratio of exact int64 counts and both oracle sides evaluate the
+    SAME Σ p·ln(p) forms over the same handful of cells (order wobble far
+    below the 6-decimal round)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df["ts"])
+        d = pd.DataFrame(
+            {
+                "isodow": ts.dt.dayofweek.to_numpy(dtype="int64") + 1,
+                "event_type": df["event_type"],
+            }
+        )
+        return d.groupby(["isodow", "event_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby(["isodow", "event_type"], as_index=False)["n"]
+        .sum()
+    )
+    total = float(cells["n"].sum())
+    pt = cells.groupby("event_type")["n"].sum().to_numpy(dtype="float64") / total
+    h_type = float(-(pt * np.log(pt)).sum())
+    h_cond = 0.0
+    for _, g in cells.groupby("isodow"):
+        nd = float(g["n"].sum())
+        p = g["n"].to_numpy(dtype="float64") / nd
+        h_cond += (nd / total) * float(-(p * np.log(p)).sum())
+    return pd.DataFrame(
+        {
+            "h_type": [float(round_away(np.array([h_type]), 6)[0])],
+            "h_type_given_dow": [float(round_away(np.array([h_cond]), 6)[0])],
+            "info_gain": [float(round_away(np.array([h_type - h_cond]), 6)[0])],
+        }
+    )
+
+
+def q206_ngram_coverage_curve(sf_dir: str, ks: tuple = (10, 100, 1000)) -> "pd.DataFrame":
+    """Vocabulary-concentration curve: what share of the corpus's bigram
+    occurrences the top-K bigrams cover, at K = 10/100/1000 — the
+    'how template-y is this corpus' number that decides whether q139's
+    boilerplate mining will pay off. Per-bigram counts ride q52's one
+    bigram-bucket two-phase; each bucket pre-top-Ks under the total order
+    (count desc, bigram asc), so the driver merges ≤ max(K)×buckets rows
+    plus one exact total from schema-bounded partials. Shares are double
+    ratios of exact int64 sums."""
+    import numpy as np
+    import pandas as pd
+
+    from .common import bucketed_group_agg
+
+    kmax = max(ks)
+    partials = _bigram_partials(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def final(d: "pd.DataFrame") -> "pd.DataFrame":
+        g = d.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        top = g.sort_values(["n", "bigram"], ascending=[False, True]).head(kmax)
+        # one sentinel row per bucket carries the bucket's exact total
+        # (the empty bigram cannot occur — empties are filtered upstream)
+        return pd.concat(
+            [top, pd.DataFrame({"bigram": [""], "n": [np.int64(g["n"].sum())]})],
+            ignore_index=True,
+        )
+
+    cand = bucketed_group_agg(partials, ["bigram"], final, n_buckets=16).to_pandas()
+    total = int(cand.loc[cand["bigram"] == "", "n"].sum())
+    top = (
+        cand.loc[cand["bigram"] != ""]
+        .sort_values(["n", "bigram"], ascending=[False, True])
+        .head(kmax)
+    )
+    cum = top["n"].cumsum().to_numpy(dtype="int64")
+    rows = []
+    for k in ks:
+        covered = int(cum[min(k, len(top)) - 1]) if len(top) else 0
+        rows.append(
+            {
+                "k": int(k),
+                "covered": covered,
+                "coverage": float(round_away(np.array([covered / total if total else 0.0]), 6)[0]),
+            }
+        )
+    return pd.DataFrame(rows).astype({"k": "int64", "covered": "int64"})

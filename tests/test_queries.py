@@ -244,6 +244,8 @@ SQL_CHECKED = [
     "q202_lang_confusion_matrix",
     "q203_l_diversity",
     "q204_shingle_df_histogram",
+    "q205_conditional_entropy",
+    "q206_ngram_coverage_curve",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
