@@ -1426,6 +1426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q204_shingle_df_histogram": textstats.q204_shingle_df_histogram,
         "q205_conditional_entropy": textstats.q205_conditional_entropy,
         "q206_ngram_coverage_curve": textstats.q206_ngram_coverage_curve,
+        "q207_hill_tail_index": relational.q207_hill_tail_index,
+        "q208_heaps_exponent": textstats.q208_heaps_exponent,
+        "q209_price_ending_bias": relational.q209_price_ending_bias,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3567,6 +3570,60 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
                                AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "q207_hill_tail_index": """
+            WITH v AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+            t AS (SELECT quantile_disc(cents, 0.95) AS xmin FROM v),
+            tail AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(ln(CAST(cents AS DOUBLE) / t.xmin)) AS ls
+                FROM v CROSS JOIN t WHERE cents > t.xmin)
+            SELECT CAST(t.xmin AS BIGINT) AS xmin_cents,
+                   tail.n AS n_tail,
+                   round(tail.n / tail.ls, 6) AS alpha
+            FROM t CROSS JOIN tail
+        """,
+        "q208_heaps_exponent": r"""
+            WITH c AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                    FROM documents)
+                WHERE tok <> ''
+                GROUP BY 1, 2),
+            p AS (
+                SELECT source,
+                       ln(CAST(count(*) AS DOUBLE)) AS y,
+                       ln(CAST(sum(c) AS DOUBLE)) AS x
+                FROM c GROUP BY 1),
+            s AS (
+                SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx,
+                       sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM p)
+            SELECT CAST(k AS BIGINT) AS n_sources,
+                   round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
+                   round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                         / k, 6) AS ln_k
+            FROM s
+        """,
+        "q209_price_ending_bias": """
+            WITH v AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS e
+                FROM orders),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+            SELECT t.n AS n_orders,
+                   CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00,
+                   round(CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / t.n, 6) AS share_00,
+                   CAST(sum(CASE WHEN e = 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_95,
+                   round(CAST(sum(CASE WHEN e = 95 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / t.n, 6) AS share_95,
+                   CAST(sum(CASE WHEN e = 99 THEN 1 ELSE 0 END) AS BIGINT) AS n_99,
+                   round(CAST(sum(CASE WHEN e = 99 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / t.n, 6) AS share_99
+            FROM v CROSS JOIN t GROUP BY t.n
         """,
         "q205_conditional_entropy": """
             WITH c AS (

@@ -4878,3 +4878,88 @@ def q203_l_diversity(sf_dir: str) -> pd.DataFrame:
         final,
         n_buckets=8,
     )
+
+
+def q207_hill_tail_index(sf_dir: str, tail_q: float = 0.95) -> pd.DataFrame:
+    """Hill estimator of the order-value tail exponent: α =
+    n_tail / Σ ln(x/xmin) over the top (1−q) of order totals — the
+    heavy-tail readout that says whether q144's Gini comes from a power
+    law or a lognormal-ish body. ONE value-count histogram reduce
+    (distinct-cents bounded) serves both the discrete xmin threshold and
+    the tail ln-sum — the tail never leaves the histogram. Ratios are of
+    exact int64 cents, ln applied per distinct value with the histogram
+    weight; the oracle evaluates the identical per-row form (sum-order
+    wobble far under the 6-decimal round)."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        return pd.DataFrame({"cents": cents}).groupby("cents", as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("cents", as_index=False)["cnt"]
+        .sum()
+        .sort_values("cents", kind="mergesort")
+    )
+    vals = hist["cents"].to_numpy(dtype=np.int64)
+    cnts = hist["cnt"].to_numpy(dtype=np.int64)
+    xmin = _disc_quantiles_from_hist(vals, cnts, [tail_q])[0]
+    tail = vals > xmin
+    n_tail = int(cnts[tail].sum())
+    lnsum = float(
+        (cnts[tail].astype(np.float64) * np.log(vals[tail].astype(np.float64) / xmin)).sum()
+    )
+    alpha = n_tail / lnsum if lnsum > 0 else float("nan")
+    return pd.DataFrame(
+        {
+            "xmin_cents": pd.array([int(xmin)], dtype="int64"),
+            "n_tail": pd.array([n_tail], dtype="int64"),
+            "alpha": [float(round_away(np.array([alpha]), 6)[0])],
+        }
+    )
+
+
+def q209_price_ending_bias(sf_dir: str) -> pd.DataFrame:
+    """Round-number pricing audit: the share of order totals whose cents
+    component ends in .00 / .95 / .99 against the ~1% uniform baseline —
+    charm-pricing detection as a 100-cell exact count. Per-batch
+    (cents mod 100) partial counts, one tiny exchange, shares as double
+    ratios of exact counts."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        d = pd.DataFrame({"ending": cents % 100})
+        return d.groupby("ending", as_index=False).size().rename(columns={"size": "n"})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("ending", as_index=False)["n"]
+        .sum()
+    )
+    total = int(merged["n"].sum())
+
+    def share(e: int) -> tuple[int, float]:
+        row = merged.loc[merged["ending"] == e, "n"]
+        n = int(row.iloc[0]) if len(row) else 0
+        return n, float(round_away(np.array([n / total]), 6)[0])
+
+    n00, s00 = share(0)
+    n95, s95 = share(95)
+    n99, s99 = share(99)
+    return pd.DataFrame(
+        {
+            "n_orders": pd.array([total], dtype="int64"),
+            "n_00": pd.array([n00], dtype="int64"),
+            "share_00": [s00],
+            "n_95": pd.array([n95], dtype="int64"),
+            "share_95": [s95],
+            "n_99": pd.array([n99], dtype="int64"),
+            "share_99": [s99],
+        }
+    )

@@ -3118,3 +3118,30 @@ def q206_ngram_coverage_curve(sf_dir: str, ks: tuple = (10, 100, 1000)) -> "pd.D
             }
         )
     return pd.DataFrame(rows).astype({"k": "int64", "covered": "int64"})
+
+
+def q208_heaps_exponent(sf_dir: str) -> "pd.DataFrame":
+    """Heaps'-law exponent across sources: OLS slope of ln(types) on
+    ln(tokens) over the per-source (n_tokens, n_types) points q190
+    already reduces — β ≈ 0.4–0.6 is organic text, β → 0 is a closed
+    template vocabulary. The regression runs on the sources-sized
+    aggregate with the explicit (kΣxy − ΣxΣy)/(kΣx² − (Σx)²) form,
+    identical on both oracle sides; ln arguments are exact int64
+    counts."""
+    import numpy as np
+    import pandas as pd
+
+    pts = q190_source_ttr(sf_dir)
+    x = np.log(pts["n_tokens"].to_numpy(dtype="float64"))
+    y = np.log(pts["n_types"].to_numpy(dtype="float64"))
+    k = float(len(pts))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    return pd.DataFrame(
+        {
+            "n_sources": pd.array([int(k)], dtype="int64"),
+            "beta": [float(round_away(np.array([slope]), 6)[0])],
+            "ln_k": [float(round_away(np.array([intercept]), 6)[0])],
+        }
+    )

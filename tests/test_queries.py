@@ -246,6 +246,9 @@ SQL_CHECKED = [
     "q204_shingle_df_histogram",
     "q205_conditional_entropy",
     "q206_ngram_coverage_curve",
+    "q207_hill_tail_index",
+    "q208_heaps_exponent",
+    "q209_price_ending_bias",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
