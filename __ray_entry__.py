@@ -531,6 +531,42 @@ def _kg_shared_phones(sf_dir: str):
     )
 
 
+def _kg_conv_len_by_price(sf_dir: str):
+    """Conversation length by price outcome: do price-quoting
+    conversations run longer or shorter than browsing ones — the
+    engagement-vs-conversion readout over the SQL-proven has_price flag.
+    Served from the shared exploded-mention checkpoint; one conv-bucket
+    two-phase (per-conv turn count + any-price max decided in-bucket),
+    two-row output."""
+    import numpy as np
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg, round_away
+
+    ds = _kg_exploded_ds(sf_dir, ["conv_id", "turn_idx", "has_price"])
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("turn_idx", "size"), quoted=("has_price", "max")
+        )
+        h = g.groupby("quoted", as_index=False).agg(
+            p_convs=("n_turns", "size"), p_turns=("n_turns", "sum")
+        )
+        return h.astype({"quoted": "bool", "p_convs": "int64", "p_turns": "int64"})
+
+    merged = (
+        bucketed_group_agg(ds, ["conv_id"], per_conv, n_buckets=16)
+        .to_pandas()
+        .groupby("quoted", as_index=False)
+        .agg(n_convs=("p_convs", "sum"), t=("p_turns", "sum"))
+    )
+    merged["avg_turns"] = round_away(
+        merged["t"].to_numpy(dtype="float64") / merged["n_convs"].to_numpy(dtype="float64"),
+        4,
+    )
+    return merged.drop(columns=["t"]).astype({"n_convs": "int64"})
+
+
 def _kg_role_transitions(sf_dir: str):
     """Dialogue-structure statistic: the (prev-role → next-role) transition
     matrix over turn_idx-ordered conversations, with per-source-role
@@ -1395,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turn_context": _kg_turn_context,
         "kg_seller_turncounts": _kg_seller_turncounts,
         "kg_response_latency": _kg_response_latency,
+        "kg_conv_len_by_price": _kg_conv_len_by_price,
         "kg_price_trajectory": _kg_price_trajectory,
         "kg_tool_assisted_pricing": _kg_tool_assisted_pricing,
         "kg_locs_exploded": _kg_locs_exploded,
@@ -1947,6 +1984,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(CAST(a_idx - b_idx AS DOUBLE), 0.5), 4)
                        AS p50_turns
             FROM a GROUP BY 1
+        """,
+        "kg_conv_len_by_price": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            f AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       max(CASE WHEN regexp_matches(clean,
+                           '(?i)\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d+)?\\s*(?:ብር|birr|br|ዶላር|dollar)')
+                           THEN 1 ELSE 0 END) = 1 AS quoted
+                FROM c GROUP BY 1)
+            SELECT quoted, CAST(count(*) AS BIGINT) AS n_convs,
+                   round(CAST(sum(n_turns) AS DOUBLE) / count(*), 4) AS avg_turns
+            FROM f GROUP BY 1
         """,
         "kg_response_latency": f"""
             WITH b AS (

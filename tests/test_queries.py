@@ -278,6 +278,7 @@ SQL_CHECKED_TX = [
     "kg_turn_context",
     "kg_seller_turncounts",
     "kg_response_latency",
+    "kg_conv_len_by_price",
     "kg_seller_response_p50",
     "kg_seller_price_cv",
     "kg_role_transitions",
