@@ -1466,6 +1466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q207_hill_tail_index": relational.q207_hill_tail_index,
         "q208_heaps_exponent": textstats.q208_heaps_exponent,
         "q209_price_ending_bias": relational.q209_price_ending_bias,
+        "q210_monthly_supplier_hhi": relational.q210_monthly_supplier_hhi,
+        "q211_discount_return_rate": relational.q211_discount_return_rate,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3622,6 +3624,28 @@ def oracle_sql() -> dict[str, str]:
                    round((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
                                AS DOUBLE) / 100.0) / count(*), 6) AS avg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "q210_monthly_supplier_hhi": """
+            WITH q AS (
+                SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+                       l_suppkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2)
+            SELECT month, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(CAST(sum(q * q) AS DOUBLE)
+                         / (CAST(sum(q) AS DOUBLE) * sum(q)), 6) AS hhi
+            FROM q GROUP BY 1
+        """,
+        "q211_discount_return_rate": """
+            WITH c AS (
+                SELECT CAST(round(l_discount * 100) AS BIGINT) AS d100,
+                       CAST(count(*) AS BIGINT) AS n_items,
+                       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_returned
+                FROM lineitem GROUP BY 1)
+            SELECT d100, n_items, n_returned,
+                   round(CAST(n_returned AS DOUBLE) / n_items, 6) AS return_rate
+            FROM c
         """,
         "q207_hill_tail_index": """
             WITH v AS (

@@ -4963,3 +4963,92 @@ def q209_price_ending_bias(sf_dir: str) -> pd.DataFrame:
             "share_99": [s99],
         }
     )
+
+
+def q210_monthly_supplier_hhi(sf_dir: str) -> "ray.data.Dataset":
+    """Supply-concentration TREND: the supplier HHI of shipped quantity
+    per ship month — q162's point-in-time risk screen on the time axis
+    (a rising curve is consolidation; one month ≈ 1.0 is a single-source
+    exposure window). (month, supplier) integer-quantity partials ride
+    one bounded exchange; the index assembles from EXACT int64 operands
+    with a single final division, so iteration order cannot wiggle either
+    oracle side."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_shipdate", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "month": pd.to_datetime(df["l_shipdate"])
+                .dt.to_period("M")
+                .dt.to_timestamp()
+                .astype("datetime64[us]"),
+                "l_suppkey": df["l_suppkey"].astype("int64"),
+                "q": df["l_quantity"].to_numpy(dtype=np.float64).astype(np.int64),
+            }
+        )
+        return d.groupby(["month", "l_suppkey"], as_index=False)["q"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["month", "l_suppkey"], as_index=False)["q"].sum()
+        out = []
+        for m, grp in g.groupby("month"):
+            qi = grp["q"].to_numpy(dtype=np.int64)
+            tot = int(qi.sum())
+            num = int((qi.astype(object) ** 2).sum())  # exact python ints
+            out.append(
+                {
+                    "month": m,
+                    "n_suppliers": int(len(qi)),
+                    "hhi": float(round_away(np.array([num / (tot * tot)]), 6)[0]),
+                }
+            )
+        res = pd.DataFrame(out)
+        res["month"] = res["month"].astype("datetime64[us]")
+        return res.astype({"n_suppliers": "int64"})
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["month"],
+        final,
+        n_buckets=8,
+    )
+
+
+def q211_discount_return_rate(sf_dir: str) -> "ray.data.Dataset":
+    """Return rate by discount band: does discounting correlate with
+    returns (the margin-vs-quality tension, q176's Wilson rate cut along
+    the pricing axis)? Discount is a closed 2dp vocabulary, so
+    (band, returned, total) partials are schema-bounded; the rate is one
+    double ratio of exact counts per band."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_discount", "l_returnflag"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "d100": np.rint(df["l_discount"].to_numpy(dtype=np.float64) * 100).astype(
+                    np.int64
+                ),
+                "ret": (df["l_returnflag"] == "R").astype("int64"),
+            }
+        )
+        return d.groupby("d100", as_index=False).agg(p_n=("ret", "size"), p_r=("ret", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d100", as_index=False).agg(n=("p_n", "sum"), r=("p_r", "sum"))
+        return pd.DataFrame(
+            {
+                "d100": g["d100"].astype("int64"),
+                "n_items": g["n"].astype("int64"),
+                "n_returned": g["r"].astype("int64"),
+                "return_rate": round_away(
+                    g["r"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64), 6
+                ),
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["d100"],
+        final,
+        n_buckets=4,
+    )

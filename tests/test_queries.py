@@ -249,6 +249,8 @@ SQL_CHECKED = [
     "q207_hill_tail_index",
     "q208_heaps_exponent",
     "q209_price_ending_bias",
+    "q210_monthly_supplier_hhi",
+    "q211_discount_return_rate",
     "q179_segment_priority_residuals",
     "q180_clv_quartile_migration",
     "q181_source_lang_purity",
@@ -854,3 +856,32 @@ def test_q197_planted_norm_outliers(ray_session, tmp_path):
     assert int(out["n_vecs"].iloc[0]) == 302
     assert int(out["n_outliers"].iloc[0]) == 2
     assert out["max_ratio"].iloc[0] > 4
+
+
+def test_kg_exploded_checkpoint_staleness_guard(ray_session, tmp_path, monkeypatch):
+    """The shared exploded-mention checkpoint must REBUILD when the
+    transcripts regenerate (different content => different file sizes)
+    and REUSE byte-stable when they do not."""
+    import os
+    import time
+
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    d1 = m._kg_exploded_checkpoint(sf)
+    files1 = sorted(os.listdir(d1))
+    t1 = [os.path.getmtime(os.path.join(d1, f)) for f in files1]
+    time.sleep(0.05)
+    # same inputs: reuse without rewrite
+    d2 = m._kg_exploded_checkpoint(sf)
+    assert d2 == d1
+    assert [os.path.getmtime(os.path.join(d1, f)) for f in sorted(os.listdir(d1))] == t1
+    # stale stamp (simulates a regenerated corpus changing the signature):
+    # rewrite the marker with a wrong signature and expect a rebuild
+    import json
+
+    marker = os.path.join(d1, "_DONE.json")
+    json.dump({"sig": "stale"}, open(marker, "w"))
+    d3 = m._kg_exploded_checkpoint(sf)
+    assert d3 == d1
+    assert json.load(open(marker))["sig"] != "stale"  # rebuilt and restamped
