@@ -168,22 +168,25 @@ def _kg_exploded_checkpoint(sf_dir: str) -> str:
     whole kg_* analytics family — the flagship's mentions-checkpoint
     pattern applied to the driver surface: a sweep over N kg_* queries
     pays the extraction corpus pass once, and every query after that is a
-    column-pruned Parquet read. Input-signature stamped (file names +
-    sizes of the generated transcripts), atomically swapped into place, so
-    a regenerated corpus can never serve stale mentions. At cluster scale
-    this directory is the run's mentions store on shared storage."""
-    import glob as _g
-    import hashlib as _hl
+    column-pruned Parquet read. Input-signature stamped with the CONTENT
+    fingerprint (per-file name + size + mtime + Parquet-footer tail hash,
+    state/manifest.content_signature — the flagship's manifest
+    discipline), atomically swapped into place from a unique temp dir, so
+    a regenerated corpus — even one with byte-identical file sizes — can
+    never serve stale mentions, and two concurrent drivers can never race
+    on the same staging path. At cluster scale this directory is the
+    run's mentions store on shared storage."""
     import json as _json
     import shutil as _sh
+    import tempfile as _tf
+
+    from ethiomart_amharic_ner_ray.state.manifest import content_signature
 
     tdir = transcripts_dir_for(sf_dir)
-    files = sorted(_g.glob(os.path.join(tdir, "*.parquet")))
-    sig = "expl-v1|" + "|".join(
-        f"{os.path.basename(f)}:{os.path.getsize(f)}" for f in files
-    )
-    key = _hl.blake2b(sig.encode(), digest_size=8).hexdigest()
-    dest = f"/tmp/graft_kg_exploded/{key}"
+    sig = "expl-v2|" + content_signature(tdir)
+    key = sig.split("|", 1)[1][:16]
+    root = "/tmp/graft_kg_exploded"
+    dest = os.path.join(root, key)
     marker = os.path.join(dest, "_DONE.json")
     if os.path.exists(marker):
         try:
@@ -198,16 +201,20 @@ def _kg_exploded_checkpoint(sf_dir: str) -> str:
     ds = build_mentions(_transcripts_ds(sf_dir), concurrency=(1, 8))
     ds = ds.map_batches(explode_entities, batch_format="pyarrow")
     ds = ds.select_columns(_KG_EXPLODED_COLS)
-    tmp = dest + ".tmp"
-    _sh.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    os.makedirs(root, exist_ok=True)
+    tmp = _tf.mkdtemp(dir=root, prefix=f".staging-{key}-")
     ds.map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     ).write_parquet(tmp)
-    _sh.rmtree(dest, ignore_errors=True)
-    os.replace(tmp, dest)
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_DONE.json"), "w") as f:
         _json.dump({"sig": sig}, f)
+    _sh.rmtree(dest, ignore_errors=True)
+    try:
+        os.replace(tmp, dest)
+    except OSError:
+        # a concurrent driver completed the same key first — its checkpoint
+        # is equivalent (same content signature); drop our staging copy
+        _sh.rmtree(tmp, ignore_errors=True)
     return dest
 
 

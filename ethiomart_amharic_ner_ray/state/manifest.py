@@ -16,10 +16,46 @@ delete-if-partial gives exactly-once per bucket.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 from pathlib import Path
+
+
+def content_signature(path: str | Path, tail_bytes: int = 65536) -> str:
+    """Content fingerprint of a local Parquet file/dir for checkpoint
+    invalidation: per file, name + size + mtime_ns + a blake2b digest of the
+    LAST ``tail_bytes`` bytes. The tail covers the Parquet footer (schema,
+    row-group offsets and column-chunk min/max statistics), so a regenerated
+    input whose files happen to keep identical sizes — and even identical
+    mtimes, e.g. restored from an archive — still changes the signature: any
+    data change perturbs the footer statistics. Cost is one bounded read per
+    file on the driver (64 KiB each), independent of corpus size, so at
+    cluster scale this stays O(files), not O(bytes).
+
+    Local-filesystem only by design: callers with remote (s3:// etc.) inputs
+    go through the flagship's pyarrow.fs signature (pipelines/kg.py), which
+    refuses rather than degrade. Missing paths hash to a distinct sentinel so
+    an empty/renamed input still invalidates."""
+    h = hashlib.blake2b(digest_size=16)
+    p = Path(path)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    if not files:
+        h.update(b"<empty>")
+    for f in files:
+        try:
+            st = f.stat()
+            h.update(f.name.encode())
+            h.update(str(st.st_size).encode())
+            h.update(str(st.st_mtime_ns).encode())
+            with open(f, "rb") as fh:
+                if st.st_size > tail_bytes:
+                    fh.seek(-tail_bytes, os.SEEK_END)
+                h.update(fh.read(tail_bytes))
+        except OSError:
+            h.update(b"<unreadable>")
+    return h.hexdigest()
 
 
 def _manifest_dir(out_dir: str | Path) -> Path:

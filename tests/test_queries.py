@@ -885,3 +885,67 @@ def test_kg_exploded_checkpoint_staleness_guard(ray_session, tmp_path, monkeypat
     d3 = m._kg_exploded_checkpoint(sf)
     assert d3 == d1
     assert json.load(open(marker))["sig"] != "stale"  # rebuilt and restamped
+
+
+def test_content_signature_same_size_same_mtime(tmp_path):
+    """r5 hardening (VERDICT task 1): the checkpoint signature is a CONTENT
+    fingerprint — a regenerated input whose files keep byte-identical sizes
+    AND restored mtimes still invalidates (the footer-tail hash sees the
+    changed bytes). Also: file set changes and empty dirs are distinct."""
+    import os
+
+    from ethiomart_amharic_ner_ray.state.manifest import content_signature
+
+    d = tmp_path / "in"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"A" * 4096)
+    st = f.stat()
+    s1 = content_signature(d)
+    assert content_signature(d) == s1  # deterministic
+    # same size, different content, mtime forced back to the original
+    f.write_bytes(b"A" * 2048 + b"B" + b"A" * 2047)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert f.stat().st_size == st.st_size
+    assert f.stat().st_mtime_ns == st.st_mtime_ns
+    assert content_signature(d) != s1
+    # a tail-only change in a file larger than the hashed window still lands
+    # in the window (the change is in the footer region)
+    big = d / "part-1.parquet"
+    big.write_bytes(b"C" * (1 << 17))
+    s2 = content_signature(d)
+    body = bytearray(big.read_bytes())
+    body[-10] = ord("D")
+    stb = big.stat()
+    big.write_bytes(bytes(body))
+    os.utime(big, ns=(stb.st_atime_ns, stb.st_mtime_ns))
+    assert content_signature(d) != s2
+    # file-set changes invalidate; empty dir is its own value
+    big.unlink()
+    s3 = content_signature(d)
+    assert s3 not in (s1, s2)
+    f.unlink()
+    assert content_signature(d) not in (s1, s2, s3)
+
+
+def test_kg_exploded_checkpoint_content_keyed(ray_session, tmp_path, monkeypatch):
+    """End-to-end: pointing the driver at a DIFFERENT corpus (new content,
+    fresh dir) yields a different checkpoint key — stale mentions can never
+    be served across corpus regenerations."""
+    import os
+    import shutil
+
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    real = m.transcripts_dir_for(sf)
+    d1 = m._kg_exploded_checkpoint(sf)
+    # copy the corpus and perturb one file's mtime (regeneration marker)
+    alt = tmp_path / "tx"
+    shutil.copytree(real, alt)
+    first = sorted(alt.glob("*.parquet"))[0]
+    os.utime(first, ns=(0, 0))
+    monkeypatch.setattr(m, "transcripts_dir_for", lambda _sf: str(alt))
+    d2 = m._kg_exploded_checkpoint(sf)
+    assert d2 != d1  # new signature => new checkpoint directory
+    assert os.path.exists(os.path.join(d2, "_DONE.json"))
