@@ -113,14 +113,21 @@ def _span_rewrite(surv_ckpt: str, out_dir: str, k: int) -> tuple[str, int, int]:
     through vectorized and rebuilds only the affected ones. The rewritten
     corpus is its own Parquet checkpoint: written to a temp dir, atomically
     os.replace'd into place, then stamped with a fingerprint sidecar — a
-    re-run with the same k reuses it without recomputing (crash anywhere
-    before the stamp ⇒ full recompute; stale-k stamps never match)."""
+    re-run with the same k AND the same survivor corpus reuses it without
+    recomputing (crash anywhere before the stamp ⇒ full recompute). The
+    fingerprint folds in a content signature of the survivor checkpoint
+    (state/manifest.content_signature: per-file name + size + mtime +
+    footer-tail hash): run_curation_pipeline rewrites dedup_survivors
+    unconditionally each run, so without it a rerun into the same out_dir
+    with CHANGED input would silently reuse the stale span-rewritten
+    corpus, feeding stale text to the quality gate and shards."""
     import shutil
 
+    from ..state.manifest import content_signature
     from .textstats import span_removal_starts
 
     ckpt = os.path.join(out_dir, "span_rewritten")
-    fp = f"span-v1|k={k}"
+    fp = f"span-v2|k={k}|in={content_signature(surv_ckpt)}"
     fp_path = os.path.join(ckpt, "_SPAN_DONE.json")
     if os.path.exists(fp_path):
         try:

@@ -208,7 +208,41 @@ class TestSpanRewriteStage:
         # a different k must never reuse the k=5 checkpoint
         ckpt6, nd6, nt6 = _span_rewrite(f"{out}/dedup_survivors", out, 6)
         meta = json.load(open(f"{out}/span_rewritten/_SPAN_DONE.json"))
-        assert meta["fingerprint"] == "span-v1|k=6"
+        assert meta["fingerprint"].startswith("span-v2|k=6|in=")
+
+    def test_changed_input_recomputes(self, run_span, tmp_path):
+        """r5 (ADVICE): the fingerprint folds a content signature of the
+        survivor checkpoint — rerunning into the same out_dir with a
+        DIFFERENT survivor corpus must recompute, never serve the stale
+        span-rewritten text."""
+        import os
+
+        import pyarrow.parquet as _pq
+
+        from ethiomart_amharic_ner_ray.pipelines.curate import _span_rewrite
+
+        out, m = run_span
+        # restore the k=5 stamp state (prior test may have left k=6)
+        _span_rewrite(f"{out}/dedup_survivors", out, 5)
+        stamp0 = json.load(open(f"{out}/span_rewritten/_SPAN_DONE.json"))
+
+        # build an ALTERED survivor checkpoint: drop one doc
+        alt = str(tmp_path / "surv_alt")
+        os.makedirs(alt, exist_ok=True)
+        src_files = sorted(glob.glob(f"{out}/dedup_survivors/*.parquet"))
+        t = _pq.read_table(src_files[0])
+        _pq.write_table(t.slice(1), os.path.join(alt, "part-0.parquet"))
+        for i, f in enumerate(src_files[1:], 1):
+            _pq.write_table(_pq.read_table(f), os.path.join(alt, f"part-{i}.parquet"))
+
+        ckpt, nd, nt = _span_rewrite(alt, out, 5)
+        stamp1 = json.load(open(f"{out}/span_rewritten/_SPAN_DONE.json"))
+        assert stamp1["fingerprint"] != stamp0["fingerprint"]
+        n_rows = sum(_pq.read_table(f).num_rows for f in glob.glob(f"{ckpt}/*.parquet"))
+        n_alt = sum(
+            _pq.read_table(f).num_rows for f in glob.glob(f"{alt}/*.parquet")
+        )
+        assert n_rows == n_alt  # rewritten corpus tracks the NEW input
 
     def test_byte_stable_rerun_with_span(self, run_span, tmp_path):
         from ethiomart_amharic_ner_ray.pipelines.curate import run_curation_pipeline
