@@ -4053,18 +4053,34 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "q189_user_burstiness": """
-            SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
-                   round((stddev_pop(gap) - avg(gap))
-                         / (stddev_pop(gap) + avg(gap)), 6) AS burstiness
-            FROM (
+            -- explicit (n, Σg, Σg²) sums over exact µs gaps (HUGEINT for
+            -- Σg²), same double expression as the engine — never the
+            -- stddev_pop built-in (q196 convention); greatest() clamps the
+            -- float-cancellation −ε variance DuckDB's sqrt would raise on
+            WITH g AS (
                 SELECT user_id,
                        date_diff('microsecond',
                                  lag(ts) OVER (PARTITION BY user_id
                                                ORDER BY ts, event_id),
-                                 ts) / 1e6 AS gap
-                FROM events)
-            GROUP BY user_id
-            HAVING count(gap) >= 2 AND stddev_pop(gap) + avg(gap) > 0
+                                 ts) AS gap
+                FROM events),
+            a AS (
+                SELECT user_id, CAST(count(gap) AS BIGINT) AS n,
+                       CAST(sum(gap) AS BIGINT) AS s,
+                       sum(CAST(gap AS HUGEINT) * gap) AS q
+                FROM g WHERE gap IS NOT NULL
+                GROUP BY user_id
+                HAVING count(gap) >= 2 AND sum(gap) > 0)
+            SELECT user_id, n AS n_gaps,
+                   round((sqrt(greatest(CAST(q AS DOUBLE) / n
+                                        - (CAST(s AS DOUBLE) / n)
+                                          * (CAST(s AS DOUBLE) / n), 0))
+                          - CAST(s AS DOUBLE) / n)
+                         / (sqrt(greatest(CAST(q AS DOUBLE) / n
+                                          - (CAST(s AS DOUBLE) / n)
+                                            * (CAST(s AS DOUBLE) / n), 0))
+                            + CAST(s AS DOUBLE) / n), 6) AS burstiness
+            FROM a
         """,
         "q190_source_ttr": r"""
             WITH c AS (

@@ -1668,10 +1668,29 @@ def q197_embedding_norm_outliers(sf_dir: str) -> pd.DataFrame:
         )
 
     agg = ds.map_batches(partial1, batch_format="pyarrow").to_pandas()
-    n = int(agg["p_n"].sum())
+    # an empty input produces ZERO batches → a column-less partials frame
+    n = int(agg["p_n"].sum()) if "p_n" in agg.columns else 0
+    if n == 0:
+        # degenerate guard (r5, ADVICE): empty embeddings table. Mirrors the
+        # oracle exactly — DuckDB's empty-input aggregates give sum/max NULL,
+        # its division by NULL/zero gives NULL, and the outlier count over an
+        # empty relation is 0, so the SQL side emits (0, NULL, 0, NULL).
+        return pd.DataFrame(
+            {
+                "n_vecs": pd.array([0], dtype="int64"),
+                "mean_norm2": [float("nan")],
+                "n_outliers": pd.array([0], dtype="int64"),
+                "max_ratio": [float("nan")],
+            }
+        )
     s = sum(int(x) for x in agg["p_s"])  # arbitrary-precision merge
     mx = int(agg["p_max"].max())
-    t_lo = (s - 1) // (4 * n)  # n2 <= t_lo  <=>  4*n2*n < s
+    # n2 <= t_lo  <=>  4*n2*n < s (for s >= 1). DuckDB's // TRUNCATES toward
+    # zero while Python floors, so the all-zero-corpus case (s == 0, where
+    # the dividend s-1 goes negative) must take DuckDB's value: t_lo = 0,
+    # which counts every zero-norm vector as an outlier — degenerate
+    # embeddings are exactly what this audit exists to flag
+    t_lo = 0 if s == 0 else (s - 1) // (4 * n)
     t_hi = (4 * s) // n        # n2 >  t_hi  <=>  n2*n > 4*s
     ref = ray.put((int(t_lo), int(t_hi)))
 
@@ -1685,11 +1704,14 @@ def q197_embedding_norm_outliers(sf_dir: str) -> pd.DataFrame:
 
     n_out = int(ds.map_batches(partial2, batch_format="pyarrow").to_pandas()["p_out"].sum())
     mean = s / n
+    # all-zero corpus (s == 0): mean is 0 and the ratio is 0/0 — DuckDB's
+    # double division by zero yields NULL, so emit NaN rather than raise
+    max_ratio = float("nan") if s == 0 else float(round_away(np.array([mx / mean]), 6)[0])
     return pd.DataFrame(
         {
             "n_vecs": pd.array([n], dtype="int64"),
             "mean_norm2": [float(round_away(np.array([mean]), 4)[0])],
             "n_outliers": pd.array([n_out], dtype="int64"),
-            "max_ratio": [float(round_away(np.array([mx / mean]), 6)[0])],
+            "max_ratio": [max_ratio],
         }
     )

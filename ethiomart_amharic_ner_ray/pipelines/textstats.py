@@ -3136,7 +3136,21 @@ def q208_heaps_exponent(sf_dir: str) -> "pd.DataFrame":
     y = np.log(pts["n_types"].to_numpy(dtype="float64"))
     k = float(len(pts))
     sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
-    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    denom = k * sxx - sx * sx
+    if k == 0.0 or denom == 0.0:
+        # degenerate guard (r5, ADVICE): a single source (or all sources
+        # with equal token counts) makes the OLS denominator exactly 0 —
+        # DuckDB's double division by zero yields NULL, so emit NaN for
+        # both coefficients rather than a numpy-warning inf/nan mix (an
+        # empty corpus additionally has k == 0, where ln_k's /k is NULL)
+        return pd.DataFrame(
+            {
+                "n_sources": pd.array([int(k)], dtype="int64"),
+                "beta": [float("nan")],
+                "ln_k": [float("nan")],
+            }
+        )
+    slope = (k * sxy - sx * sy) / denom
     intercept = (sy - slope * sx) / k
     return pd.DataFrame(
         {

@@ -1816,11 +1816,25 @@ def q189_user_burstiness(sf_dir: str) -> "ray.data.Dataset":
     the inter-event gaps — B→−1 for metronome users, 0 for Poisson, →+1
     for bursty ones; the behavioral-regularity signal q36's mean/max
     misses. Same partition discipline as q36: ONE user_id-bucket shuffle,
-    in-bucket grouped shift-and-diff over (ts, event_id)-sorted rows, gap
-    arithmetic exact microsecond int64 / 1e6. Users need ≥2 gaps (σ of one
-    gap is trivially 0) and a positive μ+σ denominator; both filters are
-    integer/exact-zero conditions so the oracle's HAVING lands
-    identically. σ is the population std (ddof=0 == stddev_pop)."""
+    in-bucket grouped shift-and-diff over (ts, event_id)-sorted rows.
+
+    Exactness (r5, ADVICE — the q196 house convention): σ comes from the
+    explicit (n, Σg, Σg²) sums over exact MICROSECOND int64 gaps, not a
+    built-in std — np.std's two-pass result differs from stddev_pop in the
+    last bits, which can flip a 6-decimal rounding boundary. Σg² overflows
+    int64 (a half-year gap squared is ~2.6e26), so it accumulates as
+    arbitrary-precision Python int, matching the oracle's HUGEINT; both
+    sides then evaluate the IDENTICAL double expression
+    sqrt(max(q/n − (s/n)², 0)) with one int→double rounding each (the max
+    clamps the ≈0-variance case, where float cancellation can land at −ε
+    and DuckDB's sqrt raises instead of returning NaN). B is unit-scale-
+    invariant, so the µs→s division drops out entirely. Users need ≥2 gaps
+    and Σg > 0 (⇔ μ+σ > 0 for non-negative gaps) — both integer
+    conditions, so the oracle's HAVING lands identically. The per-user
+    Python loop runs over the bucket's user count (bounded by the group
+    key, not the event count) with dim-bounded state per user."""
+    import math
+
     import numpy as np
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
@@ -1831,30 +1845,28 @@ def q189_user_burstiness(sf_dir: str) -> "ray.data.Dataset":
         gap = (
             df["ts"].astype("datetime64[us]").astype("int64")
             - prev.astype("datetime64[us]").astype("int64")
-        ) / 1e6
+        ).astype("float64")
         gap[prev.isna()] = np.nan
-        g = (
-            pd.DataFrame({"user_id": df["user_id"], "gap": gap})
-            .dropna(subset=["gap"])
-            .groupby("user_id", as_index=False)
-            .agg(
-                n_gaps=("gap", "size"),
-                mu=("gap", "mean"),
-                sd=("gap", lambda s: float(np.std(s.to_numpy(), ddof=0))),
-            )
-        )
-        g = g.loc[(g["n_gaps"] >= 2) & (g["mu"] + g["sd"] > 0)]
-        out = pd.DataFrame(
+        g = pd.DataFrame({"user_id": df["user_id"], "gap": gap}).dropna(subset=["gap"])
+        uids, ns, bs = [], [], []
+        for uid, gg in g.groupby("user_id"):
+            v = gg["gap"].to_numpy(dtype="int64")  # µs diffs < 2^53: exact
+            n = len(v)
+            s = int(v.sum())
+            if n < 2 or s <= 0:
+                continue
+            q = sum(int(x) * int(x) for x in v)  # exact, HUGEINT-parity
+            sn = float(s) / n
+            sd = math.sqrt(max(float(q) / n - sn * sn, 0.0))
+            uids.append(uid)
+            ns.append(n)
+            bs.append((sd - sn) / (sd + sn))
+        return pd.DataFrame(
             {
-                "user_id": g["user_id"],
-                "n_gaps": g["n_gaps"].astype("int64"),
-                "burstiness": round_away(
-                    (g["sd"].to_numpy() - g["mu"].to_numpy())
-                    / (g["sd"].to_numpy() + g["mu"].to_numpy()),
-                    6,
-                ),
+                "user_id": pd.Series(uids, dtype=g["user_id"].dtype),
+                "n_gaps": pd.array(ns, dtype="int64"),
+                "burstiness": round_away(np.array(bs, dtype="float64"), 6),
             }
         )
-        return out
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)

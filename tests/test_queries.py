@@ -858,6 +858,94 @@ def test_q197_planted_norm_outliers(ray_session, tmp_path):
     assert out["max_ratio"].iloc[0] > 4
 
 
+def _oracle_on(entrymod, name, view_sql: dict):
+    """Run an oracle_sql() entry against ad-hoc views (degenerate-input
+    parity checks)."""
+    c = duckdb.connect()
+    for view, src in view_sql.items():
+        c.sql(f"CREATE VIEW {view} AS SELECT * FROM '{src}'")
+    return c.sql(entrymod.oracle_sql()[name]).df()
+
+
+def test_q197_degenerate_inputs_match_oracle(ray_session, entrymod, tmp_path):
+    """r5 (ADVICE): empty embeddings table and all-zero vectors must not
+    raise — both sides emit the same typed row (NULL→NaN under the
+    driver's NaN-equal compare; DuckDB's // truncation makes every
+    zero-norm vector an outlier in the all-zero case)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.similarity import q197_embedding_norm_outliers
+
+    schema = pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])
+    for case, vecs in (
+        ("empty", []),
+        ("zeros", [np.zeros(8, dtype="float32")] * 5),
+    ):
+        d = tmp_path / case
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                },
+                schema=schema,
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        got = _canon(q197_embedding_norm_outliers(str(d)))
+        want = _canon(
+            _oracle_on(
+                entrymod,
+                "q197_embedding_norm_outliers",
+                {"embeddings": str(d / "embeddings.parquet")},
+            )
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # spot-check the pinned semantics
+    assert int(got["n_outliers"].iloc[0]) == 5  # zeros case: all flagged
+    assert pd.isna(got["max_ratio"].iloc[0])
+
+
+def test_q208_degenerate_single_source_matches_oracle(ray_session, entrymod, tmp_path):
+    """r5 (ADVICE): one source (or all-equal token counts) zeroes the OLS
+    denominator — both sides emit NaN/NULL beta and ln_k, no numpy
+    warning, no inf."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.textstats import q208_heaps_exponent
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "source": pa.array(["web", "web"], pa.string()),
+                "text": pa.array(["a b c", "a b d e"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    with warnings.catch_warnings():
+        # numpy's invalid-divide RuntimeWarning must not fire on the guard
+        warnings.simplefilter("error", RuntimeWarning)
+        got = _canon(q208_heaps_exponent(str(tmp_path)))
+    want = _canon(
+        _oracle_on(
+            entrymod,
+            "q208_heaps_exponent",
+            {"documents": str(tmp_path / "documents.parquet")},
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert int(got["n_sources"].iloc[0]) == 1
+    assert pd.isna(got["beta"].iloc[0]) and pd.isna(got["ln_k"].iloc[0])
+
+
 def test_kg_exploded_checkpoint_staleness_guard(ray_session, tmp_path, monkeypatch):
     """The shared exploded-mention checkpoint must REBUILD when the
     transcripts regenerate (different content => different file sizes)
