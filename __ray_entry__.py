@@ -1188,16 +1188,76 @@ def _labeling_prepared(sf_dir: str):
     return prepare_labeled(sentences_from_transcripts(_transcripts_ds(sf_dir)))
 
 
+def _labeling_checkpoint(sf_dir: str) -> str:
+    """Shared labeling-family checkpoint (r5, VERDICT task 2): ONE
+    normalize → rule-tag → repair/validate/split pass, persisted as BOTH a
+    ``prepared/`` Parquet table (tokens/tags/split/n_tokens — what the
+    distributed counters consume) and a ``conll/`` shard export (S9's
+    atomic writer — what the SQL oracle reads back with string_split +
+    unnest). Content-signature keyed like the exploded-mention checkpoint,
+    atomically swapped from a mkdtemp staging dir. The A6/A7 oracle
+    compare is therefore a genuine round-trip gate: the distributed
+    Counter/groupby partials over the Parquet side must agree exactly with
+    DuckDB's recount of the exported CoNLL text."""
+    import json as _json
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ethiomart_amharic_ner_ray.pipelines.labeling import export_conll
+    from ethiomart_amharic_ner_ray.state.manifest import content_signature
+
+    tdir = transcripts_dir_for(sf_dir)
+    sig = "conll-v1|" + content_signature(tdir)
+    key = sig.split("|", 1)[1][:16]
+    root = "/tmp/graft_conll"
+    dest = os.path.join(root, key)
+    marker = os.path.join(dest, "_DONE.json")
+    if os.path.exists(marker):
+        try:
+            if _json.load(open(marker)).get("sig") == sig:
+                return dest
+        except (ValueError, OSError):
+            pass
+
+    os.makedirs(root, exist_ok=True)
+    tmp = _tf.mkdtemp(dir=root, prefix=f".staging-{key}-")
+    prepared = _labeling_prepared(sf_dir)
+    prepared.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    ).write_parquet(os.path.join(tmp, "prepared"))
+    export_conll(
+        ray.data.read_parquet(os.path.join(tmp, "prepared")),
+        os.path.join(tmp, "conll"),
+    )
+    with open(os.path.join(tmp, "_DONE.json"), "w") as f:
+        _json.dump({"sig": sig}, f)
+    _sh.rmtree(dest, ignore_errors=True)
+    try:
+        os.replace(tmp, dest)
+    except OSError:
+        _sh.rmtree(tmp, ignore_errors=True)  # concurrent driver won the key
+    return dest
+
+
 def _labeling_tag_distribution(sf_dir: str):
     from ethiomart_amharic_ner_ray.pipelines.labeling import tag_distribution
 
-    return tag_distribution(_labeling_prepared(sf_dir))
+    return tag_distribution(
+        ray.data.read_parquet(
+            os.path.join(_labeling_checkpoint(sf_dir), "prepared"), columns=["tags"]
+        )
+    )
 
 
 def _labeling_quality_report(sf_dir: str):
     from ethiomart_amharic_ner_ray.pipelines.labeling import quality_report
 
-    return quality_report(_labeling_prepared(sf_dir))
+    return quality_report(
+        ray.data.read_parquet(
+            os.path.join(_labeling_checkpoint(sf_dir), "prepared"),
+            columns=["tags", "split", "n_tokens"],
+        )
+    )
 
 
 def _export_sorted_ranges(sf_dir: str):
@@ -1572,6 +1632,12 @@ def oracle_sql() -> dict[str, str]:
     # generating here is safe whichever side the driver runs first.
     tx = transcripts_dir_for("/root/testdata/sf0.01")
     tx_glob = f"{tx}/*.parquet"
+    # A6/A7 round-trip gate: DuckDB recounts the EXPORTED CoNLL shards
+    # (string_split + unnest) against the engine's distributed partials
+    # over the prepared Parquet side of the same checkpoint
+    conll_glob = os.path.join(
+        _labeling_checkpoint("/root/testdata/sf0.01"), "conll", "*", "part-*.conll"
+    )
     # clean_text_v1 as a DuckDB expression (exact order of operations;
     # [\p{L}\p{N}_] stands in for Python's unicode \w — RE2's \w is
     # ASCII-only; verified equal over the corpus alphabet)
@@ -1599,6 +1665,59 @@ def oracle_sql() -> dict[str, str]:
     loc_alts = sorted({_fold(l) for l in DEFAULT_LOCATIONS}, key=len, reverse=True)
     loc_pattern = "|".join(_re.escape(a) for a in loc_alts)
     return {
+        "labeling_tag_distribution": f"""
+            WITH l AS (
+                SELECT unnest(string_split(content, chr(10))) AS line
+                FROM read_text('{conll_glob}'))
+            SELECT string_split(line, chr(9))[2] AS tag,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM l WHERE line <> '' GROUP BY 1
+        """,
+        "labeling_quality_report": f"""
+            WITH f AS (
+                SELECT CASE WHEN filename LIKE '%/train/%' THEN 'train'
+                            ELSE 'val' END AS split,
+                       content
+                FROM read_text('{conll_glob}')),
+            s AS (
+                SELECT split,
+                       list_filter(string_split(block, chr(10) || chr(10)),
+                                   x -> x <> '') AS blks
+                FROM (SELECT split, content AS block FROM f)),
+            per AS (
+                SELECT split,
+                       len(list_filter(string_split(b, chr(10)), x -> x <> ''))
+                           AS n_tok
+                FROM (SELECT split, unnest(blks) AS b FROM s)),
+            tags AS (
+                SELECT split, string_split(line, chr(9))[2] AS tag
+                FROM (
+                    SELECT split, unnest(string_split(content, chr(10))) AS line
+                    FROM f)
+                WHERE line <> ''),
+            p AS (
+                SELECT split, CAST(count(*) AS BIGINT) AS n_sentences,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                       round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4)
+                           AS avg_len,
+                       CAST(min(n_tok) AS BIGINT) AS min_len,
+                       CAST(max(n_tok) AS BIGINT) AS max_len
+                FROM per GROUP BY split),
+            t AS (
+                SELECT split,
+                       CAST(sum(CASE WHEN tag = 'B-LOC' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b_loc,
+                       CAST(sum(CASE WHEN tag = 'B-PHONE' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b_phone,
+                       CAST(sum(CASE WHEN tag = 'B-PRICE' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b_price,
+                       CAST(sum(CASE WHEN tag = 'B-PRODUCT' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b_product
+                FROM tags GROUP BY split)
+            SELECT p.split, p.n_sentences, p.n_tokens, p.avg_len, p.min_len,
+                   p.max_len, t.b_loc, t.b_phone, t.b_price, t.b_product
+            FROM p JOIN t USING (split)
+        """,
         "kg_clean_text": f"""
             SELECT conv_id, turn_idx, {clean_expr} AS clean_text
             FROM read_parquet('{tx_glob}')

@@ -156,7 +156,13 @@ def quality_report(prepared_ds: "ray.data.Dataset") -> pd.DataFrame:
         max_len=("p_max", "max"),
         **{f"b_{c[4:]}": (c, "sum") for c in b_cols},
     )
-    agg["avg_len"] = (agg["n_tokens"] / agg["n_sentences"].clip(lower=1)).round(4)
+    # round_away == DuckDB round (house convention; pandas .round is
+    # half-even) — avg_len is SQL-checked against the exported CoNLL shards
+    from .common import round_away
+
+    agg["avg_len"] = round_away(
+        (agg["n_tokens"] / agg["n_sentences"].clip(lower=1)).to_numpy(dtype="float64"), 4
+    )
     agg = agg.reset_index().sort_values("split").reset_index(drop=True)
     cols = ["split", "n_sentences", "n_tokens", "avg_len", "min_len", "max_len"] + sorted(
         c for c in agg.columns if c.startswith("b_")

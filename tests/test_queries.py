@@ -299,6 +299,8 @@ SQL_CHECKED_TX = [
     "kg_seller_loc_matrix",
     "kg_price_by_location",
     "kg_phones_exploded",
+    "labeling_tag_distribution",
+    "labeling_quality_report",
 ]
 
 
