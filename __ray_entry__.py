@@ -1535,6 +1535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q209_price_ending_bias": relational.q209_price_ending_bias,
         "q210_monthly_supplier_hhi": relational.q210_monthly_supplier_hhi,
         "q211_discount_return_rate": relational.q211_discount_return_rate,
+        "q212_price_digit_benford": relational.q212_price_digit_benford,
+        "q213_token_length_hist": textstats.q213_token_length_hist,
+        "q214_embedding_dim_audit": similarity.q214_embedding_dim_audit,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -3809,6 +3812,37 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
                          / k, 6) AS ln_k
             FROM s
+        """,
+        "q212_price_digit_benford": """
+            WITH v AS (
+                SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                              AS BIGINT) AS VARCHAR),
+                                   1, 1) AS BIGINT) AS digit
+                FROM orders),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM v)
+            SELECT digit, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(count(*) AS DOUBLE) / t.nt, 6) AS share
+            FROM v CROSS JOIN t GROUP BY digit, t.nt
+        """,
+        "q213_token_length_hist": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents)
+            SELECT CAST(length(tok) AS BIGINT) AS length,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tok WHERE tok <> '' GROUP BY 1
+        """,
+        "q214_embedding_dim_audit": """
+            SELECT CAST(len(embedding) AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN len(list_filter(embedding,
+                                     x -> isnan(CAST(x AS DOUBLE)))) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+                   CAST(sum(CASE WHEN len(embedding) > 0
+                                  AND len(list_filter(embedding,
+                                      x -> x <> 0)) = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_allzero
+            FROM embeddings GROUP BY 1
         """,
         "q209_price_ending_bias": """
             WITH v AS (

@@ -5052,3 +5052,37 @@ def q211_discount_return_rate(sf_dir: str) -> "ray.data.Dataset":
         final,
         n_buckets=4,
     )
+
+
+def q212_price_digit_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit of order totals — the synthetic-data /
+    fabricated-invoice screen (organic multi-scale amounts follow
+    log10(1+1/d); a flat or spiked first-digit histogram flags generated
+    or clamped values; expectations in the docstring only — the output is
+    the exact observed histogram, so no transcendental constant has to
+    agree bit-wise across oracle sides). Per-batch first-digit partial
+    counts (repeated integer //10 on int64 cents — no float log), one
+    9-cell exchange, shares as double ratios of exact counts."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        while (c >= 10).any():
+            c[c >= 10] //= 10
+        d = pd.DataFrame({"digit": c})
+        return d.groupby("digit", as_index=False).size().rename(columns={"size": "n"})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("digit", as_index=False)["n"]
+        .sum()
+    )
+    total = int(merged["n"].sum())
+    return pd.DataFrame(
+        {
+            "digit": merged["digit"].astype("int64"),
+            "n": merged["n"].astype("int64"),
+            "share": round_away(merged["n"].to_numpy(dtype=np.float64) / total, 6),
+        }
+    )

@@ -1715,3 +1715,56 @@ def q197_embedding_norm_outliers(sf_dir: str) -> pd.DataFrame:
             "max_ratio": [max_ratio],
         }
     )
+
+
+def q214_embedding_dim_audit(sf_dir: str) -> pd.DataFrame:
+    """Embedding-ingest schema audit, the q197 norm screen's structural
+    sibling run before any ANN/k-means build: per vector LENGTH (a mixed-
+    dim table means two encoder versions were concatenated — every matmul
+    kernel here assumes one dim), the count of vectors carrying a NaN
+    component and of all-zero vectors (both poison IVF training silently).
+    Per-batch partials over zero-copy list offsets/values — (dim, n,
+    n_nan, n_allzero) rows bounded by the distinct-dim count, merged on
+    the driver; comparisons are exact (isnan, == 0.0), so both oracle
+    sides count identical rows."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dims = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        n_rows = t.num_rows
+        nan_per = np.bincount(parents, weights=np.isnan(flat), minlength=n_rows)
+        nonzero_per = np.bincount(parents, weights=(flat != 0.0), minlength=n_rows)
+        d = pd.DataFrame(
+            {
+                "dim": dims,
+                "one": np.ones(n_rows, dtype=np.int64),
+                "has_nan": (nan_per > 0).astype(np.int64),
+                "allzero": ((nonzero_per == 0) & (dims > 0)).astype(np.int64),
+            }
+        )
+        g = d.groupby("dim", as_index=False).agg(
+            p_n=("one", "sum"), p_nan=("has_nan", "sum"), p_zero=("allzero", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "dim" not in parts.columns:  # empty input → zero batches, like the oracle's 0 rows
+        return pd.DataFrame(
+            {
+                "dim": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+                "n_nan": pd.array([], dtype="int64"),
+                "n_allzero": pd.array([], dtype="int64"),
+            }
+        )
+    merged = parts.groupby("dim", as_index=False).agg(
+        n=("p_n", "sum"), n_nan=("p_nan", "sum"), n_allzero=("p_zero", "sum")
+    )
+    return merged.astype({"dim": "int64", "n": "int64", "n_nan": "int64", "n_allzero": "int64"})

@@ -3159,3 +3159,40 @@ def q208_heaps_exponent(sf_dir: str) -> "pd.DataFrame":
             "ln_k": [float(round_away(np.array([intercept]), 6)[0])],
         }
     )
+
+
+def q213_token_length_hist(sf_dir: str) -> "pd.DataFrame":
+    """Token-length histogram over the whole corpus — the tokenizer-health
+    audit read alongside q203 fertility: a mass spike at length 1–2 means
+    over-segmentation upstream, a heavy tail past ~30 chars means glued
+    tokens/URLs that survived cleaning. Lengths are exact codepoint counts
+    (pyarrow utf8_length == DuckDB length); per-batch bincount partials
+    merge on the driver — the exchange is bounded by max token length, not
+    the token stream, so no shuffle at all (tag_distribution's shape)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.list_flatten(pc.split_pattern_regex(trimmed, pattern=r"\s+"))
+        lens = pc.utf8_length(pc.drop_null(toks)).to_numpy(zero_copy_only=False)
+        lens = lens[lens > 0]  # '' artifacts of leading/trailing whitespace
+        counts = np.bincount(lens)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "length": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("length", as_index=False)["n"]
+        .sum()
+    )
+    return merged.astype({"length": "int64", "n": "int64"})

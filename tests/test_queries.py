@@ -269,6 +269,9 @@ SQL_CHECKED = [
     "q126_mixture_budget",
     "er_canonical_names",
     "keyword_index_search",
+    "q212_price_digit_benford",
+    "q213_token_length_hist",
+    "q214_embedding_dim_audit",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
