@@ -251,7 +251,14 @@ def train_quality_classifier(
         shards[i % n_shards].append(r)
     actors = [_GradShardActor.remote(rs, n_features) for rs in shards]
 
-    fingerprint = f"qc-v1|{sf_dir}|{target_lang}|{n_features}|{lr}|{l2}"
+    # content-signed input (r5): a resume checkpoint must never continue
+    # gradient descent against weights trained on a since-changed corpus
+    import os as _os
+
+    from ..state.manifest import content_signature
+
+    _in_sig = content_signature(_os.path.join(sf_dir, "documents.parquet"))
+    fingerprint = f"qc-v2|{target_lang}|{n_features}|{lr}|{l2}|in={_in_sig}"
     w = np.zeros(n_features, dtype=np.float64)
     b = 0.0
     start = 0

@@ -253,11 +253,18 @@ def run_curation_pipeline(
             jaccard_threshold=near_dup_jaccard,
             docs_ds=ray.data.read_parquet(ckpt, columns=["doc_id", "text"]),
         )
+        # fingerprint folds a CONTENT signature of the survivor checkpoint
+        # (r5 hardening, same reasoning as _span_rewrite): the survivor
+        # count alone would let a changed corpus with an unchanged dedup
+        # count silently reuse stale CC labels — and therefore stale
+        # cluster reps in the train/val split decision
+        from ..state.manifest import content_signature
+
         labels = connected_components_minlabel(
             pairs,
             n_buckets=16,
             checkpoint_dir=os.path.join(out_dir, "near_dup_cc"),
-            fingerprint=f"curate-cc|{near_dup_jaccard}|{n_dedup}",
+            fingerprint=f"curate-cc|{near_dup_jaccard}|in={content_signature(ckpt)}",
         ).to_pandas()
         rep_map = (
             {}

@@ -305,12 +305,19 @@ def minhash_dedup(
     cluster deployment path), keyed by the dedup parameters."""
     from .graph import connected_components_minlabel
 
+    import os as _os
+
+    from ..state.manifest import content_signature
+
     pairs = minhash_lsh_pairs_ds(sf_dir, seed, jaccard_threshold)
+    # content-signed input (r5): a checkpoint_dir reused across runs can
+    # never serve labels computed from a since-regenerated documents table
+    in_sig = content_signature(_os.path.join(sf_dir, "documents.parquet"))
     out = connected_components_minlabel(
         pairs,
         n_buckets=32,
         checkpoint_dir=checkpoint_dir,
-        fingerprint=f"minhash|{sf_dir}|{seed}|{jaccard_threshold}",
+        fingerprint=f"minhash|{seed}|{jaccard_threshold}|in={in_sig}",
     ).to_pandas()
     if out.empty:
         return pd.DataFrame(
@@ -576,9 +583,14 @@ def q72_dedup_survivors(sf_dir: str, k: int = 5, threshold: float = 0.5) -> "ray
     from .common import get_broadcast, rename_cols
     from .graph import connected_components_minlabel
 
+    import os as _os
+
+    from ..state.manifest import content_signature
+
     pairs = rename_cols(jaccard_pairs_exact(sf_dir, k, threshold), {"doc_a": "a", "doc_b": "b"})
+    in_sig = content_signature(_os.path.join(sf_dir, "documents.parquet"))
     labels = connected_components_minlabel(
-        pairs, n_buckets=16, fingerprint=f"jacx|{sf_dir}|{k}|{threshold}"
+        pairs, n_buckets=16, fingerprint=f"jacx|{k}|{threshold}|in={in_sig}"
     ).to_pandas()
     if labels.empty:
         drop = np.array([], dtype=np.int64)
