@@ -574,6 +574,36 @@ def _kg_conv_len_by_price(sf_dir: str):
     return merged.drop(columns=["t"]).astype({"n_convs": "int64"})
 
 
+def _kg_turn_balance(sf_dir: str):
+    """Seller-dominance histogram (r5): per conversation the seller share
+    of turns in integer DECILES — floor(10·s/t), 0..10, where the ==10 bin
+    is the seller monologue and 0..2 is the ignored-seller tail; the
+    conversation-health shape q(kg_conv_funnel) reads per stage, read here
+    per dialogue. Works on the RAW role column (no extraction), so the
+    oracle is a direct SQL recount. ONE conv-bucket shuffle; per bucket an
+    11-row decile partial; decile is a floor division of non-negative
+    ints, where DuckDB's truncating // coincides with Python's floor."""
+    import numpy as np
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import bucketed_group_agg
+
+    ds = _transcripts_ds(sf_dir).select_columns(["conv_id", "role"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(is_s=(df["role"] == "seller").astype("int64"))
+        g = d.groupby("conv_id", as_index=False).agg(t=("is_s", "size"), s=("is_s", "sum"))
+        dec = (10 * g["s"].to_numpy(dtype=np.int64)) // g["t"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"decile": dec}).groupby("decile", as_index=False).size()
+        return out.rename(columns={"size": "p_n"}).astype({"decile": "int64", "p_n": "int64"})
+
+    parts = bucketed_group_agg(ds, ["conv_id"], final, n_buckets=32).to_pandas()
+    merged = parts.groupby("decile", as_index=False)["p_n"].sum()
+    return pd.DataFrame(
+        {"decile": merged["decile"].astype("int64"), "n_convs": merged["p_n"].astype("int64")}
+    )
+
+
 def _kg_role_transitions(sf_dir: str):
     """Dialogue-structure statistic: the (prev-role → next-role) transition
     matrix over turn_idx-ordered conversations, with per-source-role
@@ -1538,6 +1568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q212_price_digit_benford": relational.q212_price_digit_benford,
         "q213_token_length_hist": textstats.q213_token_length_hist,
         "q214_embedding_dim_audit": similarity.q214_embedding_dim_audit,
+        "q215_segment_value_cv": relational.q215_segment_value_cv,
+        "q216_charclass_density": textstats.q216_charclass_density,
+        "kg_turn_balance": _kg_turn_balance,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -1668,6 +1701,15 @@ def oracle_sql() -> dict[str, str]:
     loc_alts = sorted({_fold(l) for l in DEFAULT_LOCATIONS}, key=len, reverse=True)
     loc_pattern = "|".join(_re.escape(a) for a in loc_alts)
     return {
+        "kg_turn_balance": f"""
+            WITH c AS (
+                SELECT conv_id, CAST(count(*) AS BIGINT) AS t,
+                       CAST(sum(CASE WHEN role = 'seller' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS s
+                FROM read_parquet('{tx_glob}') GROUP BY conv_id)
+            SELECT (10 * s) // t AS decile, CAST(count(*) AS BIGINT) AS n_convs
+            FROM c GROUP BY 1
+        """,
         "labeling_tag_distribution": f"""
             WITH l AS (
                 SELECT unnest(string_split(content, chr(10))) AS line
@@ -3812,6 +3854,48 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
                          / k, 6) AS ln_k
             FROM s
+        """,
+        "q215_segment_value_cv": """
+            WITH j AS (
+                SELECT c.c_mktsegment,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            a AS (
+                SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(cents) AS BIGINT) AS s,
+                       sum(CAST(cents AS HUGEINT) * cents) AS q
+                FROM j GROUP BY 1)
+            SELECT c_mktsegment, n AS n_orders,
+                   round((CAST(s AS DOUBLE) / n) / 100, 4) AS mean_value,
+                   round(sqrt(greatest(CAST(q AS DOUBLE) / n
+                                       - (CAST(s AS DOUBLE) / n)
+                                         * (CAST(s AS DOUBLE) / n), 0))
+                         / (CAST(s AS DOUBLE) / n), 6) AS cv
+            FROM a
+        """,
+        "q216_charclass_density": r"""
+            WITH d AS (
+                SELECT source,
+                       CAST(length(text) AS BIGINT) AS chars,
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[0-9]', '', 'g'))
+                            AS BIGINT) AS digits,
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[.,!?]', '', 'g'))
+                            AS BIGINT) AS puncts,
+                       CAST(length(text)
+                            - length(regexp_replace(text, '\s', '', 'g'))
+                            AS BIGINT) AS spaces
+                FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(chars) AS BIGINT) AS n_chars,
+                   round(CAST(sum(digits) AS DOUBLE) / sum(chars), 6)
+                       AS digit_share,
+                   round(CAST(sum(puncts) AS DOUBLE) / sum(chars), 6)
+                       AS punct_share,
+                   round(CAST(sum(spaces) AS DOUBLE) / sum(chars), 6)
+                       AS space_share
+            FROM d GROUP BY 1
         """,
         "q212_price_digit_benford": """
             WITH v AS (

@@ -5086,3 +5086,58 @@ def q212_price_digit_benford(sf_dir: str) -> pd.DataFrame:
             "share": round_away(merged["n"].to_numpy(dtype=np.float64) / total, 6),
         }
     )
+
+
+def q215_segment_value_cv(sf_dir: str) -> "ray.data.Dataset":
+    """Order-value coefficient of variation per market segment — the
+    basket-size VOLATILITY read next to q03's totals (a high-CV segment
+    needs risk-adjusted credit terms even when its mean looks healthy).
+    q03's broadcast custkey→segment join feeds (n, Σc, Σc²) partials in
+    exact int64 CENTS (c² per order ≤ ~1e16 · batch rows keeps partial
+    sums inside int64 at fixture scale; the Python-int final merge is
+    arbitrary-precision, matching the oracle's HUGEINT, so no wrap can
+    survive to the output); σ and CV evaluate the q189/q196 explicit
+    double expression identically on both sides, with the variance
+    clamped at 0 (greatest) against −ε float cancellation."""
+    import math
+
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    order_ck = np.argsort(cust.column("c_custkey").to_numpy())
+    keys = cust.column("c_custkey").to_numpy()[order_ck]
+    segs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)[order_ck]
+    ref = ray.put((keys, segs))
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(_segment_join_batch, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        d = pd.DataFrame({"seg": df["c_mktsegment"], "c": c, "c2": c * c})
+        g = d.groupby("seg", as_index=False).agg(
+            p_n=("c", "size"), p_s=("c", "sum"), p_q=("c2", "sum")
+        )
+        return g.astype({"p_n": "int64", "p_s": "int64", "p_q": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for seg, g in df.groupby("seg"):
+            n = int(g["p_n"].sum())
+            s = int(sum(int(x) for x in g["p_s"]))
+            q = sum(int(x) for x in g["p_q"])  # arbitrary-precision merge
+            sn = float(s) / n
+            sd = math.sqrt(max(float(q) / n - sn * sn, 0.0))
+            rows.append(
+                {
+                    "c_mktsegment": seg,
+                    "n_orders": n,
+                    "mean_value": float(round_away(np.array([sn / 100.0]), 4)[0]),
+                    "cv": float(round_away(np.array([sd / sn]), 6)[0]),
+                }
+            )
+        out = pd.DataFrame(rows)
+        return out.astype({"n_orders": "int64"})
+
+    # batch_size bounds the int64 partial: max cents² ≈ 3.6e15 × 1024 rows
+    # ≈ 3.7e18 < 2^63 with 2.5× headroom; the cross-batch merge is Python-int
+    partials = joined.map_batches(partial, batch_format="pandas", batch_size=1024)
+    return bucketed_group_agg(partials, ["seg"], final, n_buckets=4)

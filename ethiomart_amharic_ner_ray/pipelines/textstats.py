@@ -3196,3 +3196,75 @@ def q213_token_length_hist(sf_dir: str) -> "pd.DataFrame":
         .sum()
     )
     return merged.astype({"length": "int64", "n": "int64"})
+
+
+def q216_charclass_density(sf_dir: str) -> "pd.DataFrame":
+    """Character-class composition per source — digit / sentence-punct /
+    whitespace shares of all codepoints, the cheap boilerplate-and-OCR
+    screen next to q13's per-doc quality score (a digit-heavy source is
+    tables or SKU dumps, a punct-light one is unsegmented scrape). All
+    counts are exact int64 per-batch class tallies (RE2 single-char
+    classes == the oracle's length-minus-stripped arithmetic); the
+    exchange is sources-sized, shares are double ratios of exact ints
+    (NaN when a source has zero characters, matching SQL NULL-on-/0)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        txt = t.column("text")
+        d = pd.DataFrame(
+            {
+                "source": t.column("source").to_pylist(),
+                "p_chars": pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64),
+                "p_digit": pc.count_substring_regex(txt, pattern="[0-9]")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "p_punct": pc.count_substring_regex(txt, pattern="[.,!?]")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "p_space": pc.count_substring_regex(txt, pattern=r"\s")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "p_one": np.ones(t.num_rows, dtype=np.int64),
+            }
+        )
+        g = d.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "source" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "source": pd.array([], dtype="object"),
+                "n_docs": pd.array([], dtype="int64"),
+                "n_chars": pd.array([], dtype="int64"),
+                "digit_share": pd.array([], dtype="float64"),
+                "punct_share": pd.array([], dtype="float64"),
+                "space_share": pd.array([], dtype="float64"),
+            }
+        )
+    g = parts.groupby("source", as_index=False).sum()
+    chars = g["p_chars"].to_numpy(dtype="float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = pd.DataFrame(
+            {
+                "source": g["source"],
+                "n_docs": g["p_one"].astype("int64"),
+                "n_chars": g["p_chars"].astype("int64"),
+                "digit_share": round_away(
+                    np.where(chars > 0, g["p_digit"].to_numpy(dtype="float64") / chars, np.nan), 6
+                ),
+                "punct_share": round_away(
+                    np.where(chars > 0, g["p_punct"].to_numpy(dtype="float64") / chars, np.nan), 6
+                ),
+                "space_share": round_away(
+                    np.where(chars > 0, g["p_space"].to_numpy(dtype="float64") / chars, np.nan), 6
+                ),
+            }
+        )
+    return out.sort_values("source").reset_index(drop=True)

@@ -272,6 +272,8 @@ SQL_CHECKED = [
     "q212_price_digit_benford",
     "q213_token_length_hist",
     "q214_embedding_dim_audit",
+    "q215_segment_value_cv",
+    "q216_charclass_density",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
@@ -304,6 +306,7 @@ SQL_CHECKED_TX = [
     "kg_phones_exploded",
     "labeling_tag_distribution",
     "labeling_quality_report",
+    "kg_turn_balance",
 ]
 
 
