@@ -1570,6 +1570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q214_embedding_dim_audit": similarity.q214_embedding_dim_audit,
         "q215_segment_value_cv": relational.q215_segment_value_cv,
         "q216_charclass_density": textstats.q216_charclass_density,
+        "q217_event_type_cooccurrence": windows.q217_event_type_cooccurrence,
+        "q218_stopword_ratio": textstats.q218_stopword_ratio,
         "kg_turn_balance": _kg_turn_balance,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
@@ -3854,6 +3856,34 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
                          / k, 6) AS ln_k
             FROM s
+        """,
+        "q217_event_type_cooccurrence": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       event_type
+                FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_user_days
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "q218_stopword_ratio": r"""
+            WITH tok AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in',
+                                              'is','on','for','with')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                   round(CAST(sum(CASE WHEN tok IN ('the','a','of','and','to',
+                                                    'in','is','on','for','with')
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS stop_share
+            FROM tok WHERE tok <> '' GROUP BY 1
         """,
         "q215_segment_value_cv": """
             WITH j AS (

@@ -3268,3 +3268,69 @@ def q216_charclass_density(sf_dir: str) -> "pd.DataFrame":
             }
         )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q218_stopword_ratio(sf_dir: str) -> "pd.DataFrame":
+    """Stopword share per source — the Gopher-style function-word mass
+    signal (organic prose keeps a stable stopword fraction; keyword-
+    stuffed or template text does not). The stopword list is a CLOSED
+    10-token vocabulary evaluated per batch with np.isin (exact string
+    equality == the oracle's IN list); (source, n_tokens, n_stop) int64
+    partials merge on the driver — sources-sized, no shuffle; the share
+    is a double ratio of exact ints."""
+    import numpy as np
+    import pandas as pd
+
+    STOP = np.array(
+        ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"], dtype=object
+    )
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        src = np.asarray(
+            pc.take(t.column("source"), pc.list_parent_indices(toks)).to_pylist(), dtype=object
+        )
+        keep = flat != ""
+        flat, src = flat[keep], src[keep]
+        d = pd.DataFrame(
+            {
+                "source": src,
+                "p_tok": np.ones(len(flat), dtype=np.int64),
+                "p_stop": np.isin(flat, STOP).astype(np.int64),
+            }
+        )
+        g = d.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "source" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "source": pd.array([], dtype="object"),
+                "n_tokens": pd.array([], dtype="int64"),
+                "n_stop": pd.array([], dtype="int64"),
+                "stop_share": pd.array([], dtype="float64"),
+            }
+        )
+    g = parts.groupby("source", as_index=False).sum()
+    return (
+        pd.DataFrame(
+            {
+                "source": g["source"],
+                "n_tokens": g["p_tok"].astype("int64"),
+                "n_stop": g["p_stop"].astype("int64"),
+                "stop_share": round_away(
+                    g["p_stop"].to_numpy(dtype="float64") / g["p_tok"].to_numpy(dtype="float64"),
+                    6,
+                ),
+            }
+        )
+        .sort_values("source")
+        .reset_index(drop=True)
+    )

@@ -1870,3 +1870,64 @@ def q189_user_burstiness(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_agg(ds, ["user_id"], final, n_buckets=64)
+
+
+def q217_event_type_cooccurrence(sf_dir: str) -> "pd.DataFrame":
+    """Event-type co-occurrence within a (user, day) session — which
+    behaviors happen TOGETHER on a user's active day, the unordered
+    same-day pairing q97's sequential Markov matrix can't see. Per-batch
+    (user, day, type) distinct projection collapses the event stream
+    before the ONE user-bucket shuffle; in-bucket a vectorized self-merge
+    per (user, day) expands distinct types to unordered pairs and the
+    partial leaving each bucket is the types²-bounded pair matrix. Counts
+    exact int64; the oracle is the identical distinct-projection self-join
+    (a < b). The day value only defines grouping, never crosses to the
+    output, so the pandas floor('D') vs SQL date_trunc representations
+    need no cross-side parity."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "day": pd.to_datetime(df["ts"]).dt.floor("D"),
+                "event_type": df["event_type"],
+            }
+        )
+        return d.drop_duplicates()
+
+    dedup = ds.map_batches(day_partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day", "event_type"])
+        m = d.merge(d, on=["user_id", "day"])
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "type_a": pd.array([], dtype="object"),
+                    "type_b": pd.array([], dtype="object"),
+                    "p_n": pd.array([], dtype="int64"),
+                }
+            )
+        out = (
+            m.groupby(["event_type_x", "event_type_y"], as_index=False)
+            .size()
+            .rename(columns={"event_type_x": "type_a", "event_type_y": "type_b", "size": "p_n"})
+        )
+        return out.astype({"p_n": "int64"})
+
+    parts = bucketed_group_agg(dedup, ["user_id"], final, n_buckets=32).to_pandas()
+    if "type_a" not in parts.columns or parts.empty:
+        return pd.DataFrame(
+            {
+                "type_a": pd.array([], dtype="object"),
+                "type_b": pd.array([], dtype="object"),
+                "n_user_days": pd.array([], dtype="int64"),
+            }
+        )
+    merged = parts.groupby(["type_a", "type_b"], as_index=False)["p_n"].sum()
+    merged = merged.rename(columns={"p_n": "n_user_days"}).astype({"n_user_days": "int64"})
+    return merged.sort_values(["type_a", "type_b"]).reset_index(drop=True)

@@ -274,6 +274,8 @@ SQL_CHECKED = [
     "q214_embedding_dim_audit",
     "q215_segment_value_cv",
     "q216_charclass_density",
+    "q217_event_type_cooccurrence",
+    "q218_stopword_ratio",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
