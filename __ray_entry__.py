@@ -1572,6 +1572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q216_charclass_density": textstats.q216_charclass_density,
         "q217_event_type_cooccurrence": windows.q217_event_type_cooccurrence,
         "q218_stopword_ratio": textstats.q218_stopword_ratio,
+        "q219_brand_price_spread": relational.q219_brand_price_spread,
+        "q220_monthly_return_share": relational.q220_monthly_return_share,
         "kg_turn_balance": _kg_turn_balance,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
@@ -3856,6 +3858,35 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
                          / k, 6) AS ln_k
             FROM s
+        """,
+        "q219_brand_price_spread": """
+            WITH v AS (
+                SELECT p_brand,
+                       CAST(round(p_retailprice * 100) AS BIGINT) AS c
+                FROM part),
+            a AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS s,
+                       CAST(min(c) AS BIGINT) AS mn,
+                       CAST(max(c) AS BIGINT) AS mx
+                FROM v GROUP BY 1)
+            SELECT p_brand, n AS n_parts,
+                   round(CAST(mn AS DOUBLE) / 100, 2) AS min_price,
+                   round(CAST(mx AS DOUBLE) / 100, 2) AS max_price,
+                   round((CAST(s AS DOUBLE) / n) / 100, 4) AS mean_price,
+                   round(CAST(mx AS DOUBLE) / mn, 6) AS spread_ratio
+            FROM a
+        """,
+        "q220_monthly_return_share": """
+            WITH v AS (
+                SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE))
+                            AS TIMESTAMP) AS month,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+                FROM lineitem)
+            SELECT month, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(r) AS BIGINT) AS n_returned,
+                   round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS return_share
+            FROM v GROUP BY 1
         """,
         "q217_event_type_cooccurrence": """
             WITH d AS (

@@ -5141,3 +5141,83 @@ def q215_segment_value_cv(sf_dir: str) -> "ray.data.Dataset":
     # ≈ 3.7e18 < 2^63 with 2.5× headroom; the cross-batch merge is Python-int
     partials = joined.map_batches(partial, batch_format="pandas", batch_size=1024)
     return bucketed_group_agg(partials, ["seg"], final, n_buckets=4)
+
+
+def q219_brand_price_spread(sf_dir: str) -> "ray.data.Dataset":
+    """Catalog-pricing spread per brand — min/max/mean retail price and
+    the max/min spread ratio, the assortment-consistency audit (a brand
+    whose spread ratio explodes mixes SKU tiers that downstream price
+    canonicalization must not average together). Exact int64 CENTS
+    partials (n, Σc, min, max) per batch — min/max commute with the
+    2dp-grid rint, so both oracle sides see identical integers — one
+    brands-sized exchange; mean and ratio are double expressions of exact
+    ints evaluated identically on both sides."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["p_retailprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        d = pd.DataFrame({"brand": df["p_brand"], "c": c})
+        g = d.groupby("brand", as_index=False).agg(
+            p_n=("c", "size"), p_s=("c", "sum"), p_min=("c", "min"), p_max=("c", "max")
+        )
+        return g.astype({"p_n": "int64", "p_s": "int64", "p_min": "int64", "p_max": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("brand", as_index=False).agg(
+            n=("p_n", "sum"), s=("p_s", "sum"), mn=("p_min", "min"), mx=("p_max", "max")
+        )
+        return pd.DataFrame(
+            {
+                "p_brand": g["brand"],
+                "n_parts": g["n"].astype("int64"),
+                "min_price": round_away(g["mn"].to_numpy(dtype=np.float64) / 100.0, 2),
+                "max_price": round_away(g["mx"].to_numpy(dtype=np.float64) / 100.0, 2),
+                "mean_price": round_away(
+                    (g["s"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64))
+                    / 100.0,
+                    4,
+                ),
+                "spread_ratio": round_away(
+                    g["mx"].to_numpy(dtype=np.float64) / g["mn"].to_numpy(dtype=np.float64), 6
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["brand"], final, n_buckets=4)
+
+
+def q220_monthly_return_share(sf_dir: str) -> "ray.data.Dataset":
+    """Return-rate time series: the share of lineitems flagged 'R' per
+    ship month — the quality-trend curve behind q211's discount-band
+    snapshot (a rising monthly share is a fulfilment regression, visible
+    months before it moves the aggregate). (month, returned, total)
+    exact int64 partials, one calendar-sized exchange, share a double
+    ratio of exact counts."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_shipdate", "l_returnflag"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "month": pd.to_datetime(df["l_shipdate"]).values.astype("datetime64[M]"),
+                "r": (df["l_returnflag"] == "R").astype("int64"),
+            }
+        )
+        g = d.groupby("month", as_index=False).agg(p_n=("r", "size"), p_r=("r", "sum"))
+        return g.astype({"p_n": "int64", "p_r": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("month", as_index=False).agg(n=("p_n", "sum"), r=("p_r", "sum"))
+        return pd.DataFrame(
+            {
+                "month": g["month"].astype("datetime64[us]"),
+                "n_items": g["n"].astype("int64"),
+                "n_returned": g["r"].astype("int64"),
+                "return_share": round_away(
+                    g["r"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64), 6
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["month"], final, n_buckets=4)

@@ -276,6 +276,8 @@ SQL_CHECKED = [
     "q216_charclass_density",
     "q217_event_type_cooccurrence",
     "q218_stopword_ratio",
+    "q219_brand_price_spread",
+    "q220_monthly_return_share",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
