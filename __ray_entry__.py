@@ -574,6 +574,48 @@ def _kg_conv_len_by_price(sf_dir: str):
     return merged.drop(columns=["t"]).astype({"n_convs": "int64"})
 
 
+def _kg_tool_usage_share(sf_dir: str):
+    """Tool-usage share per role (r5) — the agentic-transcript
+    instrumentation read: what fraction of each role's turns invoked a
+    tool (non-empty `tool` column; raw-column analytic like
+    kg_turn_balance, so the oracle is a direct recount). Per-batch
+    (role, n, n_tool) int64 partials, roles-sized driver merge, share a
+    double ratio of exact ints."""
+    import numpy as np
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import round_away
+
+    ds = _transcripts_ds(sf_dir).select_columns(["role", "tool"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "role": df["role"],
+                "p_n": np.ones(len(df), dtype=np.int64),
+                "p_t": (df["tool"].fillna("") != "").to_numpy(dtype=np.int64),
+            }
+        )
+        return d.groupby("role", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("role", as_index=False).sum()
+    return (
+        pd.DataFrame(
+            {
+                "role": g["role"],
+                "n_turns": g["p_n"].astype("int64"),
+                "n_tool": g["p_t"].astype("int64"),
+                "tool_share": round_away(
+                    g["p_t"].to_numpy(dtype="float64") / g["p_n"].to_numpy(dtype="float64"), 6
+                ),
+            }
+        )
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+
+
 def _kg_turn_balance(sf_dir: str):
     """Seller-dominance histogram (r5): per conversation the seller share
     of turns in integer DECILES — floor(10·s/t), 0..10, where the ==10 bin
@@ -1574,6 +1616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q218_stopword_ratio": textstats.q218_stopword_ratio,
         "q219_brand_price_spread": relational.q219_brand_price_spread,
         "q220_monthly_return_share": relational.q220_monthly_return_share,
+        "q221_orders_per_customer_hist": relational.q221_orders_per_customer_hist,
+        "kg_tool_usage_share": _kg_tool_usage_share,
         "kg_turn_balance": _kg_turn_balance,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
@@ -1705,6 +1749,15 @@ def oracle_sql() -> dict[str, str]:
     loc_alts = sorted({_fold(l) for l in DEFAULT_LOCATIONS}, key=len, reverse=True)
     loc_pattern = "|".join(_re.escape(a) for a in loc_alts)
     return {
+        "kg_tool_usage_share": f"""
+            SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN coalesce(tool, '') <> '' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_tool,
+                   round(CAST(sum(CASE WHEN coalesce(tool, '') <> '' THEN 1
+                                       ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS tool_share
+            FROM read_parquet('{tx_glob}') GROUP BY role
+        """,
         "kg_turn_balance": f"""
             WITH c AS (
                 SELECT conv_id, CAST(count(*) AS BIGINT) AS t,
@@ -3858,6 +3911,13 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
                          / k, 6) AS ln_k
             FROM s
+        """,
+        "q221_orders_per_customer_hist": """
+            WITH c AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+                FROM orders GROUP BY 1)
+            SELECT k AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            FROM c GROUP BY 1
         """,
         "q219_brand_price_spread": """
             WITH v AS (

@@ -5221,3 +5221,42 @@ def q220_monthly_return_share(sf_dir: str) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["month"], final, n_buckets=4)
+
+
+def q221_orders_per_customer_hist(sf_dir: str) -> "pd.DataFrame":
+    """Orders-per-customer frequency-of-frequency histogram — the
+    engagement-depth curve (how many customers ordered exactly k times),
+    the relational sibling of the corpus hapax/Heaps line: a heavy k=1
+    mass is an acquisition-led book, a fat tail is a repeat-purchase
+    book. Per-batch custkey partials collapse before ONE custkey-bucket
+    shuffle; per-customer totals become in-bucket count-of-counts
+    partials, so the second exchange is bounded by max-orders-per-
+    customer, not customers. Exact int64 throughout."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size().rename(columns={"size": "p_n"})
+        return g.astype({"p_n": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        per_cust = df.groupby("o_custkey", as_index=False)["p_n"].sum()
+        h = per_cust.groupby("p_n", as_index=False).size().rename(
+            columns={"p_n": "n_orders", "size": "p_c"}
+        )
+        return h.astype({"n_orders": "int64", "p_c": "int64"})
+
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_custkey"],
+        final,
+        n_buckets=8,
+    ).to_pandas()
+    merged = parts.groupby("n_orders", as_index=False)["p_c"].sum()
+    return pd.DataFrame(
+        {
+            "n_orders": merged["n_orders"].astype("int64"),
+            "n_customers": merged["p_c"].astype("int64"),
+        }
+    ).sort_values("n_orders").reset_index(drop=True)

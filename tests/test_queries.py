@@ -278,6 +278,7 @@ SQL_CHECKED = [
     "q218_stopword_ratio",
     "q219_brand_price_spread",
     "q220_monthly_return_share",
+    "q221_orders_per_customer_hist",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
@@ -311,6 +312,7 @@ SQL_CHECKED_TX = [
     "labeling_tag_distribution",
     "labeling_quality_report",
     "kg_turn_balance",
+    "kg_tool_usage_share",
 ]
 
 
