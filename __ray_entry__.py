@@ -1617,6 +1617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_brand_price_spread": relational.q219_brand_price_spread,
         "q220_monthly_return_share": relational.q220_monthly_return_share,
         "q221_orders_per_customer_hist": relational.q221_orders_per_customer_hist,
+        "q222_brand_discount_depth": relational.q222_brand_discount_depth,
+        "q223_weekday_hour_heatmap": windows.q223_weekday_hour_heatmap,
         "kg_tool_usage_share": _kg_tool_usage_share,
         "kg_turn_balance": _kg_turn_balance,
         "kg_seller_price_cv": _kg_seller_price_cv,
@@ -3918,6 +3920,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1)
             SELECT k AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
             FROM c GROUP BY 1
+        """,
+        "q222_brand_discount_depth": """
+            WITH v AS (
+                SELECT p.p_brand,
+                       CAST(round(l.l_discount * 100) AS BIGINT) AS dc
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+                   round(CAST(sum(dc) AS DOUBLE) / (100 * count(*)), 6)
+                       AS mean_discount,
+                   round(CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS discounted_share
+            FROM v GROUP BY 1
+        """,
+        "q223_weekday_hour_heatmap": """
+            WITH v AS (
+                SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+                       CAST(hour(ts) AS BIGINT) AS hour
+                FROM events),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM v)
+            SELECT isodow, hour, CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(count(*) AS DOUBLE) / t.nt, 6) AS share
+            FROM v CROSS JOIN t GROUP BY isodow, hour, t.nt
         """,
         "q219_brand_price_spread": """
             WITH v AS (

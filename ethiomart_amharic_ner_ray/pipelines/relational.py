@@ -5260,3 +5260,62 @@ def q221_orders_per_customer_hist(sf_dir: str) -> "pd.DataFrame":
             "n_customers": merged["p_c"].astype("int64"),
         }
     ).sort_values("n_orders").reset_index(drop=True)
+
+
+def q222_brand_discount_depth(sf_dir: str) -> "ray.data.Dataset":
+    """Discount depth per brand — mean discount and the share of
+    discounted lines, the promo-exposure screen that q211's return-rate
+    bands condition on. The part dimension broadcasts ONCE as a sorted
+    partkey→brand array pair (q03's join shape; at catalog sizes past
+    ~1 GB/node the documented auto_join cutover swaps in the bucketed
+    join); discounts live on the closed 2dp grid, so per-batch partials
+    are exact int64 (n, Σ hundredths, n>0), one brands-sized exchange,
+    and both oracle sides divide the same exact integers."""
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    order_pk = np.argsort(part.column("p_partkey").to_numpy())
+    pkeys = part.column("p_partkey").to_numpy()[order_pk]
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)[order_pk]
+    ref = ray.put((pkeys, brands))
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, brds = get_broadcast(ref)
+        pk = t.column("l_partkey").to_numpy()
+        idx = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        hit = keys[idx] == pk
+        dc = np.rint(
+            t.column("l_discount").to_numpy(zero_copy_only=False)[hit] * 100
+        ).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "brand": brds[idx[hit]],
+                "p_n": np.ones(len(dc), dtype=np.int64),
+                "p_s": dc,
+                "p_d": (dc > 0).astype(np.int64),
+            }
+        )
+        g = d.groupby("brand", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("brand", as_index=False).agg(
+            n=("p_n", "sum"), s=("p_s", "sum"), nd=("p_d", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "p_brand": g["brand"],
+                "n_lines": g["n"].astype("int64"),
+                "mean_discount": round_away(
+                    g["s"].to_numpy(dtype=np.float64)
+                    / (100.0 * g["n"].to_numpy(dtype=np.float64)),
+                    6,
+                ),
+                "discounted_share": round_away(
+                    g["nd"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64), 6
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return bucketed_group_agg(partials, ["brand"], final, n_buckets=4)

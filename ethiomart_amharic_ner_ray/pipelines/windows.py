@@ -1931,3 +1931,42 @@ def q217_event_type_cooccurrence(sf_dir: str) -> "pd.DataFrame":
     merged = parts.groupby(["type_a", "type_b"], as_index=False)["p_n"].sum()
     merged = merged.rename(columns={"p_n": "n_user_days"}).astype({"n_user_days": "int64"})
     return merged.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q223_weekday_hour_heatmap(sf_dir: str) -> "pd.DataFrame":
+    """Traffic heatmap: event counts by (ISO weekday, hour) — the
+    7×24-cell operational load surface behind q198's weekday chi-square
+    (capacity planning reads the hour axis the daily test collapses).
+    Per-batch 168-cell exact partials, driver merge bounded by the grid;
+    share a double ratio of exact counts."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(df["ts"])
+        d = pd.DataFrame(
+            {
+                "isodow": t.dt.dayofweek.to_numpy(dtype=np.int64) + 1,
+                "hour": t.dt.hour.to_numpy(dtype=np.int64),
+                "p_n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return d.groupby(["isodow", "hour"], as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["isodow", "hour"], as_index=False)["p_n"].sum()
+    total = int(g["p_n"].sum())
+    return (
+        pd.DataFrame(
+            {
+                "isodow": g["isodow"].astype("int64"),
+                "hour": g["hour"].astype("int64"),
+                "n_events": g["p_n"].astype("int64"),
+                "share": round_away(g["p_n"].to_numpy(dtype="float64") / total, 6),
+            }
+        )
+        .sort_values(["isodow", "hour"])
+        .reset_index(drop=True)
+    )

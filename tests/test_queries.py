@@ -279,6 +279,8 @@ SQL_CHECKED = [
     "q219_brand_price_spread",
     "q220_monthly_return_share",
     "q221_orders_per_customer_hist",
+    "q222_brand_discount_depth",
+    "q223_weekday_hour_heatmap",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
