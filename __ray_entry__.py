@@ -574,6 +574,64 @@ def _kg_conv_len_by_price(sf_dir: str):
     return merged.drop(columns=["t"]).astype({"n_convs": "int64"})
 
 
+def _kg_price_stats_by_product_flag(sf_dir: str):
+    """Price statistics split by product co-mention (r5): are extracted
+    prices attached to product-carrying turns, or floating free? — the
+    extraction-quality health check behind the flagship's price→product
+    attachment rule. Composes two SQL-PROVEN pieces (the exploded price
+    values of kg_prices_exploded and the has_product flag of
+    kg_mention_flags_full) over the shared exploded-mention checkpoint;
+    cents are exact int64 (canonical price strings parse back exactly —
+    they were printed from these values), partials are (flag, n, Σ, min,
+    max), the exchange is 2 rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ethiomart_amharic_ner_ray.pipelines.common import round_away
+
+    ds = _kg_exploded_ds(sf_dir, ["conv_id", "turn_idx", "prices", "has_product"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["has_product", "prices"]].explode("prices").dropna(subset=["prices"])
+        if d.empty:
+            return pd.DataFrame(
+                {
+                    "has_product": pd.array([], dtype="bool"),
+                    "p_n": pd.array([], dtype="int64"),
+                    "p_s": pd.array([], dtype="int64"),
+                    "p_min": pd.array([], dtype="int64"),
+                    "p_max": pd.array([], dtype="int64"),
+                }
+            )
+        vals = d["prices"].str.removesuffix(" ብር").astype("float64").to_numpy()
+        cents = round_away(vals * 100, 0).astype(np.int64)
+        g = pd.DataFrame({"has_product": d["has_product"].to_numpy(), "c": cents}).groupby(
+            "has_product", as_index=False
+        )["c"].agg(p_n="size", p_s="sum", p_min="min", p_max="max")
+        return g.astype({"p_n": "int64", "p_s": "int64", "p_min": "int64", "p_max": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("has_product", as_index=False).agg(
+        n=("p_n", "sum"), s=("p_s", "sum"), mn=("p_min", "min"), mx=("p_max", "max")
+    )
+    return (
+        pd.DataFrame(
+            {
+                "has_product": g["has_product"].astype("bool"),
+                "n_prices": g["n"].astype("int64"),
+                "mean_price": round_away(
+                    (g["s"].to_numpy(dtype="float64") / g["n"].to_numpy(dtype="float64")) / 100.0,
+                    4,
+                ),
+                "min_price": round_away(g["mn"].to_numpy(dtype="float64") / 100.0, 2),
+                "max_price": round_away(g["mx"].to_numpy(dtype="float64") / 100.0, 2),
+            }
+        )
+        .sort_values("has_product")
+        .reset_index(drop=True)
+    )
+
+
 def _kg_tool_usage_share(sf_dir: str):
     """Tool-usage share per role (r5) — the agentic-transcript
     instrumentation read: what fraction of each role's turns invoked a
@@ -1621,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q223_weekday_hour_heatmap": windows.q223_weekday_hour_heatmap,
         "kg_tool_usage_share": _kg_tool_usage_share,
         "kg_turn_balance": _kg_turn_balance,
+        "kg_price_stats_by_product_flag": _kg_price_stats_by_product_flag,
         "kg_seller_price_cv": _kg_seller_price_cv,
         "kg_role_transitions": _kg_role_transitions,
         "kg_conv_funnel": _kg_conv_funnel,
@@ -1751,6 +1810,46 @@ def oracle_sql() -> dict[str, str]:
     loc_alts = sorted({_fold(l) for l in DEFAULT_LOCATIONS}, key=len, reverse=True)
     loc_pattern = "|".join(_re.escape(a) for a in loc_alts)
     return {
+        "kg_price_stats_by_product_flag": f"""
+            WITH c AS (
+                SELECT conv_id, turn_idx, {clean_expr} AS clean
+                FROM read_parquet('{tx_glob}')),
+            p AS (
+                SELECT conv_id, turn_idx,
+                       trim(regexp_replace(regexp_replace(
+                            regexp_extract(clean,
+                                '(?i)(ሽያጭ|ለመግዛት|ይግዙ|ይሸጥ|ለሽያጭ|ገዝተውልኝ)\\s*([^\\n]+)',
+                                2),
+                            '(?i)\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d+)?\\s*(?:ብር|birr|br|ዶላር|dollar).*$',
+                            ''),
+                            '((?:^|[^0-9]))(?:09[0-9]{{8}}|9[0-9]{{8}})(?:[^0-9]|$).*$',
+                            '\\1'),
+                        ' ,.!?') <> '' AS has_product
+                FROM c),
+            r AS (
+                SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(clean,
+                           '(?i)([0-9]{{1,3}}(?:,[0-9]{{3}})*(?:\\.[0-9]+)?)\\s*(?:ብር|birr|br|ዶላር|dollar)',
+                           1)) AS raw
+                FROM c),
+            v AS (
+                SELECT conv_id, turn_idx,
+                       CAST(round(CAST(replace(raw, ',', '') AS DOUBLE) * 100)
+                            AS BIGINT) AS cents
+                FROM r),
+            a AS (
+                SELECT p.has_product, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v.cents) AS BIGINT) AS s,
+                       CAST(min(v.cents) AS BIGINT) AS mn,
+                       CAST(max(v.cents) AS BIGINT) AS mx
+                FROM v JOIN p USING (conv_id, turn_idx)
+                GROUP BY 1)
+            SELECT has_product, n AS n_prices,
+                   round((CAST(s AS DOUBLE) / n) / 100, 4) AS mean_price,
+                   round(CAST(mn AS DOUBLE) / 100, 2) AS min_price,
+                   round(CAST(mx AS DOUBLE) / 100, 2) AS max_price
+            FROM a
+        """,
         "kg_tool_usage_share": f"""
             SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
                    CAST(sum(CASE WHEN coalesce(tool, '') <> '' THEN 1

@@ -315,6 +315,7 @@ SQL_CHECKED_TX = [
     "labeling_quality_report",
     "kg_turn_balance",
     "kg_tool_usage_share",
+    "kg_price_stats_by_product_flag",
 ]
 
 
