@@ -1677,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q221_orders_per_customer_hist": relational.q221_orders_per_customer_hist,
         "q222_brand_discount_depth": relational.q222_brand_discount_depth,
         "q223_weekday_hour_heatmap": windows.q223_weekday_hour_heatmap,
+        "q224_value_share_by_type": windows.q224_value_share_by_type,
         "kg_tool_usage_share": _kg_tool_usage_share,
         "kg_turn_balance": _kg_turn_balance,
         "kg_price_stats_by_product_flag": _kg_price_stats_by_product_flag,
@@ -4031,6 +4032,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END)
                               AS DOUBLE) / count(*), 6) AS discounted_share
             FROM v GROUP BY 1
+        """,
+        "q224_value_share_by_type": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            t AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM v)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(c) AS DOUBLE) / 100, 2) AS total_value,
+                   round(CAST(sum(c) AS DOUBLE) / t.tc, 6) AS value_share
+            FROM v CROSS JOIN t GROUP BY event_type, t.tc
         """,
         "q223_weekday_hour_heatmap": """
             WITH v AS (

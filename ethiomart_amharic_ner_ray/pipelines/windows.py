@@ -1970,3 +1970,43 @@ def q223_weekday_hour_heatmap(sf_dir: str) -> "pd.DataFrame":
         .sort_values(["isodow", "hour"])
         .reset_index(drop=True)
     )
+
+
+def q224_value_share_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Engagement-value concentration by event type — where the value
+    mass actually sits (q19's count mix weighted by worth; a type with
+    2 % of events and 40 % of value is the monetization surface). Values
+    live on the 2dp grid, so per-batch partials are exact int64 CENTS
+    (n, Σc) and the exchange is types-sized; totals and shares are double
+    ratios of exact integers on both oracle sides."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "p_n": np.ones(len(df), dtype=np.int64),
+                "p_s": c,
+            }
+        )
+        return d.groupby("event_type", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum()
+    total = int(g["p_s"].sum())
+    return (
+        pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_events": g["p_n"].astype("int64"),
+                "total_value": round_away(g["p_s"].to_numpy(dtype="float64") / 100.0, 2),
+                "value_share": round_away(g["p_s"].to_numpy(dtype="float64") / total, 6),
+            }
+        )
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )

@@ -281,6 +281,7 @@ SQL_CHECKED = [
     "q221_orders_per_customer_hist",
     "q222_brand_discount_depth",
     "q223_weekday_hour_heatmap",
+    "q224_value_share_by_type",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
