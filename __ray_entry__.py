@@ -1678,6 +1678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q222_brand_discount_depth": relational.q222_brand_discount_depth,
         "q223_weekday_hour_heatmap": windows.q223_weekday_hour_heatmap,
         "q224_value_share_by_type": windows.q224_value_share_by_type,
+        "q225_priority_mix_by_month": relational.q225_priority_mix_by_month,
+        "q226_user_lifespan_hist": windows.q226_user_lifespan_hist,
         "kg_tool_usage_share": _kg_tool_usage_share,
         "kg_turn_balance": _kg_turn_balance,
         "kg_price_stats_by_product_flag": _kg_price_stats_by_product_flag,
@@ -4032,6 +4034,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END)
                               AS DOUBLE) / count(*), 6) AS discounted_share
             FROM v GROUP BY 1
+        """,
+        "q225_priority_mix_by_month": """
+            WITH v AS (
+                SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                            AS TIMESTAMP) AS month,
+                       CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                            ELSE 0 END AS u,
+                       CASE WHEN o_orderpriority = '2-HIGH' THEN 1
+                            ELSE 0 END AS h
+                FROM orders)
+            SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(u) AS DOUBLE) / count(*), 6) AS urgent_share,
+                   round(CAST(sum(h) AS DOUBLE) / count(*), 6) AS high_share
+            FROM v GROUP BY 1
+        """,
+        "q226_user_lifespan_hist": """
+            WITH s AS (
+                SELECT user_id,
+                       date_diff('day',
+                                 CAST(date_trunc('day', min(ts)) AS DATE),
+                                 CAST(date_trunc('day', max(ts)) AS DATE))
+                           AS lifespan_days
+                FROM events GROUP BY user_id)
+            SELECT CAST(lifespan_days AS BIGINT) AS lifespan_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM s GROUP BY 1
         """,
         "q224_value_share_by_type": """
             WITH v AS (

@@ -5319,3 +5319,44 @@ def q222_brand_discount_depth(sf_dir: str) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return bucketed_group_agg(partials, ["brand"], final, n_buckets=4)
+
+
+def q225_priority_mix_by_month(sf_dir: str) -> "ray.data.Dataset":
+    """Order-priority mix drift: the share of 1-URGENT and 2-HIGH orders
+    per order month — the demand-composition trend q198's weekday test
+    and q220's return series bracket (a rising urgent share is an SLA
+    exposure ramp). (month, urgent, high, total) exact int64 partials,
+    one calendar-sized exchange, shares as double ratios of exact
+    counts."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "month": pd.to_datetime(df["o_orderdate"]).values.astype("datetime64[M]"),
+                "p_n": np.ones(len(df), dtype=np.int64),
+                "p_u": (df["o_orderpriority"] == "1-URGENT").to_numpy(dtype=np.int64),
+                "p_h": (df["o_orderpriority"] == "2-HIGH").to_numpy(dtype=np.int64),
+            }
+        )
+        return d.groupby("month", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("month", as_index=False).agg(
+            n=("p_n", "sum"), u=("p_u", "sum"), h=("p_h", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "month": g["month"].astype("datetime64[us]"),
+                "n_orders": g["n"].astype("int64"),
+                "urgent_share": round_away(
+                    g["u"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64), 6
+                ),
+                "high_share": round_away(
+                    g["h"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64), 6
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["month"], final, n_buckets=4)

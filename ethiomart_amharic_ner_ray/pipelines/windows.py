@@ -2010,3 +2010,46 @@ def q224_value_share_by_type(sf_dir: str) -> "pd.DataFrame":
         .sort_values("event_type")
         .reset_index(drop=True)
     )
+
+
+def q226_user_lifespan_hist(sf_dir: str) -> "pd.DataFrame":
+    """User-lifespan histogram — calendar days between a user's first and
+    last event, the coarse stickiness curve the survival analysis
+    (q-retention) refines: a mass at 0 days is one-session churn. Per
+    user (min day, max day) rides ONE user-bucket shuffle as per-batch
+    (user, min, max) partials; lifespan counts DAY-BOUNDARY crossings
+    (date-truncated difference), an exact integer identical to the
+    oracle's date_diff('day'); the second exchange is bounded by the
+    dataset's calendar span."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(df["ts"]).values.astype("datetime64[D]").astype(np.int64)
+        d = pd.DataFrame({"user_id": df["user_id"], "d": day})
+        g = d.groupby("user_id", as_index=False).agg(p_min=("d", "min"), p_max=("d", "max"))
+        return g.astype({"p_min": "int64", "p_max": "int64"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(mn=("p_min", "min"), mx=("p_max", "max"))
+        span = (g["mx"] - g["mn"]).to_numpy(dtype=np.int64)
+        h = pd.DataFrame({"lifespan_days": span}).groupby(
+            "lifespan_days", as_index=False
+        ).size().rename(columns={"size": "p_c"})
+        return h.astype({"lifespan_days": "int64", "p_c": "int64"})
+
+    parts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        final,
+        n_buckets=8,
+    ).to_pandas()
+    merged = parts.groupby("lifespan_days", as_index=False)["p_c"].sum()
+    return pd.DataFrame(
+        {
+            "lifespan_days": merged["lifespan_days"].astype("int64"),
+            "n_users": merged["p_c"].astype("int64"),
+        }
+    ).sort_values("lifespan_days").reset_index(drop=True)

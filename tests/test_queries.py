@@ -282,6 +282,8 @@ SQL_CHECKED = [
     "q222_brand_discount_depth",
     "q223_weekday_hour_heatmap",
     "q224_value_share_by_type",
+    "q225_priority_mix_by_month",
+    "q226_user_lifespan_hist",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
