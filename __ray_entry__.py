@@ -1680,6 +1680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q224_value_share_by_type": windows.q224_value_share_by_type,
         "q225_priority_mix_by_month": relational.q225_priority_mix_by_month,
         "q226_user_lifespan_hist": windows.q226_user_lifespan_hist,
+        "q227_nation_negative_acctbal": relational.q227_nation_negative_acctbal,
+        "q228_status_mix_by_year": relational.q228_status_mix_by_year,
         "kg_tool_usage_share": _kg_tool_usage_share,
         "kg_turn_balance": _kg_turn_balance,
         "kg_price_stats_by_product_flag": _kg_price_stats_by_product_flag,
@@ -4034,6 +4036,34 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END)
                               AS DOUBLE) / count(*), 6) AS discounted_share
             FROM v GROUP BY 1
+        """,
+        "q227_nation_negative_acctbal": """
+            SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(CASE WHEN CAST(round(s.s_acctbal * 100) AS BIGINT)
+                                      < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_negative,
+                   round(CAST(sum(CASE WHEN CAST(round(s.s_acctbal * 100)
+                                            AS BIGINT) < 0
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS negative_share
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "q228_status_mix_by_year": """
+            WITH v AS (
+                SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)
+                           AS year,
+                       o_orderstatus
+                FROM orders),
+            g AS (
+                SELECT year, o_orderstatus,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM v GROUP BY 1, 2),
+            t AS (SELECT year, CAST(sum(n_orders) AS BIGINT) AS nt
+                  FROM g GROUP BY 1)
+            SELECT g.year, g.o_orderstatus, g.n_orders,
+                   round(CAST(g.n_orders AS DOUBLE) / t.nt, 6) AS share
+            FROM g JOIN t USING (year)
         """,
         "q225_priority_mix_by_month": """
             WITH v AS (

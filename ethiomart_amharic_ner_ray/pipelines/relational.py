@@ -5360,3 +5360,88 @@ def q225_priority_mix_by_month(sf_dir: str) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["month"], final, n_buckets=4)
+
+
+def q227_nation_negative_acctbal(sf_dir: str) -> "pd.DataFrame":
+    """Supplier credit-risk screen per nation: supplier count, negative-
+    account-balance count and share — the supply-side solvency map read
+    next to q20's supplier-nation roster. Both tables are dimensions, but
+    the shape is the scale-correct one anyway: nationkey→name broadcasts
+    once, per-batch (nation, n, n_neg) int64 partials (acctbal is the 2dp
+    grid; the sign test is an exact integer comparison on cents), one
+    nations-sized exchange."""
+    nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nmap = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    ref = ray.put(nmap)
+
+    ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lookup = get_broadcast(ref)
+        cents = np.rint(
+            t.column("s_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "n_name": [lookup[k] for k in t.column("s_nationkey").to_pylist()],
+                "p_n": np.ones(t.num_rows, dtype=np.int64),
+                "p_neg": (cents < 0).astype(np.int64),
+            }
+        )
+        g = d.groupby("n_name", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("n_name", as_index=False).sum()
+    return (
+        pd.DataFrame(
+            {
+                "n_name": g["n_name"],
+                "n_suppliers": g["p_n"].astype("int64"),
+                "n_negative": g["p_neg"].astype("int64"),
+                "negative_share": round_away(
+                    g["p_neg"].to_numpy(dtype=np.float64) / g["p_n"].to_numpy(dtype=np.float64),
+                    6,
+                ),
+            }
+        )
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def q228_status_mix_by_year(sf_dir: str) -> "ray.data.Dataset":
+    """Order-status composition per order year (O/F/P fill-state drift —
+    the fulfilment backlog's annual signature; a P bulge marks partial-
+    fill years). (year, status) exact count partials with per-year
+    shares, one years×statuses-bounded exchange."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "year": pd.to_datetime(df["o_orderdate"]).dt.year.to_numpy(dtype=np.int64),
+                "status": df["o_orderstatus"],
+                "p_n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return d.groupby(["year", "status"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["year", "status"], as_index=False)["p_n"].sum()
+        tot = g.groupby("year")["p_n"].transform("sum")
+        return pd.DataFrame(
+            {
+                "year": g["year"].astype("int64"),
+                "o_orderstatus": g["status"],
+                "n_orders": g["p_n"].astype("int64"),
+                "share": round_away(
+                    g["p_n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64), 6
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["year"], final, n_buckets=4)

@@ -284,6 +284,8 @@ SQL_CHECKED = [
     "q224_value_share_by_type",
     "q225_priority_mix_by_month",
     "q226_user_lifespan_hist",
+    "q227_nation_negative_acctbal",
+    "q228_status_mix_by_year",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
