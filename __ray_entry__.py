@@ -1682,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q226_user_lifespan_hist": windows.q226_user_lifespan_hist,
         "q227_nation_negative_acctbal": relational.q227_nation_negative_acctbal,
         "q228_status_mix_by_year": relational.q228_status_mix_by_year,
+        "q229_type_catalog_profile": relational.q229_type_catalog_profile,
         "kg_tool_usage_share": _kg_tool_usage_share,
         "kg_turn_balance": _kg_turn_balance,
         "kg_price_stats_by_product_flag": _kg_price_stats_by_product_flag,
@@ -4035,6 +4036,17 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_discount,
                    round(CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END)
                               AS DOUBLE) / count(*), 6) AS discounted_share
+            FROM v GROUP BY 1
+        """,
+        "q229_type_catalog_profile": """
+            WITH v AS (
+                SELECT p_type, CAST(p_size AS BIGINT) AS sz,
+                       CAST(round(p_retailprice * 100) AS BIGINT) AS c
+                FROM part)
+            SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
+                   round(CAST(sum(sz) AS DOUBLE) / count(*), 4) AS mean_size,
+                   round((CAST(sum(c) AS DOUBLE) / count(*)) / 100, 4)
+                       AS mean_price
             FROM v GROUP BY 1
         """,
         "q227_nation_negative_acctbal": """

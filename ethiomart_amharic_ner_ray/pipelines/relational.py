@@ -5445,3 +5445,46 @@ def q228_status_mix_by_year(sf_dir: str) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["year"], final, n_buckets=4)
+
+
+def q229_type_catalog_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Catalog profile per part type — count, mean size and mean retail
+    price, the assortment-tier snapshot q219's per-brand spread reads
+    sideways (is PROMO actually smaller/cheaper stock?). (type, n, Σsize,
+    Σcents) exact int64 partials, one types-sized exchange, both means as
+    double ratios of exact ints evaluated identically on both sides."""
+    ds = read_table(sf_dir, "part", columns=["p_type", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["p_retailprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "p_type": df["p_type"],
+                "p_n": np.ones(len(df), dtype=np.int64),
+                "p_sz": df["p_size"].to_numpy(dtype=np.int64),
+                "p_c": cents,
+            }
+        )
+        return d.groupby("p_type", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_type", as_index=False).agg(
+            n=("p_n", "sum"), sz=("p_sz", "sum"), c=("p_c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "p_type": g["p_type"],
+                "n_parts": g["n"].astype("int64"),
+                "mean_size": round_away(
+                    g["sz"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64), 4
+                ),
+                "mean_price": round_away(
+                    (g["c"].to_numpy(dtype=np.float64) / g["n"].to_numpy(dtype=np.float64))
+                    / 100.0,
+                    4,
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["p_type"], final, n_buckets=4)

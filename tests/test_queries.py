@@ -286,6 +286,7 @@ SQL_CHECKED = [
     "q226_user_lifespan_hist",
     "q227_nation_negative_acctbal",
     "q228_status_mix_by_year",
+    "q229_type_catalog_profile",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
