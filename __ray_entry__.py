@@ -1683,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q227_nation_negative_acctbal": relational.q227_nation_negative_acctbal,
         "q228_status_mix_by_year": relational.q228_status_mix_by_year,
         "q229_type_catalog_profile": relational.q229_type_catalog_profile,
+        "q230_weighted_median": relational.q230_weighted_median,
         "kg_tool_usage_share": _kg_tool_usage_share,
         "kg_turn_balance": _kg_turn_balance,
         "kg_price_stats_by_product_flag": _kg_price_stats_by_product_flag,
@@ -4037,6 +4038,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END)
                               AS DOUBLE) / count(*), 6) AS discounted_share
             FROM v GROUP BY 1
+        """,
+        "q230_weighted_median": """
+            WITH w AS (
+                SELECT l_extendedprice AS v,
+                       CAST(round(l_quantity) AS BIGINT) AS q
+                FROM lineitem),
+            t AS (SELECT CAST(sum(q) AS BIGINT) AS W FROM w),
+            c AS (SELECT v, CAST(sum(q) OVER (ORDER BY v) AS BIGINT) AS cw
+                  FROM w)
+            SELECT t.W AS total_weight, min(c.v) AS weighted_median
+            FROM c, t WHERE 2 * c.cw >= t.W GROUP BY t.W
         """,
         "q229_type_catalog_profile": """
             WITH v AS (

@@ -5488,3 +5488,96 @@ def q229_type_catalog_profile(sf_dir: str) -> "ray.data.Dataset":
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return bucketed_group_agg(partials, ["p_type"], final, n_buckets=4)
+
+
+def q230_weighted_median(sf_dir: str, n_bins: int = 128, tail_cap: int = 65536) -> pd.DataFrame:
+    """EXACT weighted global median — the smallest ``l_extendedprice``
+    whose quantity-weighted inclusive cumulative weight reaches half the
+    total (the unit-economics midpoint: half of all UNITS ship at or
+    below this price). q141's distributed-selection machinery with bin
+    WEIGHT sums instead of bin counts: quantities are integral, so every
+    per-batch bin partial is an exact int64 weight vector, the driver
+    narrows on the integer condition 2·cumweight ≥ W (no float enters
+    any comparison), and one filtered pass collects only the candidate
+    sliver. The answer is an actual data value (no interpolation), so
+    both oracle sides emit the identical double; the SQL side is the
+    windowed 2·cum ≥ W min-pick with RANGE framing (peers included),
+    which matches the inclusive-cumweight definition exactly."""
+    vcol, wcol = "l_extendedprice", "l_quantity"
+    ds = read_table(sf_dir, "lineitem", columns=[vcol, wcol])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = t.column(vcol).to_numpy(zero_copy_only=False)
+        q = np.rint(t.column(wcol).to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                "w": pa.array([int(q.sum())], pa.int64()),
+                "lo": pa.array([float(v.min()) if len(v) else np.inf]),
+                "hi": pa.array([float(v.max()) if len(v) else -np.inf]),
+            }
+        )
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    W = int(mm["w"].sum())
+    if W == 0:
+        return pd.DataFrame({"total_weight": pd.array([0], dtype="int64"), "weighted_median": [np.nan]})
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+
+    below = 0  # weight strictly below lo
+    while True:
+        edges = np.linspace(lo, hi, n_bins + 1)
+        ref = ray.put(edges)
+
+        def bin_partial(t: pa.Table, ref=ref) -> pa.Table:
+            e = get_broadcast(ref)
+            v = t.column(vcol).to_numpy(zero_copy_only=False)
+            q = np.rint(t.column(wcol).to_numpy(zero_copy_only=False)).astype(np.int64)
+            m = (v >= e[0]) & (v <= e[-1])
+            v, q = v[m], q[m]
+            ix = np.clip(np.searchsorted(e, v, side="right") - 1, 0, len(e) - 2)
+            wsum = np.bincount(ix, weights=q.astype(np.float64), minlength=len(e) - 1).astype(np.int64)
+            nrow = np.bincount(ix, minlength=len(e) - 1)
+            return pa.table(
+                {
+                    "w": pa.array([wsum.tolist()], pa.list_(pa.int64(), len(e) - 1)),
+                    "n": pa.array([nrow.tolist()], pa.list_(pa.int64(), len(e) - 1)),
+                }
+            )
+
+        agg = ds.map_batches(bin_partial, batch_format="pyarrow").to_pandas()
+        wcounts = np.sum([np.asarray(r) for r in agg["w"]], axis=0).astype(np.int64)
+        ncounts = np.sum([np.asarray(r) for r in agg["n"]], axis=0).astype(np.int64)
+        cum = below + np.cumsum(wcounts)
+        # target bin: first bin whose inclusive cumweight satisfies 2·cum ≥ W
+        b = int(np.argmax(2 * cum >= W))
+        new_lo, new_hi = float(edges[b]), float(edges[b + 1])
+        rows_in = int(ncounts[b])
+        new_below = below + int(wcounts[:b].sum())
+        if rows_in <= tail_cap or (new_lo, new_hi) == (lo, hi):
+            lo, hi, below = new_lo, new_hi, new_below
+            break
+        lo, hi, below = new_lo, new_hi, new_below
+
+    ref = ray.put((lo, hi))
+
+    def sliver(t: pa.Table) -> pa.Table:
+        l, h = get_broadcast(ref)
+        v = t.column(vcol).to_numpy(zero_copy_only=False)
+        q = np.rint(t.column(wcol).to_numpy(zero_copy_only=False)).astype(np.int64)
+        m = (v >= l) & (v <= h)
+        return pa.table({"v": pa.array(v[m]), "q": pa.array(q[m], pa.int64())})
+
+    sl = ds.map_batches(sliver, batch_format="pyarrow").to_pandas()
+    # the last bin is right-open except the terminal one: rows at exactly hi
+    # belong to the NEXT bin unless hi is the global max — replicate the
+    # binning rule so `below` stays consistent with the collected rows
+    sl = sl.sort_values("v", kind="mergesort")
+    cw = below + sl["q"].cumsum().to_numpy(dtype=np.int64)
+    pick = np.argmax(2 * cw >= W)
+    med = float(sl["v"].to_numpy()[pick])
+    return pd.DataFrame(
+        {
+            "total_weight": pd.array([W], dtype="int64"),
+            "weighted_median": [med],
+        }
+    )

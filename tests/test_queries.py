@@ -287,6 +287,7 @@ SQL_CHECKED = [
     "q227_nation_negative_acctbal",
     "q228_status_mix_by_year",
     "q229_type_catalog_profile",
+    "q230_weighted_median",
 ]
 
 # transcript-derived entries: their oracle SQL reads the cached sf0.01
