@@ -1061,3 +1061,41 @@ def test_kg_exploded_checkpoint_content_keyed(ray_session, tmp_path, monkeypatch
     d2 = m._kg_exploded_checkpoint(sf)
     assert d2 != d1  # new signature => new checkpoint directory
     assert os.path.exists(os.path.join(d2, "_DONE.json"))
+
+
+def test_q230_weighted_median_property(ray_session, tmp_path):
+    """r5: the distributed weighted-median selection must match the
+    sequential definition (smallest v with 2·cumweight(≤v) ≥ W) on random
+    weighted data — including duplicate values and skewed weights, and
+    regardless of tail_cap forcing multiple refinement rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethiomart_amharic_ner_ray.pipelines.relational import q230_weighted_median
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    # duplicate-heavy values, skewed integer weights
+    v = np.round(rng.lognormal(4, 1, n), 2)
+    v[: n // 10] = v[0]  # a heavy duplicate block
+    q = rng.integers(1, 51, n).astype("int64")
+    q[:5] = 10_000  # weight skew
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(np.arange(n), pa.int64()),
+            "l_extendedprice": pa.array(v, pa.float64()),
+            "l_quantity": pa.array(q.astype("float64"), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+    order = np.argsort(v, kind="mergesort")
+    cw = np.cumsum(q[order])
+    W = int(q.sum())
+    expect = float(v[order][int(np.argmax(2 * cw >= W))])
+
+    for tail_cap in (65536, 16):  # 16 forces several refinement rounds
+        out = q230_weighted_median(str(tmp_path), tail_cap=tail_cap)
+        assert int(out["total_weight"].iloc[0]) == W
+        assert float(out["weighted_median"].iloc[0]) == expect, tail_cap
